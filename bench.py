@@ -1,0 +1,186 @@
+"""Benchmark harness.
+
+Default: run the headline workload at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "cdc_events_per_sec": ...}
+
+--scaling: run the CDC apply job at local[8] and local[32] on identical input
+and report throughput at both plus efficiency = (T8/T32)/4 — the sandbox
+evidence for the north rule's two-cluster-size criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+REPO_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+
+def bench_repo_table(spark, sf_dir: str):
+    """Large synthetic repo table from lineitem (~600k keys at sf0.1) —
+    the documents table is too small to stress the pipeline."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        F.concat(F.lit("repo_"), (F.col("l_orderkey") % 997).cast("string")).alias(
+            "repo"
+        ),
+        F.concat(
+            F.lit("src/"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("/"),
+            F.col("l_linenumber").cast("string"),
+            F.lit(".txt"),
+        ).alias("path"),
+        F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber")).alias("commit"),
+        F.col("l_returnflag").alias("lang"),
+        F.concat_ws(
+            "\n",
+            F.col("l_comment") if "l_comment" in li.columns else F.lit("x"),
+            F.col("l_extendedprice").cast("string"),
+            F.col("l_shipdate").cast("string"),
+        ).alias("content"),
+    )
+
+
+def run_cdc_apply(spark, sf_dir: str, n_buckets: int = 64) -> dict:
+    """Full pipeline: generate events -> decode/fold -> MERGE into lake."""
+    from mariadb_cdc_spark.gen import MERGE_KEYS, generate_events
+    from mariadb_cdc_spark.pipeline import CdcConfig, apply_batch
+    from mariadb_cdc_spark.sources.lake import LakeTable
+
+    repo = bench_repo_table(spark, sf_dir)
+    events = generate_events(
+        repo, rows_per_event=4, include_audit=False, n_buckets=256
+    )
+    events = events.persist()
+    n_events = events.count()  # materialize generation outside the timed apply
+
+    tmp = tempfile.mkdtemp(prefix="cdc_bench_")
+    table = LakeTable.create(
+        spark, f"{tmp}/t", REPO_SCHEMA, MERGE_KEYS, n_buckets=n_buckets
+    )
+    t0 = time.time()
+    apply_batch(events, table, CdcConfig(apply_ddl=False), stream_id="bench",
+                batch_id=0)
+    dt = time.time() - t0
+    n_rows = table.read().count()
+    events.unpersist()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"sec": dt, "n_events": n_events, "events_per_sec": n_events / dt,
+            "rows": n_rows}
+
+
+def _session(cpus: int):
+    from mariadb_cdc_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"bench-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+
+
+def main():
+    import __spark_entry__ as entrymod
+
+    spark = _session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    cdc = run_cdc_apply(spark, SF_DIR)
+    timings["cdc_apply"] = round(cdc["sec"], 3)
+
+    headline = [
+        "cdc_lww_state",
+        "cdc_dedup_replay",
+        "cdc_partial_image_fold",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "text_quality",
+        "ann_bruteforce",
+        "agg_pricing",
+        "join_revenue",
+    ]
+    qs = entrymod.queries()
+    for name in headline:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_workload_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "cdc_events": cdc["n_events"],
+                "cdc_events_per_sec": round(cdc["events_per_sec"], 1),
+                "cdc_final_rows": cdc["rows"],
+            }
+        )
+    )
+    spark.stop()
+
+
+def scaling():
+    """Two-parallelism scaling evidence (N=8 vs 4N=32 cores)."""
+    results = {}
+    for cpus in (8, 32):
+        spark = _session(cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        run_cdc_apply(spark, SF_DIR)  # warm-up (JIT, page cache)
+        r = run_cdc_apply(spark, SF_DIR)
+        results[cpus] = r
+        spark.stop()
+        time.sleep(2)
+    eff = (results[32]["events_per_sec"] / results[8]["events_per_sec"]) / 4.0
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency_8_to_32",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "throughput_local8": round(results[8]["events_per_sec"], 1),
+                "throughput_local32": round(results[32]["events_per_sec"], 1),
+                "sec_local8": round(results[8]["sec"], 2),
+                "sec_local32": round(results[32]["sec"], 2),
+                "n_events": results[8]["n_events"],
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

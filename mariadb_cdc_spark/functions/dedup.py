@@ -1,0 +1,297 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, each expressed as DataFrame transforms:
+
+  exact          — md5 fingerprint groupBy (one shuffle on the hash)
+  ngram_jaccard  — word-shingle self-join + Jaccard (exact near-dup, the
+                   quadratic baseline; bounded by grouping key)
+  minhash_lsh    — MinHash signatures + banded LSH bucket join (the 100 TB
+                   scale path: candidate pairs only, no全-pair join)
+  simhash        — 16-bit sign-aggregated token-hash fingerprint
+  embedding      — cosine near-dup over embedding vectors (see similarity.py)
+
+Hashes are md5-derived (not xxhash) so the DuckDB oracle can reproduce them
+bit-for-bit — determinism across engines is part of the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def _md5_long(col: Column, salt: str = "") -> Column:
+    """60-bit hash from the first 15 hex chars of md5 (DuckDB-reproducible)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+# ------------------------------------------------------------------- exact
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents.
+
+    Returns one row per duplicate group with the canonical (min) doc_id,
+    group size, and member ids. Scale: one shuffle keyed on the 128-bit
+    fingerprint — no skew risk beyond true duplicate mass.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        df.select("doc_id", F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("group_size"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+
+
+# ----------------------------------------------------------- word shingles
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """n-gram word shingles of lowercased text as array<string>."""
+    toks = tokens(F.lower(col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via shingle inverted index.
+
+    Plan: explode shingles -> self-join on shingle (the inverted index)
+    -> count common shingles per pair -> Jaccard = |∩| / (|A|+|B|-|∩|).
+    This is the exact-but-quadratic-in-collisions baseline; minhash_lsh
+    below is the sub-quadratic scale path. The explode output is
+    (shingle, id) — Catalyst prunes text before the shuffle.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- MinHash
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signatures: sig[i] = min over shingles of h_i(shingle).
+
+    h_i(s) = md5(i || s) as a 60-bit int — salt-parameterized hash family,
+    reproducible in any engine with md5. Computed with one explode +
+    groupBy(id) of `num_hashes` mins (map-side partial aggregation).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("sh"),
+    )
+    mins = [
+        F.min(_md5_long(F.col("sh"), salt=f"{i}#")).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*mins)
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Banded LSH: hash each band of the signature; docs sharing any band
+    bucket are candidate pairs.
+
+    This is the sub-quadratic scale path: the self-join runs per (band,
+    bucket) — at 10^9 docs the shuffle key is the band hash, and only true
+    near-dups (plus a tunable false-positive tail) meet in a bucket.
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.md5(F.concat_ws("_", F.lit(str(b)), *[c.cast("string") for c in cols])
+                  ).alias(f"band_{b}")
+        )
+    banded = sig.select("id", *band_cols)
+    stacked = banded.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidates refined by estimated Jaccard (signature agreement)."""
+    sig = minhash_signature(df, text_col, n, num_hashes, id_col)
+    cands = minhash_lsh_candidates(sig, num_hashes, bands)
+    a = sig.alias("sa")
+    b = sig.alias("sb")
+    agree = sum(
+        F.when(F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        cands.join(a, cands.id_a == F.col("sa.id"))
+        .join(b, cands.id_b == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / F.lit(num_hashes), 6).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash fingerprint: bit b = majority vote of token-hash bit b.
+
+    Declarative form: explode tokens, per-bit ±1 votes, groupBy(id) sum,
+    sign -> bit. bits=16 keeps the oracle SQL tractable; the operator is
+    O(tokens) with a map-side-combinable agg, so it scales linearly.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    h = _md5_long(F.col("tok"), salt="simhash#")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    sig = sum(
+        F.when(F.col(f"v_{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        for i in range(bits)
+    )
+    return agg.select("id", sig.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance.
+
+    Join strategy: band the fingerprint into (max_hamming+1) chunks — by
+    pigeonhole, any pair within max_hamming agrees on at least one full
+    chunk, so the join key is (chunk_idx, chunk_value), never all-pairs.
+    """
+    sh = simhash(df, text_col, bits, id_col)
+    chunks = max_hamming + 1
+    chunk_bits = bits // chunks
+    stacked = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cv"),
+    ).select("id", "simhash", "cv.chunk", "cv.val")
+    a, b = stacked.alias("a"), stacked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,104 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Catalyst expressions (JVM-side, whole-stage codegen) — no Python in
+the hot path, so they run at 100 TB scan speed. Each has a matching ANSI-SQL
+oracle in __spark_entry__.oracle_sql (DuckDB), so every function is verified
+value-for-value against an independent engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists (deterministic heuristic language ID).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "es": ["el", "la", "de", "que", "en", "los", "del", "con"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "une"],
+    "de": ["der", "die", "das", "und", "von", "mit", "den", "ein"],
+}
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization of trimmed text; empty text -> empty array."""
+    c = F.trim(col) if not isinstance(col, Column) else F.trim(col)
+    return F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def word_match_count(col, words: list[str]) -> Column:
+    """How many tokens of `col` are in `words` (case-insensitive)."""
+    toks = tokens(F.lower(col))
+    lits = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lits, t)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features.
+
+    The classic pre-training quality screen: all integer counts plus ratios
+    rounded to fixed decimals (deterministic across engines).
+    """
+    c = F.col(text_col)
+    n_tokens = token_count(c)
+    n_chars = F.length(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[.,;:!?'\"()\[\]{}]", ""))
+    n_stop = word_match_count(c, STOPWORDS["en"])
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
+        (
+            (n_tokens >= 5)
+            & (n_chars >= 30)
+            & (n_punct / F.greatest(n_chars, F.lit(1)) < 0.2)
+        ).alias("passes_quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID (n-gram-free heuristic, fully declarative).
+
+    Returns doc_id, per-language hit counts, predicted language ('und' when
+    no stopword hits), and agreement with the labeled lang column.
+    """
+    c = F.lower(F.col(text_col))
+    hits = {lang: word_match_count(c, ws) for lang, ws in STOPWORDS.items()}
+    langs = sorted(STOPWORDS)  # deterministic tie-break: alphabetical
+    best = F.greatest(*[hits[lg] for lg in langs])
+    pred = F.lit("und")
+    # reverse order so earlier alphabetical language wins ties
+    for lg in reversed(langs):
+        pred = F.when(hits[lg] == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    out = df.select(
+        "doc_id",
+        *[hits[lg].alias(f"hits_{lg}") for lg in langs],
+        pred.alias("pred_lang"),
+        F.col("lang").alias("labeled_lang"),
+    )
+    return out.withColumn(
+        "agrees", (F.col("pred_lang") == F.col("labeled_lang"))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over case/whitespace-normalized text.
+
+    The cheap exact-dup key for content-defined dedup; normalization makes it
+    robust to whitespace-only diffs.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).alias("norm_len"),
+    )

@@ -1,0 +1,405 @@
+"""Deterministic, DataFrame-native binlog-shaped event generator.
+
+The reference is tested against a live MariaDB emitting real binlog events
+(Testcontainers, /root/reference/src/test/java/mariadbcdc/MariaCdcTestHelper.java).
+This sandbox has no server, so the generator synthesizes the same event
+*shapes* (FIXTURES.md §2) from the input repo table — fully deterministic
+(hash-derived, no RNG state) and fully distributed (every step is a DataFrame
+transform; no driver-side loops), so the same generator runs at 10^10-event
+scale on a real cluster.
+
+Determinism strategy: per-key op sequences and positions derive from md5 of
+the key, so any subset of the data generates identical events, and a pure-
+Python oracle (oracle.py) can reproduce the expected final state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .schema import (
+    EVENT_SCHEMA,
+    EVT_FORMAT_DESCRIPTION,
+    EVT_HEARTBEAT,
+    EVT_ROTATE,
+    EVT_TABLE_MAP,
+    EVT_WRITE_ROWS,
+    EVT_XID,
+    FIELD_TYPE,
+)
+
+# The CDC'd table: source-code repo files keyed (repo, path) per BASELINE input_hint.
+MAIN_TABLE_ID = 101
+MAIN_DATABASE = "codehub"
+MAIN_TABLE = "repo_files"
+MAIN_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+MAIN_COLUMN_TYPES = [FIELD_TYPE["VARCHAR"]] * 5
+MERGE_KEYS = ["repo", "path"]
+
+# Decoy second table for include/exclude-filter and interleaved-TABLE_MAP
+# scenarios (reference BinaryLogEventProcessorTest.java:217-256).
+AUDIT_TABLE_ID = 202
+AUDIT_TABLE = "audit"
+AUDIT_COLUMNS = ["audit_id", "repo", "action"]
+
+BASE_EPOCH = 1704067200  # 2024-01-01T00:00:00Z
+
+
+def _hash64(*cols, salt: str = "") -> F.Column:
+    """Deterministic 60-bit hash of string columns: md5 hex -> bigint.
+
+    md5 (not xxhash64) so the pure-Python oracle reproduces it exactly.
+    """
+    joined = F.concat_ws("\x1f", F.lit(salt), *cols)
+    return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
+
+
+def repo_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the input repo table (repo, path, commit, lang, content)
+    deterministically from the driver-provided documents table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(F.lit("repo_"), F.col("source")).alias("repo"),
+        F.concat(
+            F.lit("src/"),
+            F.col("lang"),
+            F.lit("/doc_"),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+            F.lit(".txt"),
+        ).alias("path"),
+        F.substring(
+            F.concat(F.md5(F.col("text")), F.md5(F.concat(F.col("text"), F.lit("#")))),
+            1,
+            40,
+        ).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def _full_image(prefix: str = "") -> F.Column:
+    """map<string,string> image of the current repo-row columns."""
+    pairs = []
+    for c in MAIN_COLUMNS:
+        pairs.extend([F.lit(c), F.col(prefix + c)])
+    return F.create_map(*pairs)
+
+
+def generate_changes(repo_df: DataFrame) -> DataFrame:
+    """Derive a deterministic per-key op sequence from the repo table.
+
+    Output: one row per (key, wave) with columns
+      wave:int, op:string, before:map, after:map, key_hash:long
+    Wave plan (hash-gated so the mix is stable at any scale):
+      0 INSERT full image                       (always)
+      1 UPDATE full image (content rev 2)       (~60% of keys)
+      2 UPDATE minimal row image: before=PK     (~35%)
+        only, after=changed column only
+        (reference README.md:200-235)
+      3 DELETE                                  (~15%)
+      4 re-INSERT after delete                  (~5%)
+    """
+    df = repo_df.withColumn("key_hash", _hash64(F.col("repo"), F.col("path")))
+    gate = F.pmod(F.col("key_hash"), F.lit(100))
+
+    pk_map = F.create_map(
+        F.lit("repo"), F.col("repo"), F.lit("path"), F.col("path")
+    )
+    rev2_content = F.concat(F.col("content"), F.lit("\n// rev 2"))
+    rev3_content = F.concat(F.col("content"), F.lit("\n// rev 3"))
+    commit2 = F.substring(
+        F.concat(F.md5(F.col("commit")), F.col("commit")), 1, 40
+    )
+
+    full0 = _full_image()
+    full1 = F.map_concat(
+        full0,
+        F.create_map(
+            F.lit("content"), rev2_content, F.lit("commit"), commit2
+        ),
+    )
+    # state after wave 1 (if it ran) else wave 0 — used as DELETE before-image
+    full_after_upd = F.when(gate < 60, full1).otherwise(full0)
+    partial2 = F.create_map(F.lit("content"), rev3_content)
+    resurrect = F.map_concat(
+        full0,
+        F.create_map(
+            F.lit("content"),
+            F.concat(F.col("content"), F.lit("\n// resurrected")),
+        ),
+    )
+
+    def _op(wave, op, before, after, cond):
+        s = F.struct(
+            F.lit(wave).alias("wave"),
+            F.lit(op).alias("op"),
+            (before if before is not None else F.lit(None).cast("map<string,string>")).alias("before"),
+            (after if after is not None else F.lit(None).cast("map<string,string>")).alias("after"),
+        )
+        return F.when(cond, s).otherwise(F.lit(None))
+
+    ops = F.array(
+        _op(0, "INSERT", None, full0, F.lit(True)),
+        _op(1, "UPDATE", full0, full1, gate < 60),
+        _op(2, "UPDATE", pk_map, partial2, gate < 35),
+        _op(3, "DELETE", full_after_upd, None, gate < 15),
+        _op(4, "INSERT", None, resurrect, gate < 5),
+    )
+    ops = F.filter(ops, lambda x: x.isNotNull())
+
+    return df.select(
+        "repo", "path", "key_hash", F.explode(ops).alias("o")
+    ).select(
+        "repo",
+        "path",
+        "key_hash",
+        F.col("o.wave").alias("wave"),
+        F.col("o.op").alias("op"),
+        F.col("o.before").alias("before"),
+        F.col("o.after").alias("after"),
+    )
+
+
+def generate_events(
+    repo_df: DataFrame,
+    *,
+    server_id: int = 1,
+    n_buckets: int = 32,
+    events_per_file: int = 4096,
+    rows_per_event: int = 1,
+    include_audit: bool = True,
+    extra_events: DataFrame | None = None,
+) -> DataFrame:
+    """Build the full binlog-shaped event table (EVENT_SCHEMA).
+
+    Position assignment is shuffle-light and cluster-scalable: instead of one
+    global row_number (a single-task sort at 10^10 events), each change gets a
+    unique, per-key-monotone slot
+        slot = ((wave * n_buckets + bucket) * cap + rn)
+    where bucket = hash(key) % n_buckets and rn is a row_number *within*
+    (wave, bucket) — n_buckets-way parallel windows, no global sort.
+    (binlog_file, binlog_pos) ordering == slot ordering.
+    """
+    changes = generate_changes(repo_df)
+
+    cap = repo_df.count() + 2  # slot capacity per (wave,bucket); any bound works
+    changes = changes.withColumn(
+        "bucket", F.pmod(F.col("key_hash"), F.lit(n_buckets))
+    ).withColumn(
+        "h3", _hash64(F.col("repo"), F.col("path"), F.col("wave").cast("string"), salt="seq")
+    )
+    w = Window.partitionBy("wave", "bucket").orderBy("h3", "repo", "path")
+    changes = changes.withColumn("rn", F.row_number().over(w))
+    changes = changes.withColumn(
+        "slot",
+        (
+            (F.col("wave").cast("long") * n_buckets + F.col("bucket")) * F.lit(cap)
+            + F.col("rn")
+        ),
+    )
+
+    # Group consecutive changes of the same (wave,bucket,op) into one
+    # multi-row event (reference delivers N rows per event in one callback:
+    # shyikobinlog/BinaryLogEventProcessor.java:162-172).
+    changes = changes.withColumn(
+        "event_group", F.floor((F.col("rn") - 1) / F.lit(rows_per_event))
+    )
+    grouped = (
+        changes.groupBy("wave", "bucket", "op", "event_group")
+        .agg(
+            F.max("slot").alias("slot"),  # next-position semantics
+            F.array_sort(
+                F.collect_list(F.struct("slot", "before", "after")),
+                # structs holding maps aren't orderable; compare slot only
+                lambda a, b: F.when(a["slot"] < b["slot"], F.lit(-1))
+                .when(a["slot"] > b["slot"], F.lit(1))
+                .otherwise(F.lit(0)),
+            ).alias("rows"),
+        )
+    )
+
+    file_idx = F.floor(F.col("slot") / F.lit(events_per_file))
+    pos_in_file = (F.pmod(F.col("slot"), F.lit(events_per_file)) + 1) * 256
+
+    rows_events = grouped.select(
+        F.lit(server_id).cast("long").alias("server_id"),
+        F.concat(F.lit("bin."), F.lpad((file_idx + 1).cast("string"), 6, "0")).alias(
+            "binlog_file"
+        ),
+        pos_in_file.cast("long").alias("binlog_pos"),
+        F.concat(F.col("op"), F.lit("_ROWS"))
+        .alias("event_type"),
+        F.timestamp_seconds(F.lit(BASE_EPOCH) + F.col("slot")).alias("ts"),
+        F.concat_ws("-", F.lit("0"), F.lit(server_id), F.col("slot")).alias("gtid"),
+        F.lit(MAIN_TABLE_ID).cast("long").alias("table_id"),
+        F.lit(None).cast("string").alias("database"),
+        F.lit(None).cast("string").alias("table"),
+        F.lit(None).cast("array<int>").alias("column_types"),
+        F.lit(None).cast("array<string>").alias("column_names"),
+        F.expr(
+            "transform(array('repo','path','commit','lang','content'),"
+            " c -> true)"
+        ).alias("columns_used"),
+        F.when(
+            F.col("op") == "UPDATE",
+            F.expr("array(true,true,true,true,true)"),
+        ).alias("update_columns_used"),
+        F.when(
+            F.col("op").isin("UPDATE", "DELETE"),
+            F.expr("transform(rows, r -> r.before)"),
+        ).alias("rows_before"),
+        F.when(
+            F.col("op").isin("INSERT", "UPDATE"),
+            F.expr("transform(rows, r -> r.after)"),
+        ).alias("rows_after"),
+        F.lit(None).cast("string").alias("sql"),
+        F.lit(None).cast("long").alias("xid"),
+        F.lit(None).cast("string").alias("rotate_file"),
+        F.lit(None).cast("long").alias("rotate_pos"),
+    ).withColumn(
+        "event_type",
+        F.when(F.col("event_type") == "INSERT_ROWS", F.lit(EVT_WRITE_ROWS)).otherwise(
+            F.col("event_type")
+        ),
+    )
+
+    # XID commit markers after ~20% of rows events (pos +17 keeps order & uniqueness).
+    xids = (
+        rows_events.where(F.pmod(F.col("binlog_pos") / 256, F.lit(5)) == 0)
+        .select(
+            "server_id",
+            "binlog_file",
+            (F.col("binlog_pos") + 17).alias("binlog_pos"),
+            F.lit(EVT_XID).alias("event_type"),
+            "ts",
+            "gtid",
+        )
+        .withColumn("xid_val", _hash64(F.col("gtid"), salt="xid"))
+    )
+    xids = _pad_envelope(xids, {"xid": F.col("xid_val")}).drop("xid_val")
+
+    # Heartbeats (~1%): liveness carriers, never position-advancing payloads.
+    hbs = rows_events.where(
+        F.pmod(F.col("binlog_pos") / 256, F.lit(97)) == 3
+    ).select(
+        "server_id",
+        "binlog_file",
+        (F.col("binlog_pos") + 29).alias("binlog_pos"),
+        F.lit(EVT_HEARTBEAT).alias("event_type"),
+        "ts",
+        F.lit(None).cast("string").alias("gtid"),
+    )
+    hbs = _pad_envelope(hbs, {})
+
+    # Per-file control events: FORMAT_DESCRIPTION(pos 0), ROTATE(pos 1),
+    # TABLE_MAP(pos 2..) — TABLE_MAP precedes every rows event in its file.
+    files = rows_events.select("binlog_file").distinct()
+    fd = files.select(
+        F.lit(server_id).cast("long").alias("server_id"),
+        "binlog_file",
+        F.lit(0).cast("long").alias("binlog_pos"),
+        F.lit(EVT_FORMAT_DESCRIPTION).alias("event_type"),
+        F.timestamp_seconds(F.lit(BASE_EPOCH)).alias("ts"),
+        F.lit(None).cast("string").alias("gtid"),
+    )
+    fd = _pad_envelope(fd, {})
+    rot = files.select(
+        F.lit(server_id).cast("long").alias("server_id"),
+        "binlog_file",
+        F.lit(1).cast("long").alias("binlog_pos"),
+        F.lit(EVT_ROTATE).alias("event_type"),
+        F.timestamp_seconds(F.lit(BASE_EPOCH)).alias("ts"),
+        F.lit(None).cast("string").alias("gtid"),
+    )
+    rot = _pad_envelope(
+        rot, {"rotate_file": F.col("binlog_file"), "rotate_pos": F.lit(4).cast("long")}
+    )
+
+    def _table_map(pos, table_id, db, tbl, cols, types):
+        return _pad_envelope(
+            files.select(
+                F.lit(server_id).cast("long").alias("server_id"),
+                "binlog_file",
+                F.lit(pos).cast("long").alias("binlog_pos"),
+                F.lit(EVT_TABLE_MAP).alias("event_type"),
+                F.timestamp_seconds(F.lit(BASE_EPOCH)).alias("ts"),
+                F.lit(None).cast("string").alias("gtid"),
+            ),
+            {
+                "table_id": F.lit(table_id).cast("long"),
+                "database": F.lit(db),
+                "table": F.lit(tbl),
+                "column_types": F.array(*[F.lit(t) for t in types]),
+                "column_names": F.array(*[F.lit(c) for c in cols]),
+            },
+        )
+
+    tmap_main = _table_map(
+        2, MAIN_TABLE_ID, MAIN_DATABASE, MAIN_TABLE, MAIN_COLUMNS, MAIN_COLUMN_TYPES
+    )
+
+    parts = [rows_events, xids, hbs, fd, rot, tmap_main]
+
+    if include_audit:
+        tmap_audit = _table_map(
+            3,
+            AUDIT_TABLE_ID,
+            MAIN_DATABASE,
+            AUDIT_TABLE,
+            AUDIT_COLUMNS,
+            [FIELD_TYPE["LONGLONG"], FIELD_TYPE["VARCHAR"], FIELD_TYPE["VARCHAR"]],
+        )
+        aw = Window.partitionBy(F.lit(1)).orderBy("key_hash", "repo", "path")
+        audit = (
+            repo_df.withColumn("key_hash", _hash64(F.col("repo"), F.col("path")))
+            .where(F.pmod(F.col("key_hash"), 100) < 10)
+            .withColumn("arn", F.row_number().over(aw))
+            .select(
+                F.lit(server_id).cast("long").alias("server_id"),
+                F.lit("bin.000001").alias("binlog_file"),
+                (F.col("arn").cast("long") * 256 + 101).alias("binlog_pos"),
+                F.lit(EVT_WRITE_ROWS).alias("event_type"),
+                F.timestamp_seconds(F.lit(BASE_EPOCH)).alias("ts"),
+                F.lit(None).cast("string").alias("gtid"),
+                F.col("arn"),
+                F.col("repo"),
+            )
+        )
+        audit = _pad_envelope(
+            audit,
+            {
+                "table_id": F.lit(AUDIT_TABLE_ID).cast("long"),
+                "columns_used": F.expr("array(true,true,true)"),
+                "rows_after": F.array(
+                    F.create_map(
+                        F.lit("audit_id"),
+                        F.col("arn").cast("string"),
+                        F.lit("repo"),
+                        F.col("repo"),
+                        F.lit("action"),
+                        F.lit("touch"),
+                    )
+                ),
+            },
+        )
+        parts.extend([tmap_audit, audit])
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if extra_events is not None:
+        out = out.unionByName(extra_events, allowMissingColumns=True)
+    # Normalize to the canonical envelope column order.
+    return out.select(*[f.name for f in EVENT_SCHEMA.fields])
+
+
+def _pad_envelope(df: DataFrame, overrides: dict[str, F.Column]) -> DataFrame:
+    """Fill the remaining EVENT_SCHEMA columns with typed nulls."""
+    present = set(df.columns) | set(overrides)
+    for f in EVENT_SCHEMA.fields:
+        if f.name in overrides:
+            df = df.withColumn(f.name, overrides[f.name])
+        elif f.name not in present:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df.select(*[f.name for f in EVENT_SCHEMA.fields])

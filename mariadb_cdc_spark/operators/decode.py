@@ -1,0 +1,110 @@
+"""Decode stage: binlog events -> row-level change records.
+
+Reference semantics re-expressed set-wise:
+  - one rows-event carries N row images, delivered as one batch
+    (shyikobinlog/BinaryLogEventProcessor.java:162-210) -> posexplode
+  - UPDATE carries (before, after) pairs (RowsPair) -> zipped explode
+  - event_type -> ChangeType INSERT/UPDATE/DELETE (ChangeType.java:3-5)
+  - binlog_pos is the event NEXT-position (BinaryLogEventProcessor.java:58-64)
+
+Everything is native Catalyst expressions (no Python UDF in this hot path):
+posexplode + arrays_zip keep the stage inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import (
+    EVT_DELETE_ROWS,
+    EVT_UPDATE_ROWS,
+    EVT_WRITE_ROWS,
+    OP_DELETE,
+    OP_INSERT,
+    OP_UPDATE,
+    ROWS_EVENT_TYPES,
+)
+
+_OP_OF_EVENT = {
+    EVT_WRITE_ROWS: OP_INSERT,
+    EVT_UPDATE_ROWS: OP_UPDATE,
+    EVT_DELETE_ROWS: OP_DELETE,
+}
+
+
+def decode_rows_events(events: DataFrame) -> DataFrame:
+    """Explode rows-events into one record per changed row.
+
+    Output columns: op, ts, server_id, binlog_file, binlog_pos, row_idx,
+    table_id, before, after, gtid.
+
+    UPDATE pairs before[i] with after[i] (reference UpdateRowsEvent pairs,
+    binlog/reader/packet/binlog/data/RowsPair.java); WRITE has after only,
+    DELETE before only (WriteRowsEvent.java / DeleteRowsEvent.java).
+    """
+    rows = events.where(F.col("event_type").isin(*ROWS_EVENT_TYPES))
+
+    op = (
+        F.when(F.col("event_type") == EVT_WRITE_ROWS, F.lit(OP_INSERT))
+        .when(F.col("event_type") == EVT_UPDATE_ROWS, F.lit(OP_UPDATE))
+        .otherwise(F.lit(OP_DELETE))
+    )
+
+    # Unify WRITE/UPDATE/DELETE into one array of (before, after) structs so a
+    # single posexplode handles all three shapes.
+    n = F.greatest(
+        F.coalesce(F.size("rows_before"), F.lit(0)),
+        F.coalesce(F.size("rows_after"), F.lit(0)),
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.struct(
+            F.when(F.col("rows_before").isNotNull(), F.col("rows_before")[i]).alias(
+                "before"
+            ),
+            F.when(F.col("rows_after").isNotNull(), F.col("rows_after")[i]).alias(
+                "after"
+            ),
+        ),
+    )
+
+    return (
+        rows.withColumn("op", op)
+        .select(
+            "op",
+            "ts",
+            "server_id",
+            "binlog_file",
+            "binlog_pos",
+            "table_id",
+            "gtid",
+            F.posexplode(pairs).alias("row_idx", "pair"),
+        )
+        .select(
+            "op",
+            "ts",
+            "server_id",
+            "binlog_file",
+            "binlog_pos",
+            F.col("row_idx").cast("int").alias("row_idx"),
+            "table_id",
+            "gtid",
+            F.col("pair.before").alias("before"),
+            F.col("pair.after").alias("after"),
+        )
+    )
+
+
+def dedup_replays(changes: DataFrame) -> DataFrame:
+    """Absorb at-least-once duplicates.
+
+    The reference saves the next-position *after* delivery, so a crash between
+    delivery and save replays a suffix on restart (at-least-once,
+    BinaryLogEventProcessor.java:106-113 + §3.4 of SURVEY.md). A replayed
+    change is byte-identical including its envelope, so
+    (server_id, binlog_file, binlog_pos, row_idx) is a complete dedup key.
+    """
+    return changes.dropDuplicates(
+        ["server_id", "binlog_file", "binlog_pos", "row_idx"]
+    )

@@ -1,0 +1,213 @@
+"""Ordering + last-writer-wins fold: the set-wise heart of the engine.
+
+The reference applies changes ONE BY ONE in log order (single reader thread,
+delivery order == binlog order, shyikobinlog/BinaryLogEventProcessor.java:43-114).
+Spark applies a whole batch at once, so the sequential semantics must be
+folded per key: for each (repo, path), replay that key's changes in
+(binlog_file, binlog_pos, row_idx) order and keep the net effect:
+
+    INSERT m : state := m
+    UPDATE m : state := state (+) m     -- (+) = per-column overwrite; with
+                                        -- binlog_row_image=minimal only the
+                                        -- changed columns are present
+                                        -- (reference README.md:200-235)
+    DELETE   : state := absent
+
+The fold is implemented as an ASSOCIATIVE segment summary so it can run in
+two phases (partial fold per position-contiguous segment, then a tiny final
+fold per key). That is the skew answer: a zipfian-hot key's million changes
+fold in parallel across segments instead of in one reducer task — this is the
+"salting before the merge-apply shuffle" the north rule requires, done with
+order-preserving (contiguous-range) salts because the fold is
+order-sensitive.
+
+Segment summary = (is_set, deleted, img):
+    pure-UPDATE run        -> (false, false, merged patch)
+    run ending in INSERT/.. -> (true, deleted?, image)
+Combine(left, right) = right                      if right.is_set
+                     = (left.is_set, false,
+                        (left.deleted ? {} : left.img) (+) right.img)  else
+which is associative, so any contiguous segmentation gives the same answer.
+
+All of this is Catalyst higher-order functions (collect_list + array_sort +
+aggregate) — zero Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import OP_DELETE, OP_INSERT
+
+EMPTY_MAP = "cast(map() as map<string,string>)"
+
+
+def extract_keys(changes: DataFrame, keys: list[str]) -> DataFrame:
+    """Lift merge-key values out of the row images into top-level columns.
+
+    INSERT/UPDATE carry keys in `after` (full image) or `before` (minimal
+    image keeps PK in the before-image); DELETE in `before`.
+    """
+    out = changes
+    for k in keys:
+        out = out.withColumn(
+            k, F.coalesce(F.col("after").getItem(k), F.col("before").getItem(k))
+        )
+    return out
+
+
+def _state(is_set: Column, deleted: Column, img: Column) -> Column:
+    return F.struct(
+        is_set.alias("is_set"), deleted.alias("deleted"), img.alias("img")
+    )
+
+
+def _apply_event(acc: Column, x: Column) -> Column:
+    """state x change -> state (the reference's per-event apply, set-wise)."""
+    after = F.coalesce(x["after"], F.expr(EMPTY_MAP))
+    return (
+        F.when(
+            x["op"] == OP_INSERT,
+            _state(F.lit(True), F.lit(False), after),
+        )
+        .when(
+            x["op"] == OP_DELETE,
+            _state(F.lit(True), F.lit(True), F.expr(EMPTY_MAP)),
+        )
+        .otherwise(  # UPDATE: patch; a patch on a deleted row re-creates it
+            _state(
+                acc["is_set"],
+                F.lit(False),
+                F.map_concat(
+                    F.when(acc["deleted"], F.expr(EMPTY_MAP)).otherwise(acc["img"]),
+                    after,
+                ),
+            )
+        )
+    )
+
+
+def _combine(acc: Column, seg: Column) -> Column:
+    """Associative combine of two adjacent segment summaries."""
+    return F.when(seg["is_set"], seg).otherwise(
+        _state(
+            acc["is_set"],
+            F.lit(False),
+            F.map_concat(
+                F.when(acc["deleted"], F.expr(EMPTY_MAP)).otherwise(acc["img"]),
+                seg["img"],
+            ),
+        )
+    )
+
+
+_ZERO = (
+    "named_struct('is_set', false, 'deleted', false,"
+    " 'img', cast(map() as map<string,string>))"
+)
+
+
+def _cmp_by(keyfn):
+    """array_sort comparator over non-orderable structs (maps inside):
+    compare only the orderable position key."""
+
+    def cmp(a, b):
+        ka, kb = keyfn(a), keyfn(b)
+        return F.when(ka < kb, F.lit(-1)).when(ka > kb, F.lit(1)).otherwise(F.lit(0))
+
+    return cmp
+
+
+_EV_CMP = _cmp_by(
+    lambda x: F.struct(x["binlog_file"], x["binlog_pos"], x["row_idx"])
+)
+_SEG_CMP = _cmp_by(lambda x: x["_seg"])
+
+
+def fold_changes(
+    changes: DataFrame,
+    keys: list[str],
+    *,
+    two_phase: bool = True,
+    segment_pos_bits: int = 20,
+) -> DataFrame:
+    """Fold ordered changes to one net row per key.
+
+    Returns: keys..., final_op ('UPSERT'|'DELETE'), image map, last_file,
+    last_pos, last_row_idx, n_changes.
+
+    two_phase=True runs the skew-safe partial fold per contiguous segment
+    (binlog_file, binlog_pos >> segment_pos_bits) first. Both paths give
+    identical results (property-tested); single-phase is marginally cheaper
+    for uniform keys, two-phase is the 100 TB default.
+    """
+    ev = F.struct(
+        F.col("binlog_file"),
+        F.col("binlog_pos"),
+        F.col("row_idx"),
+        F.col("op"),
+        F.col("after"),
+    )
+    last = F.max(
+        F.struct(F.col("binlog_file"), F.col("binlog_pos"), F.col("row_idx"))
+    ).alias("_last")
+
+    if not two_phase:
+        folded = (
+            changes.groupBy(*keys)
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(ev), _EV_CMP),
+                    F.expr(_ZERO),
+                    _apply_event,
+                ).alias("state"),
+                last,
+                F.count(F.lit(1)).alias("n_changes"),
+            )
+        )
+    else:
+        seg = F.struct(
+            F.col("binlog_file").alias("seg_file"),
+            F.shiftright(F.col("binlog_pos"), segment_pos_bits).alias("seg_pos"),
+        )
+        partial = (
+            changes.withColumn("_seg", seg)
+            .groupBy(*keys, "_seg")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(ev), _EV_CMP),
+                    F.expr(_ZERO),
+                    _apply_event,
+                ).alias("seg_state"),
+                last,
+                F.count(F.lit(1)).alias("n_changes"),
+            )
+        )
+        folded = (
+            partial.groupBy(*keys)
+            .agg(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_seg"), F.col("seg_state"))),
+                        _SEG_CMP,
+                    ),
+                    F.expr(_ZERO),
+                    lambda acc, x: _combine(acc, x["seg_state"]),
+                ).alias("state"),
+                F.max("_last").alias("_last"),
+                F.sum("n_changes").alias("n_changes"),
+            )
+        )
+
+    return folded.select(
+        *keys,
+        F.when(F.col("state.deleted"), F.lit("DELETE"))
+        .otherwise(F.lit("UPSERT"))
+        .alias("final_op"),
+        F.col("state.img").alias("image"),
+        F.col("_last.binlog_file").alias("last_file"),
+        F.col("_last.binlog_pos").alias("last_pos"),
+        F.col("_last.row_idx").alias("last_row_idx"),
+        "n_changes",
+    )

@@ -1,0 +1,248 @@
+"""End-to-end CDC apply: events DataFrame -> lake table MERGE.
+
+Stage order mirrors SURVEY.md §3.3 and is itself the optimization plan
+(filters on envelope columns run before anything expensive; Catalyst pushes
+them into the parquet scan):
+
+    events
+      -> decode/explode rows-events            (operators.decode, O2)
+      -> replay dedup                          (O3)
+      -> TABLE_MAP as-of registry join         (operators.registry, J1/J2)
+      -> positional col0.. fallback            (name-mismatch guard)
+      -> include/exclude table filter          (operators.filters, P4)
+      -> per-key ordered LWW fold w/ salting   (operators.fold, O1)
+      -> DDL epoch split + MERGE + lineage     (sources.lake, J3/S4)
+
+DDL handling: QUERY events are rare control-plane rows; they are collected on
+the driver, classified (functions.ddl), and split the batch into epochs —
+changes before a DDL apply before it, changes after apply after — the only
+place the reference's sequentiality survives (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .functions.ddl import decide_schema_change, parse_alter_actions
+from .operators.decode import decode_rows_events, dedup_replays
+from .operators.filters import filter_tables
+from .operators.fold import extract_keys, fold_changes
+from .operators.registry import (
+    positional_fallback,
+    resolve_table_metadata,
+    table_map_registry,
+)
+from .schema import EVT_QUERY
+from .sources.checkpoint import batch_lineage, events_after
+from .sources.lake import LakeTable
+
+
+@dataclass
+class CdcConfig:
+    """Engine configuration — the MariadbCdcConfig equivalent
+    (/root/reference/src/main/java/mariadbcdc/MariadbCdcConfig.java)."""
+
+    database: str = "codehub"
+    table: str = "repo_files"
+    keys: list[str] = field(default_factory=lambda: ["repo", "path"])
+    included_tables: list[str] | None = None
+    excluded_tables: list[str] | None = None
+    two_phase_fold: bool = True
+    use_latest_on_bad_position: bool = False  # MariadbCdcConfig.java:89-95
+    apply_ddl: bool = True
+
+
+def decoded_changes(
+    events: DataFrame, cfg: CdcConfig, table_maps: DataFrame | None = None
+) -> DataFrame:
+    """events -> deduped, metadata-resolved, filtered row-change records."""
+    changes = decode_rows_events(events)
+    changes = dedup_replays(changes)
+    if table_maps is None:
+        table_maps = table_map_registry(events)
+    changes = resolve_table_metadata(changes, table_maps)
+    changes = positional_fallback(changes)
+    include = cfg.included_tables
+    if include is None:
+        include = [f"{cfg.database}.{cfg.table}"]
+    return filter_tables(changes, include, cfg.excluded_tables)
+
+
+def fold_for_merge(changes: DataFrame, cfg: CdcConfig) -> DataFrame:
+    keyed = extract_keys(changes, cfg.keys)
+    return fold_changes(keyed, cfg.keys, two_phase=cfg.two_phase_fold)
+
+
+def apply_batch(
+    events: DataFrame,
+    table: LakeTable,
+    cfg: CdcConfig,
+    *,
+    stream_id: str = "default",
+    batch_id: int | None = None,
+    resume_from_lineage: bool = False,
+) -> dict:
+    """Apply one (micro-)batch of events to the lake table.
+
+    Returns metrics. Exactly-once via (stream_id, batch_id) in the table
+    metadata; resumable via the committed lineage (resume_from_lineage=True
+    filters already-applied positions out of the scan — the
+    FileBinlogPositionTracker resume semantics, MariadbCdc.java:96-114).
+    """
+    if batch_id is not None and batch_id <= table.committed_batch(stream_id):
+        return {"skipped": True}
+
+    if resume_from_lineage:
+        events = events_after(events, table.lineage())
+
+    lineage = batch_lineage(events)
+
+    # Persistent TABLE_MAP registry: the reference keeps TableInfos in memory
+    # for the whole session (shyikobinlog/TableInfos.java); across restarts a
+    # resumed batch may start mid-file after its TABLE_MAPs, so the engine
+    # persists the latest map per (server_id, table_id) in table metadata and
+    # unions it into each batch's as-of join. TABLE_MAP rows are one-per-table
+    # (control plane), so the collect is O(tables), not O(events).
+    table_maps = _load_registry(events, table)
+
+    # ---- control plane: DDL epochs (rare; driver-side by design)
+    ddls = []
+    if cfg.apply_ddl:
+        ddls = sorted(
+            events.where(F.col("event_type") == EVT_QUERY)
+            .where(F.col("sql").isNotNull())
+            .select("binlog_file", "binlog_pos", "sql")
+            .collect(),
+            key=lambda r: (r["binlog_file"], r["binlog_pos"]),
+        )
+        ddls = [
+            r
+            for r in ddls
+            if any(
+                t.table == cfg.table
+                and (t.database is None or t.database == cfg.database)
+                for t in decide_schema_change(r["sql"]).tables
+            )
+        ]
+
+    changes = decoded_changes(events, cfg, table_maps=table_maps)
+
+    bounds = [(r["binlog_file"], r["binlog_pos"]) for r in ddls] + [None]
+    lo = None
+    n_epochs = 0
+    total = {"epochs": 0, "version": None}
+    for i, hi in enumerate(bounds):
+        epoch = changes
+        if lo is not None:
+            epoch = epoch.where(
+                F.struct("binlog_file", "binlog_pos") > _pos_lit(lo)
+            )
+        if hi is not None:
+            epoch = epoch.where(
+                F.struct("binlog_file", "binlog_pos") <= _pos_lit(hi)
+            )
+        folded = fold_for_merge(epoch, cfg)
+        res = table.merge(
+            folded,
+            stream_id=stream_id,
+            # sub-batch ids keep epoch commits idempotent too
+            batch_id=None,
+            lineage=lineage if hi is None else None,
+        )
+        total["version"] = res.get("version")
+        n_epochs += 1
+
+        if hi is not None:
+            _apply_ddl(table, ddls[i]["sql"])
+            lo = hi
+
+    # final commit: batch id (exactly-once) + persisted TABLE_MAP registry
+    meta = table.metadata()
+    if batch_id is not None:
+        meta["committed"][stream_id] = batch_id
+    meta["table_maps"] = _latest_maps(table_maps)
+    meta["version"] += 1
+    table._write_metadata(meta)
+
+    total["epochs"] = n_epochs
+    total["lineage"] = lineage
+    return total
+
+
+_REGISTRY_COLS = [
+    "server_id",
+    "binlog_file",
+    "binlog_pos",
+    "table_id",
+    "database",
+    "table",
+    "column_types",
+    "column_names",
+]
+
+_REGISTRY_SCHEMA = (
+    "server_id long, binlog_file string, binlog_pos long, table_id long,"
+    " database string, table string, column_types array<int>,"
+    " column_names array<string>"
+)
+
+
+def _load_registry(events: DataFrame, table: LakeTable) -> DataFrame:
+    """Union the batch's TABLE_MAPs with the persisted registry.
+
+    Persisted entries are rewritten to position (-inf) — they represent state
+    accumulated BEFORE this batch (the reference's TableInfos map is simply
+    "currently mapped", with no position qualifier), so they must resolve any
+    event in the batch, including out-of-order ones that precede the map's
+    original position.
+    """
+    batch_maps = table_map_registry(events)
+    persisted = table.metadata().get("table_maps", [])
+    if not persisted:
+        return batch_maps
+    spark = events.sparkSession
+    rows = []
+    for m in persisted:
+        d = dict(m)
+        d["binlog_file"] = ""  # sorts before every real file name
+        d["binlog_pos"] = -1
+        rows.append(tuple(d[c] for c in _REGISTRY_COLS))
+    pdf = spark.createDataFrame(rows, _REGISTRY_SCHEMA)
+    return batch_maps.unionByName(pdf)
+
+
+def _latest_maps(table_maps: DataFrame) -> list[dict]:
+    """Latest TABLE_MAP per (server_id, table_id), as JSON-able dicts."""
+    rows = (
+        table_maps.groupBy("server_id", "table_id")
+        .agg(
+            F.max_by(
+                F.struct(*_REGISTRY_COLS),
+                F.struct("binlog_file", "binlog_pos"),
+            ).alias("m")
+        )
+        .select("m.*")
+        .collect()
+    )
+    return [{c: r[c] for c in _REGISTRY_COLS} for r in rows]
+
+
+def _pos_lit(p: tuple) -> F.Column:
+    return F.struct(
+        F.lit(p[0]).alias("binlog_file"),
+        F.lit(int(p[1])).cast("long").alias("binlog_pos"),
+    )
+
+
+def _apply_ddl(table: LakeTable, sql: str) -> None:
+    """Drive lake schema evolution from a classified ALTER statement."""
+    for a in parse_alter_actions(sql):
+        if a.kind == "add":
+            table.add_column(a.column, a.lake_type or "string")
+        elif a.kind == "rename" and a.new_name and a.new_name != a.column:
+            table.rename_column(a.column, a.new_name)
+        elif a.kind == "modify":
+            table.widen_column(a.column, a.lake_type or "string")

@@ -1,0 +1,121 @@
+"""Binlog-position checkpointing: resume, lineage, bad-position recovery.
+
+Reference contract:
+  - after every delivered event, persist `filename/position` (the event's
+    NEXT-position) so restart resumes after it (MariadbCdc.java:116-125,
+    BinaryLogEventProcessor.java:58-64,109-113);
+  - FORMAT_DESCRIPTION / TABLE_MAP never advance the position
+    (BinaryLogEventProcessor.java:128-132);
+  - missing/empty checkpoint => start from the CURRENT master position, i.e.
+    skip history (MariadbCdc.java:96-114 + BinLogSession.fetchBinlogFilePosition);
+  - a saved position the server no longer has (err 1236) either fails the
+    start or falls back to latest, per usingLastPositionWhenBadPosition
+    (DefaultBinaryLogWrapper.java:71-87, MariadbCdcConfig.java:89-95,
+    MariadbCdc_BadSavedPosition_Test.java:46-123).
+
+Spark mapping: the position store is the lake table's committed lineage
+(per server_id max (binlog_file, binlog_pos)); `events_after` filters the
+source scan — a plain envelope predicate, so it pushes down to the parquet
+scan (PushedFilters) and replayed history is never decoded.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.filters import position_advancing
+
+
+class BadPositionError(Exception):
+    """Saved position is beyond the available log (reference server err 1236)."""
+
+
+@dataclass(frozen=True)
+class BinlogPosition:
+    file: str
+    pos: int
+
+    def as_dict(self) -> dict:
+        return {"file": self.file, "pos": self.pos}
+
+    @classmethod
+    def from_dict(cls, d: dict | None) -> "BinlogPosition | None":
+        return cls(d["file"], d["pos"]) if d else None
+
+
+def batch_lineage(events: DataFrame) -> dict:
+    """Per-server max position among position-advancing events.
+
+    This is the per-partition lineage the north rule requires: computed as a
+    distributed agg (partial max per scan partition, tiny final combine).
+    """
+    rows = (
+        position_advancing(events)
+        .groupBy("server_id")
+        .agg(
+            F.max(F.struct("binlog_file", "binlog_pos")).alias("p"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    )
+    return {
+        str(r["server_id"]): {
+            "file": r["p"]["binlog_file"],
+            "pos": int(r["p"]["binlog_pos"]),
+            "n_events": int(r["n_events"]),
+        }
+        for r in rows
+    }
+
+
+def events_after(events: DataFrame, lineage: dict) -> DataFrame:
+    """Keep only events strictly after each server's saved position.
+
+    (file, pos) tuple-compare via a struct comparison — stays a Catalyst
+    predicate on envelope columns (pushdown-friendly).
+    """
+    if not lineage:
+        return events
+    pred = F.lit(False)
+    saved_servers = [int(s) for s in lineage]
+    for sid, p in lineage.items():
+        after = F.struct(F.col("binlog_file"), F.col("binlog_pos")) > F.struct(
+            F.lit(p["file"]).alias("binlog_file"),
+            F.lit(int(p["pos"])).cast("long").alias("binlog_pos"),
+        )
+        pred = pred | ((F.col("server_id") == int(sid)) & after)
+    pred = pred | ~F.col("server_id").isin(saved_servers)
+    return events.where(pred)
+
+
+def validate_position(
+    events: DataFrame,
+    saved: BinlogPosition | None,
+    *,
+    use_latest_on_bad_position: bool = False,
+) -> BinlogPosition | None:
+    """Reference bad-position semantics at stream start.
+
+    If `saved` is beyond the available event range: raise (default) or fall
+    back to the latest available position (usingLastPositionWhenBadPosition).
+    Returns the effective start position (None = from the beginning).
+    """
+    if saved is None:
+        return None
+    bounds = events.agg(
+        F.max(F.struct("binlog_file", "binlog_pos")).alias("mx")
+    ).collect()[0]["mx"]
+    if bounds is None:
+        latest = None
+    else:
+        latest = BinlogPosition(bounds["binlog_file"], int(bounds["binlog_pos"]))
+    if latest is None or (saved.file, saved.pos) > (latest.file, latest.pos):
+        if use_latest_on_bad_position:
+            return latest
+        raise BadPositionError(
+            f"saved position {saved} beyond available log end {latest}"
+        )
+    return saved

@@ -1,0 +1,420 @@
+"""LakeTable: a snapshot-versioned, MERGE-able parquet table.
+
+The north rule targets Iceberg MERGE; this sandbox image has no Iceberg jar
+(verified: no iceberg/delta in pyspark jars), so this module provides the same
+*semantics* on plain parquet, Iceberg-style:
+
+  - snapshot isolation: readers see the version named by an atomically
+    swapped pointer file (os.replace of metadata/LATEST — same trick as
+    Iceberg's version-hint / HadoopTableOperations commit);
+  - bucket-level copy-on-write: data is hash-bucketed on the merge keys and a
+    MERGE rewrites ONLY the buckets its updates touch — at 100 TB a batch
+    touching 3% of key-space rewrites 3% of files, not the table (Iceberg
+    partition-level overwrite semantics);
+  - exactly-once sink: each commit records (stream_id, batch_id); replaying
+    the same foreachBatch epoch after a crash is a no-op, which upgrades the
+    reference's at-least-once + listener-exception-swallow delivery
+    (shyikobinlog/BinaryLogEventProcessor.java:106-113) to effective
+    exactly-once;
+  - schema evolution: add-column is metadata-only (old files null-fill on
+    read), rename / type-widen rewrite lazily on read and physically on the
+    next touch of each bucket — the MariadbCdc SchemaChangedListener flow
+    (MariadbCdc.java:131-133) lands here;
+  - per-partition lineage: every commit stores max (binlog_file, binlog_pos)
+    per server_id plus row metrics (the BinlogPositionSaver contract,
+    MariadbCdc.java:116-125, made per-partition as the north rule requires).
+
+On a real cluster the same class works unchanged on any shared filesystem
+(the commit primitive is a single rename); swap-in of real Iceberg would
+replace only this module.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _bucket_col(keys: list[str], n_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
+
+
+# Hidden per-row CDC columns: the binlog position that produced the row, plus
+# a tombstone flag. They make MERGE *position-gated* — an update only applies
+# if it is newer than what the row already reflects, and deletes leave
+# tombstones — so applying batches out of order, or replaying any suffix,
+# converges to the same table (a stronger guarantee than the reference's
+# in-order-only at-least-once stream; this is the "window/lag dedup" LWW
+# rule from BASELINE.json enforced at the storage layer too).
+CDC_FILE = "_cdc_file"
+CDC_POS = "_cdc_pos"
+CDC_IDX = "_cdc_idx"
+CDC_DELETED = "_cdc_deleted"
+_INTERNAL = [(CDC_FILE, "string"), (CDC_POS, "long"), (CDC_IDX, "int"),
+             (CDC_DELETED, "boolean")]
+
+
+class LakeTable:
+    METADATA_DIR = "metadata"
+    LATEST = "LATEST"
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+
+    # ------------------------------------------------------------------ setup
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        keys: list[str],
+        n_buckets: int = 16,
+        initial: DataFrame | None = None,
+    ) -> "LakeTable":
+        t = cls(spark, path)
+        os.makedirs(os.path.join(t.path, cls.METADATA_DIR), exist_ok=True)
+        meta = {
+            "version": 0,
+            "schema": [[f.name, f.dataType.simpleString()] for f in schema.fields],
+            "keys": keys,
+            "n_buckets": n_buckets,
+            "buckets": {},
+            "committed": {},
+            "lineage": {},
+            "metrics": {"n_rows": 0},
+            "ts": time.time(),
+        }
+        if initial is not None:
+            data_rel = "data/v0"
+            (
+                initial.withColumn("_bucket", _bucket_col(keys, n_buckets))
+                .repartition(n_buckets, "_bucket")
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(os.path.join(t.path, data_rel))
+            )
+            meta["buckets"] = {str(b): data_rel for b in range(n_buckets)}
+            meta["metrics"]["n_rows"] = initial.count()
+        t._write_metadata(meta)
+        return t
+
+    def exists(self) -> bool:
+        return os.path.exists(
+            os.path.join(self.path, self.METADATA_DIR, self.LATEST)
+        )
+
+    # -------------------------------------------------------------- metadata
+    def _write_metadata(self, meta: dict) -> None:
+        mdir = os.path.join(self.path, self.METADATA_DIR)
+        vfile = os.path.join(mdir, f"v{meta['version']}.json")
+        with open(vfile, "w") as f:
+            json.dump(meta, f)
+        tmp = os.path.join(mdir, f".latest.tmp.{meta['version']}")
+        with open(tmp, "w") as f:
+            f.write(str(meta["version"]))
+        os.replace(tmp, os.path.join(mdir, self.LATEST))  # atomic commit point
+
+    def metadata(self, version: int | None = None) -> dict:
+        mdir = os.path.join(self.path, self.METADATA_DIR)
+        if version is None:
+            with open(os.path.join(mdir, self.LATEST)) as f:
+                version = int(f.read().strip())
+        with open(os.path.join(mdir, f"v{version}.json")) as f:
+            return json.load(f)
+
+    @property
+    def schema(self) -> T.StructType:
+        meta = self.metadata()
+        return T.StructType(
+            [T.StructField(n, _parse_type(s), True) for n, s in meta["schema"]]
+        )
+
+    # ------------------------------------------------------------------ read
+    def read(self, version: int | None = None) -> DataFrame:
+        """Current snapshot as a DataFrame, aligned to the logical schema.
+
+        Buckets written before an add-column/widen are aligned on read
+        (missing -> null, cast to logical type) — Iceberg-style lazy schema
+        evolution without rewriting history. Tombstones are filtered out.
+        """
+        meta = self.metadata(version)
+        df = self._read_buckets(
+            meta, [int(b) for b in meta["buckets"]], internal=True
+        )
+        return df.where(~F.coalesce(F.col(CDC_DELETED), F.lit(False))).select(
+            *[n for n, _ in meta["schema"]]
+        )
+
+    # ----------------------------------------------------------------- merge
+    def merge(
+        self,
+        folded: DataFrame,
+        *,
+        stream_id: str = "default",
+        batch_id: int | None = None,
+        lineage: dict | None = None,
+        cast_types: bool = True,
+    ) -> dict:
+        """MERGE the folded change set into the table.
+
+        `folded` must have: the key columns, final_op ('UPSERT'|'DELETE') and
+        image map<string,string> (from operators.fold.fold_changes).
+        Semantics == Iceberg/ANSI MERGE with source rows unique per key:
+          WHEN MATCHED AND final_op='DELETE' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET col = coalesce(image[col], t.col)
+          WHEN NOT MATCHED AND final_op!='DELETE' THEN INSERT (image cols)
+        The per-column coalesce implements binlog_row_image=minimal partial
+        updates (reference README.md:200-235).
+
+        Exactly-once: if (stream_id, batch_id) was already committed the call
+        is a no-op and returns the recorded metrics.
+        """
+        meta = self.metadata()
+        keys, n_buckets = meta["keys"], meta["n_buckets"]
+        if batch_id is not None:
+            done = meta["committed"].get(stream_id, -1)
+            if batch_id <= done:
+                return {"skipped": True, "version": meta["version"]}
+
+        version = meta["version"] + 1
+        u = folded.withColumn("_bucket", _bucket_col(keys, n_buckets))
+
+        # schema evolution: image keys not yet in the schema become new
+        # string columns (metadata-only; DDL-driven typed evolution goes
+        # through add_column/rename_column/widen_column).
+        known = {n for n, _ in meta["schema"]}
+        observed = {
+            r[0]
+            for r in u.select(
+                F.explode(F.map_keys(F.col("image"))).alias("k")
+            )
+            .distinct()
+            .collect()
+        }
+        for c in sorted(observed - known):
+            meta["schema"].append([c, "string"])
+
+        affected = sorted(
+            r[0] for r in u.select("_bucket").distinct().collect()
+        )
+        target = self._read_buckets(meta, affected, internal=True)
+
+        logical = meta["schema"]
+        t = target.alias("t")
+        s = u.alias("u")
+        cond = [F.col(f"t.{k}") == F.col(f"u.{k}") for k in keys]
+        joined = t.join(s, cond, "full_outer")
+
+        # Position gate: the update wins only if it is strictly newer than
+        # what the target row already reflects. Makes merge commutative
+        # across batches (out-of-order batch application and replayed
+        # suffixes both converge).
+        t_pos = F.struct(
+            F.col(f"t.{CDC_FILE}"), F.col(f"t.{CDC_POS}"), F.col(f"t.{CDC_IDX}")
+        )
+        u_pos = F.struct(
+            F.col("u.last_file").alias(CDC_FILE),
+            F.col("u.last_pos").alias(CDC_POS),
+            F.col("u.last_row_idx").alias(CDC_IDX),
+        )
+        matched = F.col("u.final_op").isNotNull()
+        take_u = matched & (F.col(f"t.{CDC_FILE}").isNull() | (u_pos > t_pos))
+        deleting = take_u & (F.col("u.final_op") == F.lit("DELETE"))
+
+        out_cols = []
+        for n, st in logical:
+            typ = _parse_type(st)
+            img_val = F.col("u.image").getItem(n)
+            if cast_types:
+                img_val = img_val.cast(typ)
+            tcol = F.col(f"t.{n}") if n in target.columns else F.lit(None).cast(typ)
+            if n in keys:
+                out_cols.append(F.coalesce(tcol, F.col(f"u.{n}").cast(typ)).alias(n))
+            else:
+                # tombstoned target rows keep no data; a newer patch rebuilds
+                # from the image alone (coalesce over nulls)
+                base = (
+                    F.when(
+                        F.coalesce(F.col(f"t.{CDC_DELETED}"), F.lit(False)),
+                        F.lit(None),
+                    )
+                    .otherwise(tcol)
+                    .cast(typ)
+                )
+                out_cols.append(
+                    F.when(deleting, F.lit(None).cast(typ))
+                    .when(take_u, F.coalesce(img_val, base))
+                    .otherwise(tcol)
+                    .alias(n)
+                )
+        out_cols.extend(
+            [
+                F.when(take_u, F.col("u.last_file"))
+                .otherwise(F.col(f"t.{CDC_FILE}"))
+                .alias(CDC_FILE),
+                F.when(take_u, F.col("u.last_pos"))
+                .otherwise(F.col(f"t.{CDC_POS}"))
+                .alias(CDC_POS),
+                F.when(take_u, F.col("u.last_row_idx"))
+                .otherwise(F.col(f"t.{CDC_IDX}"))
+                .alias(CDC_IDX),
+                F.when(take_u, F.col("u.final_op") == F.lit("DELETE"))
+                .otherwise(F.coalesce(F.col(f"t.{CDC_DELETED}"), F.lit(False)))
+                .alias(CDC_DELETED),
+            ]
+        )
+        merged = joined.select(*out_cols)
+
+        data_rel = f"data/v{version}"
+        (
+            merged.withColumn("_bucket", _bucket_col(keys, n_buckets))
+            .repartition(max(len(affected), 1), "_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(os.path.join(self.path, data_rel))
+        )
+
+        for b in affected:
+            meta["buckets"][str(b)] = data_rel
+        meta["version"] = version
+        if batch_id is not None:
+            meta["committed"][stream_id] = batch_id
+        if lineage:
+            for sid, posinfo in lineage.items():
+                cur = meta["lineage"].get(str(sid))
+                if cur is None or (posinfo["file"], posinfo["pos"]) >= (
+                    cur["file"],
+                    cur["pos"],
+                ):
+                    meta["lineage"][str(sid)] = posinfo
+        meta["ts"] = time.time()
+        self._write_metadata(meta)
+        return {"skipped": False, "version": version, "buckets": len(affected)}
+
+    def _read_buckets(
+        self, meta: dict, buckets: list[int], internal: bool = False
+    ) -> DataFrame:
+        logical = list(meta["schema"]) + (_INTERNAL if internal else [])
+        empty = self.spark.createDataFrame(
+            [],
+            T.StructType([T.StructField(n, _parse_type(s)) for n, s in logical]),
+        )
+        dirs: dict[str, list[int]] = {}
+        for b in buckets:
+            rel = meta["buckets"].get(str(b))
+            if rel:
+                dirs.setdefault(rel, []).append(b)
+        if not dirs:
+            return empty
+        parts = []
+        for rel, bs in dirs.items():
+            df = self.spark.read.parquet(
+                *[os.path.join(self.path, rel, f"_bucket={b}") for b in bs]
+            )
+            cols = [
+                (
+                    F.col(n).cast(_parse_type(s))
+                    if n in df.columns
+                    else F.lit(None).cast(_parse_type(s))
+                ).alias(n)
+                for n, s in logical
+            ]
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ------------------------------------------------------- schema evolution
+    def add_column(self, name: str, spark_type: str = "string") -> None:
+        """Metadata-only ADD COLUMN (old files null-fill on read)."""
+        meta = self.metadata()
+        if any(n == name for n, _ in meta["schema"]):
+            return
+        meta["schema"].append([name, spark_type])
+        meta["version"] += 1
+        self._write_metadata(meta)
+
+    def rename_column(self, old: str, new: str) -> None:
+        """RENAME COLUMN — physical rewrite (Iceberg does this by column-id
+        indirection; plain parquet has no ids, so rewrite; DDL is rare)."""
+        self._rewrite(lambda df: df.withColumnRenamed(old, new))
+        meta = self.metadata()
+        meta["schema"] = [
+            [new if n == old else n, s] for n, s in meta["schema"]
+        ]
+        meta["version"] += 1
+        self._write_metadata(meta)
+
+    def widen_column(self, name: str, new_type: str) -> None:
+        """Type widen (int->long, float->double, decimal scale-up): metadata
+        change; read path casts old files up."""
+        meta = self.metadata()
+        meta["schema"] = [
+            [n, new_type if n == name else s] for n, s in meta["schema"]
+        ]
+        meta["version"] += 1
+        self._write_metadata(meta)
+
+    def _rewrite(self, fn) -> None:
+        """Physical rewrite preserving internal CDC gate columns."""
+        meta = self.metadata()
+        version = meta["version"] + 1
+        df = fn(
+            self._read_buckets(
+                meta, [int(b) for b in meta["buckets"]], internal=True
+            )
+        )
+        data_rel = f"data/v{version}"
+        keys, n_buckets = meta["keys"], meta["n_buckets"]
+        (
+            df.withColumn("_bucket", _bucket_col(keys, n_buckets))
+            .repartition(n_buckets, "_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(os.path.join(self.path, data_rel))
+        )
+        meta["buckets"] = {str(b): data_rel for b in range(n_buckets)}
+        meta["version"] = version
+        self._write_metadata(meta)
+
+    # ------------------------------------------------------------ maintenance
+    def lineage(self) -> dict:
+        return self.metadata().get("lineage", {})
+
+    def committed_batch(self, stream_id: str = "default") -> int:
+        return self.metadata().get("committed", {}).get(stream_id, -1)
+
+    def drop(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)
+
+
+def _parse_type(s: str) -> T.DataType:
+    mapping = {
+        "string": T.StringType(),
+        "int": T.IntegerType(),
+        "integer": T.IntegerType(),
+        "bigint": T.LongType(),
+        "long": T.LongType(),
+        "double": T.DoubleType(),
+        "float": T.FloatType(),
+        "boolean": T.BooleanType(),
+        "date": T.DateType(),
+        "timestamp": T.TimestampType(),
+        "timestamp_ntz": T.TimestampNTZType(),
+        "binary": T.BinaryType(),
+    }
+    if s in mapping:
+        return mapping[s]
+    if s.startswith("decimal"):
+        p, sc = s[s.index("(") + 1 : s.index(")")].split(",")
+        return T.DecimalType(int(p), int(sc))
+    raise ValueError(f"unsupported lake type: {s}")

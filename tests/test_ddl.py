@@ -1,0 +1,119 @@
+"""Golden DDL-classification cases — port of the reference QueryDeciderTest
+(/root/reference/src/test/java/mariadbcdc/QueryDeciderTest.java:9-88)."""
+
+import pytest
+
+from mariadb_cdc_spark.functions.ddl import (
+    SchemaChangedTable as SCT,
+    decide_schema_change,
+    mysql_type_to_lake,
+    parse_alter_actions,
+)
+
+
+def assert_changed(sql, *expected):
+    d = decide_schema_change(sql)
+    assert d.is_schema_change
+    assert d.tables == expected
+
+
+ALTER_CASES = [
+    ("alter table user add column aaa char(10)", SCT(None, "user")),
+    ("alter table test.user add column aaa char(10)", SCT("test", "user")),
+    ("alter table member add column aaa char(10)", SCT(None, "member")),
+    ("alter table mysys.member add column aaa char(10)", SCT("mysys", "member")),
+    ("alter  table\nmember\nadd column aaa char(10)", SCT(None, "member")),
+    ("alter  table\nmysys.member\nadd column aaa char(10)", SCT("mysys", "member")),
+    ("\n   alter  table\nmysys.member\nadd column aaa char(10)", SCT("mysys", "member")),
+    (
+        "ALTER TABLE `mysys`.`member` \nCHANGE COLUMN `recmsg` `recmsg` "
+        "VARCHAR(100) NULL DEFAULT NULL COMMENT 'memo' AFTER `invoice_no`",
+        SCT("mysys", "member"),
+    ),
+    (
+        "ALTER TABLE mysys.`member` \nCHANGE COLUMN `recmsg` `recmsg` "
+        "VARCHAR(100) NULL DEFAULT NULL AFTER `invoice_no`",
+        SCT("mysys", "member"),
+    ),
+    (
+        "ALTER TABLE `mysys`.member \nCHANGE COLUMN `recmsg` `recmsg` "
+        "VARCHAR(100) NULL DEFAULT NULL AFTER `invoice_no`",
+        SCT("mysys", "member"),
+    ),
+]
+
+
+@pytest.mark.parametrize("sql,expected", ALTER_CASES)
+def test_alter_cases(sql, expected):
+    assert_changed(sql, expected)
+
+
+def test_not_alter():
+    d = decide_schema_change("# dum")
+    assert not d.is_schema_change
+    assert d.tables == ()
+
+
+RENAME_CASES = [
+    ("rename table old to new", (SCT(None, "old"),)),
+    ("rename table `old` to `new`", (SCT(None, "old"),)),
+    ("RENAME TABLE old TO new", (SCT(None, "old"),)),
+    ("rename table IF exists old to new", (SCT(None, "old"),)),
+    ("rename table test.old to test.new", (SCT("test", "old"),)),
+    (
+        "rename table old1 to new1, old2 to new2",
+        (SCT(None, "old1"), SCT(None, "old2")),
+    ),
+    (
+        "rename table test.old1 to test.new1, test2.old2 to new2",
+        (SCT("test", "old1"), SCT("test2", "old2")),
+    ),
+    ("rename table `test`.`old` to `test`.`new`", (SCT("test", "old"),)),
+]
+
+
+@pytest.mark.parametrize("sql,expected", RENAME_CASES)
+def test_rename_cases(sql, expected):
+    assert_changed(sql, *expected)
+
+
+DROP_CASES = [
+    ("drop table test.member", (SCT("test", "member"),)),
+    ("drop table test.member, user", (SCT("test", "member"), SCT(None, "user"))),
+    ("drop table `test`.`member`", (SCT("test", "member"),)),
+]
+
+
+@pytest.mark.parametrize("sql,expected", DROP_CASES)
+def test_drop_cases(sql, expected):
+    assert_changed(sql, *expected)
+
+
+def test_parse_alter_add_column():
+    acts = parse_alter_actions(
+        "alter table codehub.repo_files add column stars int"
+    )
+    assert acts[0].kind == "add"
+    assert acts[0].column == "stars"
+    assert acts[0].lake_type == "int"
+
+
+def test_parse_alter_rename_column():
+    acts = parse_alter_actions(
+        "alter table t rename column old_name to new_name"
+    )
+    assert acts[0].kind == "rename"
+    assert (acts[0].column, acts[0].new_name) == ("old_name", "new_name")
+
+
+def test_parse_alter_modify_widen():
+    acts = parse_alter_actions("alter table t modify column n bigint")
+    assert acts[0].kind == "modify"
+    assert acts[0].lake_type == "bigint"
+
+
+def test_type_mapping():
+    assert mysql_type_to_lake("varchar(200)") == "string"
+    assert mysql_type_to_lake("DECIMAL(10,2)") == "decimal(10,2)"
+    assert mysql_type_to_lake("datetime") == "timestamp_ntz"
+    assert mysql_type_to_lake("bigint") == "bigint"

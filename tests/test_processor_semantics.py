@@ -1,0 +1,246 @@
+"""Ports of the reference's semantic spec
+(src/test/java/mariadbcdc/shyikobinlog/BinaryLogEventProcessorTest.java) onto
+the DataFrame stages: decode, registry as-of join, positional fallback,
+include/exclude filters, position-save predicate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mariadb_cdc_spark.operators.decode import decode_rows_events, dedup_replays
+from mariadb_cdc_spark.operators.filters import (
+    filter_tables,
+    position_advancing,
+)
+from mariadb_cdc_spark.operators.registry import (
+    positional_fallback,
+    resolve_table_metadata,
+    table_map_registry,
+)
+from mariadb_cdc_spark.schema import EVENT_SCHEMA
+
+
+def _events(spark, rows):
+    """rows: list of dicts with any subset of EVENT_SCHEMA fields."""
+    full = []
+    for r in rows:
+        d = {f.name: None for f in EVENT_SCHEMA.fields}
+        d.update(r)
+        full.append(tuple(d[f.name] for f in EVENT_SCHEMA.fields))
+    return spark.createDataFrame(full, EVENT_SCHEMA)
+
+
+def tmap(pos, table_id, db, tbl, names, types=None, file="bin.000001"):
+    return {
+        "server_id": 1,
+        "binlog_file": file,
+        "binlog_pos": pos,
+        "event_type": "TABLE_MAP",
+        "table_id": table_id,
+        "database": db,
+        "table": tbl,
+        "column_types": types or [15] * len(names),
+        "column_names": names,
+    }
+
+
+def write(pos, table_id, afters, file="bin.000001"):
+    return {
+        "server_id": 1,
+        "binlog_file": file,
+        "binlog_pos": pos,
+        "event_type": "WRITE_ROWS",
+        "table_id": table_id,
+        "rows_after": afters,
+    }
+
+
+def update(pos, table_id, befores, afters, file="bin.000001"):
+    return {
+        "server_id": 1,
+        "binlog_file": file,
+        "binlog_pos": pos,
+        "event_type": "UPDATE_ROWS",
+        "table_id": table_id,
+        "rows_before": befores,
+        "rows_after": afters,
+    }
+
+
+def delete(pos, table_id, befores, file="bin.000001"):
+    return {
+        "server_id": 1,
+        "binlog_file": file,
+        "binlog_pos": pos,
+        "event_type": "DELETE_ROWS",
+        "table_id": table_id,
+        "rows_before": befores,
+    }
+
+
+def _resolved(spark, rows):
+    ev = _events(spark, rows)
+    ch = dedup_replays(decode_rows_events(ev))
+    return positional_fallback(
+        resolve_table_metadata(ch, table_map_registry(ev))
+    )
+
+
+def test_insert_update_delete_shapes(spark):
+    """BinaryLogEventProcessorTest.java:44-185 — op types and before/after
+    image shapes."""
+    rows = [
+        tmap(10, 5, "db1", "member", ["id", "name"]),
+        write(20, 5, [{"id": "1", "name": "a"}]),
+        update(30, 5, [{"id": "1", "name": "a"}], [{"id": "1", "name": "b"}]),
+        delete(40, 5, [{"id": "1", "name": "b"}]),
+    ]
+    out = {r["op"]: r for r in _resolved(spark, rows).collect()}
+    assert out["INSERT"]["after"] == {"id": "1", "name": "a"}
+    assert out["INSERT"]["before"] is None
+    assert out["UPDATE"]["before"] == {"id": "1", "name": "a"}
+    assert out["UPDATE"]["after"] == {"id": "1", "name": "b"}
+    assert out["DELETE"]["before"] == {"id": "1", "name": "b"}
+    assert out["DELETE"]["after"] is None
+    assert all(r["database"] == "db1" and r["table"] == "member" for r in out.values())
+
+
+def test_rows_event_without_table_map_dropped(spark):
+    """BinaryLogEventProcessorTest.java:202-214."""
+    rows = [write(20, 99, [{"id": "1"}])]
+    assert _resolved(spark, rows).count() == 0
+
+
+def test_interleaved_table_maps(spark):
+    """BinaryLogEventProcessorTest.java:217-256 — two tables, events
+    attribute to the right one; the LATEST preceding map wins."""
+    rows = [
+        tmap(10, 5, "db1", "member", ["id", "name"]),
+        tmap(11, 6, "db1", "user", ["login", "email"]),
+        write(20, 5, [{"id": "1", "name": "a"}]),
+        write(21, 6, [{"login": "u", "email": "e"}]),
+        # table_id 5 remapped to a different table mid-stream
+        tmap(30, 5, "db2", "item", ["sku"]),
+        write(40, 5, [{"sku": "x"}]),
+    ]
+    out = _resolved(spark, rows).orderBy("binlog_pos").collect()
+    assert [(r["database"], r["table"]) for r in out] == [
+        ("db1", "member"),
+        ("db1", "user"),
+        ("db2", "item"),
+    ]
+
+
+def test_positional_fallback_on_name_mismatch(spark):
+    """BinaryLogEventProcessorTest.java:259-287 — name count != column count
+    => synthesized col0..N, has_column_names=False."""
+    rows = [
+        tmap(10, 5, "db1", "member", ["id", "name"], types=[8, 15, 15]),
+        write(20, 5, [{"id": "1", "name": "a", "email": "e"}]),
+    ]
+    r = _resolved(spark, rows).collect()[0]
+    assert r["has_column_names"] is False
+    assert set(r["after"].keys()) == {"col0", "col1", "col2"}
+
+
+def test_names_from_metadata_used_when_counts_match(spark):
+    rows = [
+        tmap(10, 5, "db1", "member", ["id", "name"]),
+        write(20, 5, [{"id": "1", "name": "a"}]),
+    ]
+    r = _resolved(spark, rows).collect()[0]
+    assert r["has_column_names"] is True
+    assert r["after"] == {"id": "1", "name": "a"}
+
+
+def test_include_exclude_filters(spark):
+    """MariadbCdc_Filter_Test.java:42-90 — include allows only listed,
+    exclude wins, empty include allows all."""
+    rows = [
+        tmap(10, 5, "db1", "member", ["id"]),
+        tmap(11, 6, "db1", "user", ["id"]),
+        write(20, 5, [{"id": "1"}]),
+        write(21, 6, [{"id": "2"}]),
+    ]
+    res = _resolved(spark, rows)
+    only_member = filter_tables(res, included=["db1.member"])
+    assert [r["table"] for r in only_member.collect()] == ["member"]
+    no_member = filter_tables(res, excluded=["db1.member"])
+    assert [r["table"] for r in no_member.collect()] == ["user"]
+    both = filter_tables(
+        res, included=["db1.member", "db1.user"], excluded=["db1.member"]
+    )
+    assert [r["table"] for r in both.collect()] == ["user"]  # exclude wins
+    allowed_all = filter_tables(res, included=None, excluded=None)
+    assert allowed_all.count() == 2
+
+
+def test_multi_row_event_explodes_with_row_idx(spark):
+    rows = [
+        tmap(10, 5, "db1", "member", ["id"]),
+        write(20, 5, [{"id": "1"}, {"id": "2"}, {"id": "3"}]),
+    ]
+    out = _resolved(spark, rows).orderBy("row_idx").collect()
+    assert [r["row_idx"] for r in out] == [0, 1, 2]
+    assert [r["after"]["id"] for r in out] == ["1", "2", "3"]
+
+
+def test_update_pairs_before_after_by_index(spark):
+    rows = [
+        tmap(10, 5, "db1", "member", ["id", "v"]),
+        update(
+            20,
+            5,
+            [{"id": "1", "v": "a"}, {"id": "2", "v": "b"}],
+            [{"id": "1", "v": "A"}, {"id": "2", "v": "B"}],
+        ),
+    ]
+    out = _resolved(spark, rows).orderBy("row_idx").collect()
+    assert out[0]["before"]["v"] == "a" and out[0]["after"]["v"] == "A"
+    assert out[1]["before"]["v"] == "b" and out[1]["after"]["v"] == "B"
+
+
+def test_replay_duplicates_dropped(spark):
+    rows = [
+        tmap(10, 5, "db1", "member", ["id"]),
+        write(20, 5, [{"id": "1"}]),
+        write(20, 5, [{"id": "1"}]),  # exact replay of same position
+    ]
+    assert _resolved(spark, rows).count() == 1
+
+
+def test_position_save_predicate(spark):
+    """BinaryLogEventProcessorTest.java:297-308 — TABLE_MAP and
+    FORMAT_DESCRIPTION never advance the checkpoint."""
+    rows = [
+        {"server_id": 1, "binlog_file": "f", "binlog_pos": 1,
+         "event_type": "FORMAT_DESCRIPTION"},
+        tmap(10, 5, "db1", "member", ["id"]),
+        write(20, 5, [{"id": "1"}]),
+        {"server_id": 1, "binlog_file": "f", "binlog_pos": 25, "event_type": "XID",
+         "xid": 7},
+    ]
+    ev = _events(spark, rows)
+    kinds = {r["event_type"] for r in position_advancing(ev).collect()}
+    assert kinds == {"WRITE_ROWS", "XID"}
+
+
+def test_as_of_join_across_files(spark):
+    """A TABLE_MAP in an earlier file still resolves later-file events."""
+    rows = [
+        tmap(10, 5, "db1", "member", ["id"], file="bin.000001"),
+        write(20, 5, [{"id": "1"}], file="bin.000002"),
+    ]
+    out = _resolved(spark, rows).collect()
+    assert len(out) == 1 and out[0]["table"] == "member"
+
+
+def test_orphan_before_map_position_dropped(spark):
+    """A rows event BEFORE its table's first TABLE_MAP must drop (as-of,
+    not any-map-wins)."""
+    rows = [
+        write(5, 5, [{"id": "0"}]),  # precedes the map
+        tmap(10, 5, "db1", "member", ["id"]),
+        write(20, 5, [{"id": "1"}]),
+    ]
+    out = _resolved(spark, rows).collect()
+    assert len(out) == 1 and out[0]["after"]["id"] == "1"

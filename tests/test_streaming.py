@@ -1,0 +1,108 @@
+"""Structured Streaming: micro-batched apply, kill/restart reconvergence.
+
+Ports the reference's lifecycle scenarios (MariadbCdc_103_Basic_Test start/
+stop/resume, 76-123) to streaming: events arrive as files; the query is
+stopped mid-stream and restarted from its checkpoint; the final table must be
+byte-identical to a one-shot batch apply."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mariadb_cdc_spark.gen import MERGE_KEYS, generate_events, repo_table
+from mariadb_cdc_spark.pipeline import CdcConfig, apply_batch
+from mariadb_cdc_spark.sources.lake import LakeTable
+from mariadb_cdc_spark.streaming.stream import read_event_stream, start_cdc_stream
+
+REPO_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+
+def _hashes(table):
+    return {
+        (r["repo"], r["path"]): hashlib.sha256((r["content"] or "").encode()).hexdigest()
+        for r in table.read().select("repo", "path", "content").collect()
+    }
+
+
+def test_stream_equals_batch_with_restart(spark, sf_dir, tmp_path):
+    repo = repo_table(spark, sf_dir)
+    events = generate_events(repo, include_audit=False).cache()
+    cfg = CdcConfig()
+
+    # one-shot batch reference result
+    batch_table = LakeTable.create(
+        spark, str(tmp_path / "batch"), REPO_SCHEMA, MERGE_KEYS, n_buckets=4
+    )
+    apply_batch(events, batch_table, cfg, stream_id="b", batch_id=0)
+    expected = _hashes(batch_table)
+
+    # stream the same events as 3 file chunks
+    src = tmp_path / "stream_src"
+    mx = events.agg(F.max("binlog_pos")).collect()[0][0]
+    cuts = [0.35, 0.7, 1.0]
+    lo = -1
+    for i, frac in enumerate(cuts):
+        hi = int(mx * frac) + 1
+        chunk = events.where(
+            (F.col("binlog_pos") > lo) & (F.col("binlog_pos") <= hi)
+        )
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(src / f"chunk_{i}"))
+        lo = hi
+
+    # file-source streams read a flat dir; re-lay chunks as files
+    flat = tmp_path / "flat_src"
+    flat.mkdir()
+    import shutil
+
+    for i in range(len(cuts)):
+        for j, f in enumerate(sorted((src / f"chunk_{i}").glob("*.parquet"))):
+            shutil.copy(f, flat / f"chunk_{i}_{j}.parquet")
+
+    stream_table = LakeTable.create(
+        spark, str(tmp_path / "stream"), REPO_SCHEMA, MERGE_KEYS, n_buckets=4
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    # phase 1: process one file per trigger, stop after first batch (a crash)
+    ev = read_event_stream(spark, str(flat), max_files_per_trigger=1)
+    q = start_cdc_stream(
+        ev, stream_table, cfg, checkpoint_dir=ckpt, trigger_available_now=False
+    )
+    q.processAllAvailable()
+    q.stop()
+    v_mid = stream_table.metadata()["version"]
+    assert v_mid > 0
+
+    # phase 2: restart from checkpoint; availableNow drains the rest
+    ev2 = read_event_stream(spark, str(flat))
+    q2 = start_cdc_stream(ev2, stream_table, cfg, checkpoint_dir=ckpt)
+    q2.awaitTermination(120)
+
+    assert _hashes(stream_table) == expected
+    events.unpersist()
+
+
+def test_stream_replayed_epoch_is_noop(spark, sf_dir, tmp_path):
+    """Re-running an already-committed epoch id must not change the table."""
+    repo = repo_table(spark, sf_dir)
+    events = generate_events(repo, include_audit=False)
+    cfg = CdcConfig()
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), REPO_SCHEMA, MERGE_KEYS, n_buckets=4
+    )
+    apply_batch(events, table, cfg, stream_id="cdc", batch_id=0)
+    v = table.metadata()["version"]
+    h = _hashes(table)
+    # simulate foreachBatch replay of epoch 0 after a sink-side crash
+    apply_batch(events, table, cfg, stream_id="cdc", batch_id=0)
+    assert table.metadata()["version"] == v
+    assert _hashes(table) == h
