@@ -27,15 +27,21 @@ from ..schema import EVT_TABLE_MAP
 
 def table_map_registry(events: DataFrame) -> DataFrame:
     """All TABLE_MAP occurrences with their position (for as-of resolution)."""
-    return events.where(F.col("event_type") == EVT_TABLE_MAP).select(
-        "server_id",
-        "binlog_file",
-        "binlog_pos",
-        "table_id",
-        "database",
-        "table",
-        "column_types",
-        "column_names",
+    return (
+        events.where(F.col("event_type") == EVT_TABLE_MAP)
+        .select(
+            "server_id",
+            "binlog_file",
+            "binlog_pos",
+            "table_id",
+            "database",
+            "table",
+            "column_types",
+            "column_names",
+        )
+        # at-least-once replay can duplicate maps; identical (pos, id) maps
+        # would create zero-width intervals — harmless but noisy
+        .dropDuplicates(["server_id", "binlog_file", "binlog_pos", "table_id"])
     )
 
 
@@ -45,57 +51,57 @@ def resolve_table_metadata(
     """As-of join: each change gets the latest TABLE_MAP for its table_id at
     (binlog_file, binlog_pos) <= the change's position; unmapped changes drop.
 
+    Implementation is an INTERVAL BROADCAST join, not a window: TABLE_MAPs
+    are control-plane rows (O(tables), thousands at most — the reference
+    holds them all in one in-memory Map, TableInfos.java:6-24), so we turn
+    each map into a validity interval [its position, next map's position for
+    the same (server_id, table_id)) with a tiny window over the MAPS ONLY,
+    then broadcast-join changes on table_id + range predicate. The change
+    stream keeps full scan parallelism — no repartition-by-table_id, which
+    would serialize 10^10 events through O(tables) partitions.
+
     Adds: database, table, column_types, column_names, has_column_names.
     """
-    maps = table_maps.select(
+    w = Window.partitionBy("server_id", "table_id").orderBy(
+        "binlog_file", "binlog_pos"
+    )
+    intervals = table_maps.select(
         "server_id",
         "table_id",
-        F.col("binlog_file").alias("m_file"),
-        F.col("binlog_pos").alias("m_pos"),
-        F.struct("database", "table", "column_types", "column_names").alias("meta"),
-        F.lit(None).cast("long").alias("_change_tag"),
-    )
-    chg = changes.withColumn("m_file", F.col("binlog_file")).withColumn(
-        "m_pos", F.col("binlog_pos")
-    ).withColumn("meta", F.lit(None).cast(maps.schema["meta"].dataType)).withColumn(
-        "_change_tag", F.lit(1).cast("long")
-    )
-
-    chg_cols = chg.columns
-    maps_padded = maps
-    for c in chg_cols:
-        if c not in maps.columns:
-            maps_padded = maps_padded.withColumn(
-                c, F.lit(None).cast(dict(zip(chg.schema.names, chg.schema.fields))[c].dataType)
-            )
-    unioned = maps_padded.select(*chg_cols).unionByName(chg)
-
-    # TABLE_MAP sorts before a change at the same (file,pos): _change_tag null
-    # first. In the generator TABLE_MAP positions are strictly smaller anyway.
-    w = (
-        Window.partitionBy("server_id", "table_id")
-        .orderBy("m_file", "m_pos", F.col("_change_tag").asc_nulls_first())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    resolved = unioned.withColumn(
-        "meta", F.last("meta", ignorenulls=True).over(w)
+        F.struct("binlog_file", "binlog_pos").alias("valid_from"),
+        F.lead(F.struct("binlog_file", "binlog_pos"))
+        .over(w)
+        .alias("valid_to"),
+        "database",
+        "table",
+        "column_types",
+        "column_names",
     )
 
-    out = (
-        resolved.where(F.col("_change_tag") == 1)
-        .where(F.col("meta").isNotNull())  # drop unmapped (reference inner semantics)
-        .withColumn("database", F.col("meta.database"))
-        .withColumn("table", F.col("meta.table"))
-        .withColumn("column_types", F.col("meta.column_types"))
-        .withColumn("column_names", F.col("meta.column_names"))
-        .withColumn(
+    m = intervals.alias("m")
+    c = changes.alias("c")
+    pos = F.struct(
+        F.col("c.binlog_file").alias("binlog_file"),
+        F.col("c.binlog_pos").alias("binlog_pos"),
+    )
+    cond = (
+        (F.col("c.server_id") == F.col("m.server_id"))
+        & (F.col("c.table_id") == F.col("m.table_id"))
+        & (pos >= F.col("m.valid_from"))
+        & (F.col("m.valid_to").isNull() | (pos < F.col("m.valid_to")))
+    )
+    out = c.join(F.broadcast(m), cond, "inner").select(  # inner ⇒ drop unmapped
+        *[F.col(f"c.{x}") for x in changes.columns],
+        F.col("m.database").alias("database"),
+        F.col("m.table").alias("table"),
+        F.col("m.column_types").alias("column_types"),
+        F.col("m.column_names").alias("column_names"),
+        (
             # Mismatch guard (BinaryLogEventProcessor.java:89-91,227-236):
             # name count != type count => positional col0..N fallback.
-            "has_column_names",
-            F.col("meta.column_names").isNotNull()
-            & (F.size("meta.column_names") == F.size("meta.column_types")),
-        )
-        .drop("meta", "m_file", "m_pos", "_change_tag")
+            F.col("m.column_names").isNotNull()
+            & (F.size("m.column_names") == F.size("m.column_types"))
+        ).alias("has_column_names"),
     )
     return out
 

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .functions.ddl import decide_schema_change, parse_alter_actions
-from .operators.decode import decode_rows_events, dedup_replays
+from .operators.decode import decode_rows_events
 from .operators.filters import filter_tables
 from .operators.fold import extract_keys, fold_changes
 from .operators.registry import (
@@ -58,9 +58,19 @@ class CdcConfig:
 def decoded_changes(
     events: DataFrame, cfg: CdcConfig, table_maps: DataFrame | None = None
 ) -> DataFrame:
-    """events -> deduped, metadata-resolved, filtered row-change records."""
+    """events -> metadata-resolved, filtered row-change records.
+
+    Replay duplicates are NOT shuffled away here: the fold absorbs them for
+    free. A replayed change has an identical (binlog_file, binlog_pos,
+    row_idx) sort key, so duplicates land adjacent in the per-key ordered
+    fold, and all three ops are idempotent under immediate repetition
+    (INSERT m ∘ INSERT m = INSERT m; patch⊕patch = patch; DELETE∘DELETE =
+    DELETE). Dropping the dropDuplicates stage saves a full shuffle of the
+    change stream — at 10^10 events, the single biggest fixed cost.
+    (operators.decode.dedup_replays remains available for sinks that need
+    literal uniqueness.)
+    """
     changes = decode_rows_events(events)
-    changes = dedup_replays(changes)
     if table_maps is None:
         table_maps = table_map_registry(events)
     changes = resolve_table_metadata(changes, table_maps)

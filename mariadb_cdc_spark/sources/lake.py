@@ -101,10 +101,24 @@ class LakeTable:
                 .partitionBy("_bucket")
                 .parquet(os.path.join(t.path, data_rel))
             )
-            meta["buckets"] = {str(b): data_rel for b in range(n_buckets)}
+            meta["buckets"] = {
+                str(b): data_rel for b in t._present_buckets(data_rel)
+            }
             meta["metrics"]["n_rows"] = initial.count()
         t._write_metadata(meta)
         return t
+
+    def _present_buckets(self, data_rel: str) -> list[int]:
+        """Bucket partitions actually written (parquet partitionBy skips
+        empty partitions — never map a bucket to a missing dir)."""
+        base = os.path.join(self.path, data_rel)
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(base)
+            if d.startswith("_bucket=")
+        )
 
     def exists(self) -> bool:
         return os.path.exists(
@@ -185,26 +199,25 @@ class LakeTable:
                 return {"skipped": True, "version": meta["version"]}
 
         version = meta["version"] + 1
-        u = folded.withColumn("_bucket", _bucket_col(keys, n_buckets))
+        u = folded.withColumn("_bucket", _bucket_col(keys, n_buckets)).persist()
+
+        # One pass over the (small, one-row-per-key) folded set collects both
+        # the affected buckets and the observed image columns; the persist
+        # keeps the fold from recomputing for the join below.
+        stats = u.agg(
+            F.collect_set("_bucket").alias("bks"),
+            F.array_distinct(
+                F.flatten(F.collect_set(F.map_keys(F.col("image"))))
+            ).alias("cols"),
+        ).collect()[0]
+        affected = sorted(stats["bks"])
 
         # schema evolution: image keys not yet in the schema become new
         # string columns (metadata-only; DDL-driven typed evolution goes
         # through add_column/rename_column/widen_column).
         known = {n for n, _ in meta["schema"]}
-        observed = {
-            r[0]
-            for r in u.select(
-                F.explode(F.map_keys(F.col("image"))).alias("k")
-            )
-            .distinct()
-            .collect()
-        }
-        for c in sorted(observed - known):
+        for c in sorted(set(stats["cols"]) - known):
             meta["schema"].append([c, "string"])
-
-        affected = sorted(
-            r[0] for r in u.select("_bucket").distinct().collect()
-        )
         target = self._read_buckets(meta, affected, internal=True)
 
         logical = meta["schema"]
@@ -281,9 +294,14 @@ class LakeTable:
             .partitionBy("_bucket")
             .parquet(os.path.join(self.path, data_rel))
         )
+        u.unpersist()
 
+        written = set(self._present_buckets(data_rel))
         for b in affected:
-            meta["buckets"][str(b)] = data_rel
+            if b in written:
+                meta["buckets"][str(b)] = data_rel
+            else:
+                meta["buckets"].pop(str(b), None)
         meta["version"] = version
         if batch_id is not None:
             meta["committed"][stream_id] = batch_id
@@ -382,7 +400,9 @@ class LakeTable:
             .partitionBy("_bucket")
             .parquet(os.path.join(self.path, data_rel))
         )
-        meta["buckets"] = {str(b): data_rel for b in range(n_buckets)}
+        meta["buckets"] = {
+            str(b): data_rel for b in self._present_buckets(data_rel)
+        }
         meta["version"] = version
         self._write_metadata(meta)
 

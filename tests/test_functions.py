@@ -1,0 +1,136 @@
+"""Training-data operators: local sanity tests (the value-exact gate vs
+DuckDB runs via tools/parity.py and the driver's CORRECTNESS check)."""
+
+from pyspark.sql import functions as F
+
+from mariadb_cdc_spark.functions.dedup import (
+    exact_duplicates,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from mariadb_cdc_spark.functions.multimodal import (
+    featurize,
+    frame_sample_plan,
+    synthesize_media,
+)
+from mariadb_cdc_spark.functions.similarity import brute_force_topk, ivf_topk
+from mariadb_cdc_spark.functions.text import language_id, quality_features
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, lang, "srcX", len(t)) for i, (t, lang) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_exact_duplicates_groups(spark):
+    docs = _docs(
+        spark,
+        [("the cat  sat", "en"), ("The cat sat", "en"), ("unique words here", "en")],
+    )
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["group_size"] == 2
+    assert groups[0]["canonical_id"] == 0
+    assert groups[0]["members"] == [0, 1]
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs(
+        spark,
+        [(base, "en"), (base + " lambda", "en"), ("totally different text", "en")],
+    )
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
+    assert pairs[0]["jaccard"] > 0.8
+
+
+def test_minhash_lsh_agrees_with_exact(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs(
+        spark,
+        [(base, "en"), (base + " lambda", "en"), ("totally different text", "en")],
+    )
+    pairs = minhash_dedup_pairs(docs, threshold=0.5).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(0, 1)}
+
+
+def test_simhash_near_pairs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs(
+        spark,
+        [(base, "en"), (base + " mu", "en"), ("qq ww ee rr tt yy uu", "en")],
+    )
+    sh = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert bin(sh[0] ^ sh[1]).count("1") < bin(sh[0] ^ sh[2]).count("1")
+    near = simhash_near_pairs(docs, max_hamming=3).collect()
+    assert all({p["id_a"], p["id_b"]} != {0, 2} for p in near)
+
+
+def test_quality_and_langid(spark):
+    docs = _docs(
+        spark,
+        [
+            ("the cat and the dog went to the park in the morning", "en"),
+            ("el perro de la casa que en los dias del verano", "es"),
+            ("!!! ,,, ...", "en"),
+        ],
+    )
+    q = {r["doc_id"]: r for r in quality_features(docs).collect()}
+    assert q[0]["passes_quality"] is True
+    assert q[2]["passes_quality"] is False  # punct-only
+    lid = {r["doc_id"]: r for r in language_id(docs).collect()}
+    assert lid[0]["pred_lang"] == "en" and lid[0]["agrees"]
+    assert lid[1]["pred_lang"] == "es"
+    assert lid[2]["pred_lang"] == "und"
+
+
+def test_topk_shapes_and_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    bf = brute_force_topk(emb, q, k=5)
+    rows = bf.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == [1, 2, 3, 4, 5]
+        sims = [r["sim"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != qid for r in rs)
+    # IVF is a subset search: its neighbors' sims never beat brute force rank-1
+    ivf = {(r["query_id"], r["rank"]): r["sim"] for r in ivf_topk(emb, q, k=5).collect()}
+    bfm = {(r["query_id"], r["rank"]): r["sim"] for r in rows}
+    for qid in by_q:
+        assert ivf[(qid, 1)] <= bfm[(qid, 1)]
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    media = synthesize_media(docs)
+    feats = featurize(media, dim=8).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= v <= 1.0 for v in r["feature"])
+        assert len(r["payload_sha"]) == 64
+        assert r["n_bytes"] > 0
+    plan = frame_sample_plan(media, every_ms=1000)
+    vids = media.where(F.col("kind") == "video").count()
+    assert plan.count() >= vids  # at least frame 0 per video
+    assert plan.groupBy("media_id").count().count() == vids
+
+
+def test_decode_stub_raises():
+    import pytest as _pytest
+
+    from mariadb_cdc_spark.functions.multimodal import _decode_image_stub
+
+    with _pytest.raises(NotImplementedError):
+        _decode_image_stub(b"\x89PNG")
