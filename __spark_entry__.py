@@ -212,6 +212,71 @@ def q_cdc_epoch_split(spark, sf):
     )
 
 
+def q_cdc_pipeline_e2e(spark, sf):
+    """The full CDC engine (gen -> decode -> registry -> fold -> MERGE) at
+    the given scale factor; returns the final lake-table state. No SQL
+    oracle (the engine IS the thing being measured) — the driver records a
+    rows-only check; value-level verification is the sequential-oracle
+    sha256 suite in tests/test_e2e.py."""
+    from mariadb_cdc_spark.gen import MERGE_KEYS, generate_events, repo_table
+    from mariadb_cdc_spark.pipeline import CdcConfig, apply_batch
+    from mariadb_cdc_spark.sources.lake import LakeTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    repo = repo_table(spark, sf)
+    events = generate_events(repo)
+    tmp = tempfile.mkdtemp(prefix="cdc_q_e2e_")
+    table = LakeTable.create(
+        spark, f"{tmp}/repo_files", schema, MERGE_KEYS, n_buckets=8
+    )
+    apply_batch(events, table, CdcConfig(), stream_id="q", batch_id=0)
+    return table.read()
+
+
+def q_cdc_gap_sessions(spark, sf):
+    """S8 liveness / sessionization: lag + cumulative gap count per key
+    (the streaming session_window shape, expressed batch-wise)."""
+    ev = _ev(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; cast via timestamp (session TZ pinned to
+    # UTC) to epoch seconds — matches DuckDB's epoch(ts) on naive timestamps
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("new_sess", F.when(gap > 3600, 1).otherwise(0))
+        .withColumn("session_id", F.sum("new_sess").over(wc))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+    )
+
+
+def q_cdc_type_overlap(spark, sf):
+    """Set-op coverage: users seen in clicks INTERSECT users seen in
+    purchases, minus users seen in errors (EXCEPT)."""
+    ev = _ev(spark, sf)
+
+    def users(t):
+        return ev.where(F.col("event_type") == t).select("user_id").distinct()
+
+    both = users("click").intersect(users("purchase")).exceptAll(
+        users("error").distinct()
+    )
+    return both.agg(F.count(F.lit(1)).alias("n_users"))
+
+
 # ------------------------------------------------- training-data pipeline
 
 def q_dedup_exact(spark, sf):
@@ -336,6 +401,9 @@ QUERIES: dict[str, Callable] = {
     "cdc_xid_commits": q_cdc_xid_commits,
     "cdc_partial_image_fold": q_cdc_partial_image_fold,
     "cdc_epoch_split": q_cdc_epoch_split,
+    "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
+    "cdc_gap_sessions": q_cdc_gap_sessions,
+    "cdc_type_overlap": q_cdc_type_overlap,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -499,6 +567,30 @@ def oracle_sql() -> dict[str, str]:
                                  rows unbounded preceding) as epoch
                   from events)
             group by user_id, epoch
+        """,
+        "cdc_gap_sessions": """
+            with g as (
+              select user_id, event_id, ts,
+                     case when epoch(ts) - epoch(lag(ts) over
+                       (partition by user_id order by ts, event_id)) > 3600
+                       then 1 else 0 end as new_sess
+              from events),
+            s as (select user_id, event_id,
+                         sum(new_sess) over (partition by user_id
+                           order by ts, event_id rows unbounded preceding)
+                           as session_id
+                  from g)
+            select user_id, session_id, count(*) as n_events,
+                   min(event_id) as first_event, max(event_id) as last_event
+            from s group by user_id, session_id
+        """,
+        "cdc_type_overlap": """
+            select count(*) as n_users from (
+              (select distinct user_id from events where event_type='click'
+               intersect
+               select distinct user_id from events where event_type='purchase')
+              except
+              select distinct user_id from events where event_type='error')
         """,
         "dedup_exact": r"""
             select fp, canonical_id, group_size from (

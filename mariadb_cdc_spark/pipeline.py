@@ -182,6 +182,54 @@ def apply_batch(
     return total
 
 
+def apply_batch_multi(
+    events: DataFrame,
+    tables: dict[tuple[str, str], tuple[LakeTable, list[str]]],
+    *,
+    stream_id: str = "default",
+    batch_id: int | None = None,
+    excluded_tables: list[str] | None = None,
+) -> dict:
+    """Apply one batch to MULTIPLE lake tables (one per CDC'd source table).
+
+    The reference delivers every table's changes through one listener
+    (MariadbCdcListener.onDataChanged receives rows of all registered
+    tables); here one decode+registry pass feeds per-table folds and MERGEs.
+
+    `tables`: {(database, table): (LakeTable, merge_keys)}.
+    """
+    results = {}
+    include = [f"{db}.{tbl}" for db, tbl in tables]
+    base_cfg = CdcConfig(
+        included_tables=include, excluded_tables=excluded_tables,
+        apply_ddl=False,
+    )
+    # shared scan: decode + registry once, then per-table filter/fold/merge
+    registry = _load_registry(events, next(iter(tables.values()))[0])
+    changes = decoded_changes(events, base_cfg, table_maps=registry).persist()
+    lineage = batch_lineage(events)
+    maps = _latest_maps(registry)
+    for (db, tbl), (lake, keys) in tables.items():
+        if batch_id is not None and batch_id <= lake.committed_batch(stream_id):
+            results[(db, tbl)] = {"skipped": True}
+            continue
+        sub = changes.where(
+            (F.lower("database") == db.lower()) & (F.lower("table") == tbl.lower())
+        )
+        folded = fold_changes(extract_keys(sub, keys), keys)
+        res = lake.merge(folded, stream_id=stream_id, batch_id=None,
+                         lineage=lineage)
+        meta = lake.metadata()
+        if batch_id is not None:
+            meta["committed"][stream_id] = batch_id
+        meta["table_maps"] = maps
+        meta["version"] += 1
+        lake._write_metadata(meta)
+        results[(db, tbl)] = res
+    changes.unpersist()
+    return results
+
+
 _REGISTRY_COLS = [
     "server_id",
     "binlog_file",
