@@ -60,18 +60,44 @@ def resolve_table_metadata(
     stream keeps full scan parallelism — no repartition-by-table_id, which
     would serialize 10^10 events through O(tables) partitions.
 
+    Interval COALESCING: a real binlog repeats TABLE_MAP before every rows
+    event, so raw intervals number O(events), all keyed by the same
+    (server_id, table_id) — a broadcast hash join would linearly scan every
+    interval per change row (O(rows x maps) comparisons). Adjacent intervals
+    whose metadata payload is identical resolve every position inside them to
+    the same answer, so they merge losslessly into one island
+    (gaps-and-islands over the tiny maps side). The broadcast side collapses
+    to O(tables x schema-versions) — per-row candidate scan becomes O(1).
+
     Adds: database, table, column_types, column_names, has_column_names.
     """
     w = Window.partitionBy("server_id", "table_id").orderBy(
         "binlog_file", "binlog_pos"
     )
-    intervals = table_maps.select(
+    payload = F.struct("database", "table", "column_types", "column_names")
+    islands = (
+        table_maps.withColumn(
+            "_chg",
+            F.when(payload.eqNullSafe(F.lag(payload).over(w)), F.lit(0)).otherwise(
+                F.lit(1)
+            ),
+        )
+        .withColumn("_island", F.sum("_chg").over(w))
+        .groupBy("server_id", "table_id", "_island")
+        .agg(
+            F.min(F.struct("binlog_file", "binlog_pos")).alias("valid_from"),
+            F.first("database").alias("database"),
+            F.first("table").alias("table"),
+            F.first("column_types").alias("column_types"),
+            F.first("column_names").alias("column_names"),
+        )
+    )
+    wi = Window.partitionBy("server_id", "table_id").orderBy("valid_from")
+    intervals = islands.select(
         "server_id",
         "table_id",
-        F.struct("binlog_file", "binlog_pos").alias("valid_from"),
-        F.lead(F.struct("binlog_file", "binlog_pos"))
-        .over(w)
-        .alias("valid_to"),
+        "valid_from",
+        F.lead("valid_from").over(wi).alias("valid_to"),
         "database",
         "table",
         "column_types",

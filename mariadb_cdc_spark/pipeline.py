@@ -108,7 +108,13 @@ def apply_batch(
     if resume_from_lineage:
         events = events_after(events, table.lineage())
 
-    lineage = batch_lineage(events)
+    # Control-plane passes (lineage agg, TABLE_MAP registry, DDL collect)
+    # only touch envelope columns; caching a row-image-free projection makes
+    # each of those scans O(envelope) instead of re-reading the wide event
+    # rows (the row images dominate event bytes by ~100x).
+    ctrl = events.drop("rows_before", "rows_after").persist()
+
+    lineage = batch_lineage(ctrl)
 
     # Persistent TABLE_MAP registry: the reference keeps TableInfos in memory
     # for the whole session (shyikobinlog/TableInfos.java); across restarts a
@@ -116,13 +122,13 @@ def apply_batch(
     # persists the latest map per (server_id, table_id) in table metadata and
     # unions it into each batch's as-of join. TABLE_MAP rows are one-per-table
     # (control plane), so the collect is O(tables), not O(events).
-    table_maps = _load_registry(events, table)
+    table_maps = _load_registry(ctrl, table)
 
     # ---- control plane: DDL epochs (rare; driver-side by design)
     ddls = []
     if cfg.apply_ddl:
         ddls = sorted(
-            events.where(F.col("event_type") == EVT_QUERY)
+            ctrl.where(F.col("event_type") == EVT_QUERY)
             .where(F.col("sql").isNotNull())
             .select("binlog_file", "binlog_pos", "sql")
             .collect(),
@@ -176,6 +182,7 @@ def apply_batch(
     meta["table_maps"] = _latest_maps(table_maps)
     meta["version"] += 1
     table._write_metadata(meta)
+    ctrl.unpersist()
 
     total["epochs"] = n_epochs
     total["lineage"] = lineage
@@ -205,9 +212,10 @@ def apply_batch_multi(
         apply_ddl=False,
     )
     # shared scan: decode + registry once, then per-table filter/fold/merge
-    registry = _load_registry(events, next(iter(tables.values()))[0])
+    ctrl = events.drop("rows_before", "rows_after").persist()
+    registry = _load_registry(ctrl, next(iter(tables.values()))[0])
     changes = decoded_changes(events, base_cfg, table_maps=registry).persist()
-    lineage = batch_lineage(events)
+    lineage = batch_lineage(ctrl)
     maps = _latest_maps(registry)
     for (db, tbl), (lake, keys) in tables.items():
         if batch_id is not None and batch_id <= lake.committed_batch(stream_id):
@@ -227,6 +235,7 @@ def apply_batch_multi(
         lake._write_metadata(meta)
         results[(db, tbl)] = res
     changes.unpersist()
+    ctrl.unpersist()
     return results
 
 

@@ -218,9 +218,47 @@ class LakeTable:
         known = {n for n, _ in meta["schema"]}
         for c in sorted(set(stats["cols"]) - known):
             meta["schema"].append([c, "string"])
-        target = self._read_buckets(meta, affected, internal=True)
-
         logical = meta["schema"]
+
+        if not any(str(b) in meta["buckets"] for b in affected):
+            # Fast path: no affected bucket has any existing data (initial
+            # load, or a batch touching only brand-new key space). The
+            # full-outer join against an empty target is the identity on the
+            # update side — build rows straight from the fold, skipping the
+            # join's shuffle+sort of the whole change set entirely.
+            out_cols = []
+            for n, st in logical:
+                typ = _parse_type(st)
+                if cast_types and n in keys:
+                    out_cols.append(F.col(f"u.{n}").cast(typ).alias(n))
+                elif n in keys:
+                    out_cols.append(F.col(f"u.{n}").alias(n))
+                else:
+                    img_val = F.col("u.image").getItem(n)
+                    out_cols.append(
+                        F.when(
+                            F.col("u.final_op") == F.lit("DELETE"),
+                            F.lit(None).cast(typ),
+                        )
+                        .otherwise(
+                            img_val.cast(typ) if cast_types else img_val
+                        )
+                        .alias(n)
+                    )
+            out_cols.extend(
+                [
+                    F.col("u.last_file").alias(CDC_FILE),
+                    F.col("u.last_pos").alias(CDC_POS),
+                    F.col("u.last_row_idx").alias(CDC_IDX),
+                    (F.col("u.final_op") == F.lit("DELETE")).alias(CDC_DELETED),
+                ]
+            )
+            merged = u.alias("u").select(*out_cols)
+            return self._commit_merged(
+                merged, meta, affected, version, u,
+                stream_id=stream_id, batch_id=batch_id, lineage=lineage,
+            )
+        target = self._read_buckets(meta, affected, internal=True)
         t = target.alias("t")
         s = u.alias("u")
         cond = [F.col(f"t.{k}") == F.col(f"u.{k}") for k in keys]
@@ -285,7 +323,24 @@ class LakeTable:
             ]
         )
         merged = joined.select(*out_cols)
+        return self._commit_merged(
+            merged, meta, affected, version, u,
+            stream_id=stream_id, batch_id=batch_id, lineage=lineage,
+        )
 
+    def _commit_merged(
+        self,
+        merged: DataFrame,
+        meta: dict,
+        affected: list[int],
+        version: int,
+        u: DataFrame,
+        *,
+        stream_id: str,
+        batch_id: int | None,
+        lineage: dict | None,
+    ) -> dict:
+        keys, n_buckets = meta["keys"], meta["n_buckets"]
         data_rel = f"data/v{version}"
         (
             merged.withColumn("_bucket", _bucket_col(keys, n_buckets))
