@@ -129,7 +129,8 @@ def fold_changes(
     changes: DataFrame,
     keys: list[str],
     *,
-    two_phase: bool = True,
+    two_phase: bool | str = "auto",
+    hot_keys: list | None = None,
     segment_pos_bits: int = 20,
 ) -> DataFrame:
     """Fold ordered changes to one net row per key.
@@ -137,11 +138,45 @@ def fold_changes(
     Returns: keys..., final_op ('UPSERT'|'DELETE'), image map, last_file,
     last_pos, last_row_idx, n_changes.
 
-    two_phase=True runs the skew-safe partial fold per contiguous segment
-    (binlog_file, binlog_pos >> segment_pos_bits) first. Both paths give
-    identical results (property-tested); single-phase is marginally cheaper
-    for uniform keys, two-phase is the 100 TB default.
+    Skew strategy (the north rule's "salting before the merge-apply
+    shuffle"):
+      - two_phase=True: every key folds per position-contiguous segment
+        first, then combines — safe for arbitrary skew, but pays a second
+        shuffle of folded summaries (~2x agg cost, measured).
+      - two_phase=False: one groupBy — cheapest, but a zipfian-hot key's
+        millions of changes land in ONE reducer's collect_list.
+      - two_phase="auto" (default): single-phase for the key mass, two-phase
+        ONLY for `hot_keys` (split via broadcast semi/anti join — map-side,
+        no extra shuffle). The hot set is learned: LakeTable.merge records
+        keys whose per-batch n_changes exceeded its hot threshold, and
+        pipeline.apply_batch feeds them back on the next batch. Steady-state
+        skewed streams get per-key salting exactly where it pays; uniform
+        streams never pay for it. All three paths give identical results
+        (property-tested).
     """
+    if two_phase == "auto":
+        if not hot_keys:
+            return _fold_impl(changes, keys, False, segment_pos_bits)
+        spark = changes.sparkSession
+        hot_df = F.broadcast(
+            spark.createDataFrame(
+                [tuple(k) for k in hot_keys], changes.select(*keys).schema
+            )
+        )
+        cold = changes.join(hot_df, keys, "left_anti")
+        hot = changes.join(hot_df, keys, "left_semi")
+        return _fold_impl(cold, keys, False, segment_pos_bits).unionByName(
+            _fold_impl(hot, keys, True, segment_pos_bits)
+        )
+    return _fold_impl(changes, keys, bool(two_phase), segment_pos_bits)
+
+
+def _fold_impl(
+    changes: DataFrame,
+    keys: list[str],
+    two_phase: bool,
+    segment_pos_bits: int,
+) -> DataFrame:
     ev = F.struct(
         F.col("binlog_file"),
         F.col("binlog_pos"),

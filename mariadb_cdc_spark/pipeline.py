@@ -50,7 +50,10 @@ class CdcConfig:
     keys: list[str] = field(default_factory=lambda: ["repo", "path"])
     included_tables: list[str] | None = None
     excluded_tables: list[str] | None = None
-    two_phase_fold: bool = True
+    # "auto" = single-phase fold + learned-hot-key two-phase split (see
+    # operators.fold.fold_changes); True forces all-key two-phase (bootstrap
+    # of a known-skewed stream), False forces single-phase.
+    two_phase_fold: bool | str = "auto"
     use_latest_on_bad_position: bool = False  # MariadbCdcConfig.java:89-95
     apply_ddl: bool = True
 
@@ -81,9 +84,13 @@ def decoded_changes(
     return filter_tables(changes, include, cfg.excluded_tables)
 
 
-def fold_for_merge(changes: DataFrame, cfg: CdcConfig) -> DataFrame:
+def fold_for_merge(
+    changes: DataFrame, cfg: CdcConfig, hot_keys: list | None = None
+) -> DataFrame:
     keyed = extract_keys(changes, cfg.keys)
-    return fold_changes(keyed, cfg.keys, two_phase=cfg.two_phase_fold)
+    return fold_changes(
+        keyed, cfg.keys, two_phase=cfg.two_phase_fold, hot_keys=hot_keys
+    )
 
 
 def apply_batch(
@@ -146,6 +153,8 @@ def apply_batch(
 
     changes = decoded_changes(events, cfg, table_maps=table_maps)
 
+    hot_keys = table.metadata().get("hot_keys") or None
+
     bounds = [(r["binlog_file"], r["binlog_pos"]) for r in ddls] + [None]
     lo = None
     n_epochs = 0
@@ -160,7 +169,7 @@ def apply_batch(
             epoch = epoch.where(
                 F.struct("binlog_file", "binlog_pos") <= _pos_lit(hi)
             )
-        folded = fold_for_merge(epoch, cfg)
+        folded = fold_for_merge(epoch, cfg, hot_keys=hot_keys)
         res = table.merge(
             folded,
             stream_id=stream_id,
@@ -224,7 +233,10 @@ def apply_batch_multi(
         sub = changes.where(
             (F.lower("database") == db.lower()) & (F.lower("table") == tbl.lower())
         )
-        folded = fold_changes(extract_keys(sub, keys), keys)
+        folded = fold_changes(
+            extract_keys(sub, keys), keys,
+            hot_keys=lake.metadata().get("hot_keys") or None,
+        )
         res = lake.merge(folded, stream_id=stream_id, batch_id=None,
                          lineage=lineage)
         meta = lake.metadata()

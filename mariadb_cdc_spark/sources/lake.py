@@ -63,6 +63,10 @@ _INTERNAL = [(CDC_FILE, "string"), (CDC_POS, "long"), (CDC_IDX, "int"),
 class LakeTable:
     METADATA_DIR = "metadata"
     LATEST = "LATEST"
+    # Per-batch change count above which a key is marked hot for the next
+    # batch's skew-safe fold. A reducer folding ~100k changes is fine;
+    # millions (zipfian repos at 10^10-event scale) are not.
+    HOT_KEY_CHANGES = 100_000
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -209,8 +213,22 @@ class LakeTable:
             F.array_distinct(
                 F.flatten(F.collect_set(F.map_keys(F.col("image"))))
             ).alias("cols"),
+            # Learned skew: keys whose fold absorbed a huge change count this
+            # batch. Fed back into the next batch's fold as its two-phase hot
+            # set (operators.fold.fold_changes two_phase="auto").
+            F.slice(
+                F.collect_list(
+                    F.when(
+                        F.col("n_changes") >= F.lit(self.HOT_KEY_CHANGES),
+                        F.struct(*keys),
+                    )
+                ),
+                1,
+                10000,
+            ).alias("hot"),
         ).collect()[0]
         affected = sorted(stats["bks"])
+        meta["hot_keys"] = [[r[k] for k in keys] for r in stats["hot"]]
 
         # schema evolution: image keys not yet in the schema become new
         # string columns (metadata-only; DDL-driven typed evolution goes

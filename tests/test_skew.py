@@ -79,3 +79,58 @@ def test_hot_key_two_phase_equals_single_phase(spark):
     b = fold_changes(changes, ["repo", "path"], two_phase=True).collect()[0]
     assert a["final_op"] == b["final_op"]
     assert dict(a["image"]) == dict(b["image"])
+
+
+def test_auto_hot_split_equals_two_phase(spark):
+    """two_phase='auto' + explicit hot set: hot key routes through the
+    segmented fold, cold keys through single-phase; results identical."""
+    hot = _hot_key_changes(spark, 1000, 5)
+    cold = spark.createDataFrame(
+        [
+            ("INSERT", "bin.000001", 2, 0, None,
+             {"repo": "cold", "path": "q", "content": "c0"}),
+            ("UPDATE", "bin.000002", 2, 0, {"repo": "cold", "path": "q"},
+             {"content": "c1"}),
+        ],
+        hot.schema,
+    )
+    changes = extract_keys(hot.unionByName(cold), ["repo", "path"])
+    auto = fold_changes(
+        changes, ["repo", "path"], two_phase="auto", hot_keys=[("hot", "p")]
+    )
+    ref = fold_changes(changes, ["repo", "path"], two_phase=True)
+    a = {(r["repo"], r["path"]): r for r in auto.collect()}
+    b = {(r["repo"], r["path"]): r for r in ref.collect()}
+    assert set(a) == set(b) == {("hot", "p"), ("cold", "q")}
+    for k in a:
+        assert a[k]["final_op"] == b[k]["final_op"]
+        assert dict(a[k]["image"]) == dict(b[k]["image"])
+        assert a[k]["last_pos"] == b[k]["last_pos"]
+
+
+def test_merge_learns_hot_keys_and_feeds_next_fold(spark, tmp_path):
+    """LakeTable.merge records keys over HOT_KEY_CHANGES; apply_batch picks
+    them up for the next batch's fold."""
+    from pyspark.sql import types as T
+
+    from mariadb_cdc_spark.sources.lake import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, ["repo", "path"], n_buckets=4
+    )
+    old_th, LakeTable.HOT_KEY_CHANGES = LakeTable.HOT_KEY_CHANGES, 100
+    try:
+        changes = extract_keys(_hot_key_changes(spark, 500, 5), ["repo", "path"])
+        folded = fold_changes(changes, ["repo", "path"], two_phase=False)
+        table.merge(folded)
+        assert table.metadata()["hot_keys"] == [["hot", "p"]]
+    finally:
+        LakeTable.HOT_KEY_CHANGES = old_th
+    assert table.read().collect()[0]["content"] == "v499"
