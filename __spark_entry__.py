@@ -445,16 +445,22 @@ _H60 = "('0x' || substring(md5({x}), 1, 15))::BIGINT"
 
 
 def _minhash_cte(num_hashes: int = 16) -> str:
-    parts = []
-    for i in range(num_hashes):
-        salted = "'{}#' || sh".format(i)
-        parts.append(f"min({_H60.format(x=salted)}) as mh_{i}")
+    # Mirror of functions.dedup.minhash_signature: one md5 per shingle,
+    # h_i = (a_i * base + b_i) mod 2^31-1.
+    p = 2_147_483_647
+    parts = [
+        f"min(({31 * i + 17} * base + {101 * i + 7}) % {p}) as mh_{i}"
+        for i in range(num_hashes)
+    ]
     mins = ",\n               ".join(parts)
     return f"""
     sh as ({_SHINGLES}),
+    based as (select doc_id,
+                ('0x' || substring(md5(sh), 1, 8))::BIGINT % {p} as base
+              from sh),
     sig as (select doc_id as id,
                {mins}
-            from sh group by doc_id)
+            from based group by doc_id)
     """
 
 

@@ -1,0 +1,75 @@
+"""Bad-position recovery + resume-filter semantics (SURVEY.md S5/S6).
+
+Reference: a saved position the server no longer has (err 1236) either fails
+the start or falls back to the latest position, per
+usingLastPositionWhenBadPosition (DefaultBinaryLogWrapper.java:71-87,
+MariadbCdcConfig.java:89-95, MariadbCdc_BadSavedPosition_Test.java:46-123).
+Missing checkpoint = start from current master position (MariadbCdc.java:96-114).
+"""
+
+import pytest
+from pyspark.sql import types as T
+
+from mariadb_cdc_spark.sources.checkpoint import (
+    BadPositionError,
+    BinlogPosition,
+    events_after,
+    validate_position,
+)
+
+ENV_SCHEMA = T.StructType(
+    [
+        T.StructField("server_id", T.LongType()),
+        T.StructField("binlog_file", T.StringType()),
+        T.StructField("binlog_pos", T.LongType()),
+    ]
+)
+
+
+def _events(spark):
+    return spark.createDataFrame(
+        [
+            (1, "bin.000001", 100),
+            (1, "bin.000001", 200),
+            (1, "bin.000002", 50),
+            (2, "bin.000001", 400),
+        ],
+        ENV_SCHEMA,
+    )
+
+
+def test_no_saved_position_starts_from_beginning(spark):
+    assert validate_position(_events(spark), None) is None
+
+
+def test_valid_saved_position_kept(spark):
+    p = BinlogPosition("bin.000001", 200)
+    assert validate_position(_events(spark), p) == p
+
+
+def test_bad_position_raises_by_default(spark):
+    with pytest.raises(BadPositionError):
+        validate_position(_events(spark), BinlogPosition("bin.000009", 4))
+
+
+def test_bad_position_falls_back_to_latest_when_configured(spark):
+    got = validate_position(
+        _events(spark),
+        BinlogPosition("bin.000009", 4),
+        use_latest_on_bad_position=True,
+    )
+    assert got == BinlogPosition("bin.000002", 50)
+
+
+def test_events_after_filters_per_server(spark):
+    lineage = {"1": {"file": "bin.000001", "pos": 150}}
+    kept = sorted(
+        (r["server_id"], r["binlog_file"], r["binlog_pos"])
+        for r in events_after(_events(spark), lineage).collect()
+    )
+    # server 1 resumes after (000001,150); server 2 has no checkpoint -> all
+    assert kept == [
+        (1, "bin.000001", 200),
+        (1, "bin.000002", 50),
+        (2, "bin.000001", 400),
+    ]

@@ -38,7 +38,7 @@ def ev(op, pos, after=None, before=None, file="bin.000001", idx=0):
     return (op, file, pos, idx, before, after)
 
 
-@pytest.mark.parametrize("two_phase", [False, True])
+@pytest.mark.parametrize("two_phase", [False, True, "auto"])
 def test_insert_then_update_patch(spark, two_phase):
     rows = [
         ev("INSERT", 100, after={**K, "content": "v1", "lang": "py"}),
@@ -50,7 +50,7 @@ def test_insert_then_update_patch(spark, two_phase):
     assert img["content"] == "v2" and img["lang"] == "py"
 
 
-@pytest.mark.parametrize("two_phase", [False, True])
+@pytest.mark.parametrize("two_phase", [False, True, "auto"])
 def test_delete_wins_when_last(spark, two_phase):
     rows = [
         ev("INSERT", 100, after={**K, "content": "v1"}),
@@ -61,7 +61,7 @@ def test_delete_wins_when_last(spark, two_phase):
     assert res[("r1", "a.txt")][0] == "DELETE"
 
 
-@pytest.mark.parametrize("two_phase", [False, True])
+@pytest.mark.parametrize("two_phase", [False, True, "auto"])
 def test_delete_then_reinsert(spark, two_phase):
     rows = [
         ev("INSERT", 100, after={**K, "content": "v1"}),
@@ -73,7 +73,7 @@ def test_delete_then_reinsert(spark, two_phase):
     assert op == "UPSERT" and img["content"] == "v3"
 
 
-@pytest.mark.parametrize("two_phase", [False, True])
+@pytest.mark.parametrize("two_phase", [False, True, "auto"])
 def test_update_after_delete_recreates(spark, two_phase):
     rows = [
         ev("INSERT", 100, after={**K, "content": "v1", "lang": "py"}),
@@ -87,7 +87,7 @@ def test_update_after_delete_recreates(spark, two_phase):
     assert "lang" not in img  # pre-delete state must not leak through
 
 
-@pytest.mark.parametrize("two_phase", [False, True])
+@pytest.mark.parametrize("two_phase", [False, True, "auto"])
 def test_order_across_files_and_rows(spark, two_phase):
     # later file wins over earlier file regardless of pos magnitude
     rows = [
@@ -98,7 +98,7 @@ def test_order_across_files_and_rows(spark, two_phase):
     assert res[("r1", "a.txt")][1]["content"] == "new"
 
 
-@pytest.mark.parametrize("two_phase", [False, True])
+@pytest.mark.parametrize("two_phase", [False, True, "auto"])
 def test_row_idx_breaks_ties(spark, two_phase):
     # two rows in one multi-row event touching the same key: higher idx wins
     rows = [

@@ -72,7 +72,7 @@ def test_fold_matches_sequential_on_random_sequences(spark):
     df = extract_keys(
         spark.createDataFrame(rows, CHANGE_SCHEMA), ["repo", "path"]
     )
-    for two_phase in (False, True):
+    for two_phase in (False, True, "auto"):
         out = fold_changes(df, ["repo", "path"], two_phase=two_phase)
         got = {
             (r["repo"], r["path"]): (
