@@ -47,11 +47,18 @@ def _bucket_col(keys: list[str], n_buckets: int) -> F.Column:
 
 # Hidden per-row CDC columns: the binlog position that produced the row, plus
 # a tombstone flag. They make MERGE *position-gated* — an update only applies
-# if it is newer than what the row already reflects, and deletes leave
-# tombstones — so applying batches out of order, or replaying any suffix,
-# converges to the same table (a stronger guarantee than the reference's
-# in-order-only at-least-once stream; this is the "window/lag dedup" LWW
-# rule from BASELINE.json enforced at the storage layer too).
+# if it is strictly newer than what the row already reflects, and deletes
+# leave tombstones. Guarantees (test_e2e.py):
+#   - replaying ANY suffix of already-applied events is a no-op (replayed
+#     positions are never newer) — the at-least-once upgrade;
+#   - full-row-image batches converge even applied OUT OF ORDER
+#     (test_out_of_order_batches_converge_full_image);
+#   - minimal-row-image streams additionally require in-order epoch
+#     delivery, which Structured Streaming's sequential foreachBatch
+#     provides (a row-level gate cannot make partial patches commutative —
+#     that would need per-column write positions on every row).
+# This is the "window/lag dedup" LWW rule from BASELINE.json enforced at the
+# storage layer too.
 CDC_FILE = "_cdc_file"
 CDC_POS = "_cdc_pos"
 CDC_IDX = "_cdc_idx"

@@ -144,3 +144,52 @@ def test_resume_from_lineage(spark, sf_dir, tmp_table_path):
     )
     assert _lake_hashes(one_shot) == _lake_hashes(resumed)
     events.unpersist()
+
+
+def test_out_of_order_batches_converge_full_image(spark, sf_dir, tmp_table_path):
+    """Position-gated MERGE commutativity: for FULL-row-image streams,
+    applying the LATER half of the log before the EARLIER half converges to
+    the same table as in-order apply (lake.py CDC gate columns).
+
+    Scope note (validated by construction): with binlog_row_image=minimal a
+    row-level gate cannot be commutative — a late partial UPDATE that lands
+    first creates a row missing the earlier INSERT's columns, and the gate
+    then correctly refuses the older INSERT. Making THAT commutative needs
+    per-column write positions (storage cost on every row, always). The
+    engine instead relies on in-order epoch delivery — which Structured
+    Streaming's sequential foreachBatch guarantees — and keeps the row gate
+    for what it is needed for: suffix REPLAY (replayed positions are never
+    newer, so replays no-op; test_replay_duplicate_suffix_absorbed)."""
+    repo = repo_table(spark, sf_dir)
+    all_events = generate_events(repo, rows_per_event=3)
+    # keep full-image events only: drop UPDATE_ROWS whose after-images are
+    # partial (minimal row image, gen wave 2)
+    events = all_events.where(
+        (F.col("event_type") != "UPDATE_ROWS")
+        | (F.size(F.element_at("rows_after", 1)) >= 5)
+    ).cache()
+    mid = events.approxQuantile("binlog_pos", [0.5], 0.0)[0]
+    early = events.where(F.col("binlog_pos") <= mid)
+    # a real binlog fetch always carries the TABLE_MAPs preceding its rows
+    # events (the server re-emits them per transaction); the late half gets
+    # its control-plane context the same way
+    late = events.where(F.col("binlog_pos") > mid).unionByName(
+        events.where(F.col("event_type") == "TABLE_MAP")
+    )
+    cfg = CdcConfig()
+
+    in_order = LakeTable.create(
+        spark, tmp_table_path + "_in", REPO_SCHEMA, MERGE_KEYS, n_buckets=8
+    )
+    apply_batch(early, in_order, cfg)
+    apply_batch(late, in_order, cfg)
+
+    reordered = LakeTable.create(
+        spark, tmp_table_path + "_re", REPO_SCHEMA, MERGE_KEYS, n_buckets=8
+    )
+    apply_batch(late, reordered, cfg)
+    apply_batch(early, reordered, cfg)
+
+    assert _lake_hashes(reordered) == _lake_hashes(in_order)
+    assert len(_lake_hashes(in_order)) > 50
+    events.unpersist()
