@@ -116,10 +116,12 @@ def apply_batch(
         events = events_after(events, table.lineage())
 
     # Control-plane passes (lineage agg, TABLE_MAP registry, DDL collect)
-    # only touch envelope columns; caching a row-image-free projection makes
-    # each of those scans O(envelope) instead of re-reading the wide event
-    # rows (the row images dominate event bytes by ~100x).
-    ctrl = events.drop("rows_before", "rows_after").persist()
+    # only touch envelope columns; the explicit projection lets Catalyst
+    # push column pruning into the scan so none of these passes read the row
+    # images (which dominate event bytes ~100x). Measured: direct pruned
+    # scans beat caching the projection (cache build costs a full
+    # deserialize; each pruned parquet scan is ~0.3s at bench scale).
+    ctrl = events.drop("rows_before", "rows_after")
 
     lineage = batch_lineage(ctrl)
 
@@ -191,7 +193,6 @@ def apply_batch(
     meta["table_maps"] = _latest_maps(table_maps)
     meta["version"] += 1
     table._write_metadata(meta)
-    ctrl.unpersist()
 
     total["epochs"] = n_epochs
     total["lineage"] = lineage
@@ -221,7 +222,7 @@ def apply_batch_multi(
         apply_ddl=False,
     )
     # shared scan: decode + registry once, then per-table filter/fold/merge
-    ctrl = events.drop("rows_before", "rows_after").persist()
+    ctrl = events.drop("rows_before", "rows_after")
     registry = _load_registry(ctrl, next(iter(tables.values()))[0])
     changes = decoded_changes(events, base_cfg, table_maps=registry).persist()
     lineage = batch_lineage(ctrl)
@@ -247,7 +248,6 @@ def apply_batch_multi(
         lake._write_metadata(meta)
         results[(db, tbl)] = res
     changes.unpersist()
-    ctrl.unpersist()
     return results
 
 
