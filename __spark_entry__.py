@@ -301,6 +301,20 @@ def q_dedup_minhash_lsh(spark, sf):
     )
 
 
+def q_dedup_groups(spark, sf):
+    """Transitive near-dup groups: LSH pairs -> connected components
+    (iterative min-label propagation; DuckDB oracle = recursive CTE)."""
+    from mariadb_cdc_spark.functions.dedup import (
+        duplicate_components,
+        minhash_dedup_pairs,
+    )
+
+    pairs = minhash_dedup_pairs(
+        _docs(spark, sf), n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    return duplicate_components(pairs)
+
+
 def q_dedup_simhash(spark, sf):
     from mariadb_cdc_spark.functions.dedup import simhash
 
@@ -407,6 +421,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_groups": q_dedup_groups,
     "dedup_simhash": q_dedup_simhash,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -635,6 +650,31 @@ def oracle_sql() -> dict[str, str]:
             join sig sa on id_a = sa.id
             join sig sb on id_b = sb.id
             where ({agree}) * 1.0 / {num_hashes} >= 0.5
+        """,
+        "dedup_groups": f"""
+            with recursive {_minhash_cte(num_hashes)},
+            banded as (select id, {band_exprs} from sig),
+            stacked as (
+              {' union all '.join(f"select id, {b} as band, band_{b} as bucket from banded" for b in range(bands))}),
+            cands as (select distinct a.id id_a, b.id id_b
+                      from stacked a join stacked b
+                        on a.band = b.band and a.bucket = b.bucket
+                       and a.id < b.id),
+            pairs as (select id_a, id_b
+                      from cands
+                      join sig sa on id_a = sa.id
+                      join sig sb on id_b = sb.id
+                      where ({agree}) * 1.0 / {num_hashes} >= 0.5),
+            edges as (select id_a as a, id_b as b from pairs
+                      union
+                      select id_b as a, id_a as b from pairs),
+            reach(id, r) as (
+              select a, a from edges
+              union
+              select e.a, r.r from edges e join reach r on e.b = r.id
+            )
+            select id as doc_id, min(r) as canonical_id
+            from reach group by id
         """,
         "dedup_simhash": f"""
             with toks as (

@@ -134,3 +134,17 @@ def test_decode_stub_raises():
 
     with _pytest.raises(NotImplementedError):
         _decode_image_stub(b"\x89PNG")
+
+
+def test_duplicate_components_transitive_chain(spark):
+    """A~B, B~C, D~E: components {A,B,C} and {D,E}; canonical = min id."""
+    from mariadb_cdc_spark.functions.dedup import duplicate_components
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (7, 9)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in duplicate_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
