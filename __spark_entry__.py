@@ -237,6 +237,59 @@ def q_cdc_pipeline_e2e(spark, sf):
     return table.read()
 
 
+def q_cdc_multi_table(spark, sf):
+    """Multi-table apply (S7: the reference delivers every table's changes
+    through ONE listener): one decode+registry pass fans out to per-table
+    fold/MERGE; returns the union of both final tables tagged by name.
+    Rows-only check (stateful engine path); value-level verification is
+    tests/test_multi_table.py."""
+    from mariadb_cdc_spark.gen import (
+        AUDIT_TABLE, AUDIT_TABLE_ID, MAIN_DATABASE, MAIN_TABLE, MERGE_KEYS,
+        generate_events, repo_table,
+    )
+    from mariadb_cdc_spark.pipeline import apply_batch_multi
+    from mariadb_cdc_spark.sources.lake import LakeTable
+    from pyspark.sql import types as T
+
+    repo = repo_table(spark, sf)
+    events = generate_events(repo, include_audit=True)
+    tmp = tempfile.mkdtemp(prefix="cdc_q_multi_")
+    repo_schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    audit_schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in
+         ["audit_id", "repo", "action"]]
+    )
+    main = LakeTable.create(
+        spark, f"{tmp}/repo_files", repo_schema, MERGE_KEYS, n_buckets=8
+    )
+    audit = LakeTable.create(
+        spark, f"{tmp}/audit", audit_schema, ["audit_id"], n_buckets=4
+    )
+    apply_batch_multi(
+        events,
+        {
+            (MAIN_DATABASE, MAIN_TABLE): (main, MERGE_KEYS),
+            (MAIN_DATABASE, AUDIT_TABLE): (audit, ["audit_id"]),
+        },
+        stream_id="qmulti",
+        batch_id=0,
+    )
+    a = main.read().select(
+        F.lit(MAIN_TABLE).alias("table_name"),
+        F.col("repo").alias("k1"),
+        F.col("path").alias("k2"),
+    )
+    b = audit.read().select(
+        F.lit(AUDIT_TABLE).alias("table_name"),
+        F.col("audit_id").alias("k1"),
+        F.col("repo").alias("k2"),
+    )
+    return a.unionByName(b)
+
+
 def q_cdc_gap_sessions(spark, sf):
     """S8 liveness / sessionization: lag + cumulative gap count per key
     (the streaming session_window shape, expressed batch-wise)."""
@@ -325,8 +378,8 @@ def q_text_quality(spark, sf):
     from mariadb_cdc_spark.functions.text import quality_features
 
     return quality_features(_docs(spark, sf)).select(
-        "doc_id", "n_chars", "n_tokens", "n_punct", "n_stopwords",
-        "passes_quality",
+        "doc_id", "n_chars", "n_tokens", "n_subwords", "n_punct",
+        "n_stopwords", "passes_quality",
     )
 
 
@@ -416,6 +469,7 @@ QUERIES: dict[str, Callable] = {
     "cdc_partial_image_fold": q_cdc_partial_image_fold,
     "cdc_epoch_split": q_cdc_epoch_split,
     "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
+    "cdc_multi_table": q_cdc_multi_table,
     "cdc_gap_sessions": q_cdc_gap_sessions,
     "cdc_type_overlap": q_cdc_type_overlap,
     "dedup_exact": q_dedup_exact,
@@ -692,6 +746,8 @@ def oracle_sql() -> dict[str, str]:
                    length(text) as n_chars,
                    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
                                    t -> t != '')) as n_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\r\n]+')) as n_subwords,
                    length(text) - length(regexp_replace(text,
                        '[.,;:!?''"()\[\]{}]', '', 'g')) as n_punct,
                    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),

@@ -30,6 +30,20 @@ def token_count(col) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pre-tokenizer shape: letter runs, SINGLE digits (BPE vocabs
+# split numbers), runs of other symbols. Explicit character classes (no \s /
+# \p) so Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\r\\n]+"
+
+
+def subword_count(col) -> Column:
+    """BPE-ish subword token count — the LLM-cost estimator companion to the
+    whitespace count (a budget/stats column every training-data pipeline
+    carries). Pure Catalyst regexp, no UDF."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
 def word_match_count(col, words: list[str]) -> Column:
     """How many tokens of `col` are in `words` (case-insensitive)."""
     toks = tokens(F.lower(col))
@@ -52,6 +66,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
+        subword_count(c).alias("n_subwords"),
         n_punct.alias("n_punct"),
         n_stop.alias("n_stopwords"),
         F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
