@@ -270,43 +270,53 @@ _REGISTRY_SCHEMA = (
 
 
 def _load_registry(events: DataFrame, table: LakeTable) -> DataFrame:
-    """Union the batch's TABLE_MAPs with the persisted registry.
+    """One control-plane collect: the batch's TABLE_MAPs + the persisted
+    registry, returned as a driver-built LOCAL relation.
 
-    Persisted entries are rewritten to position (-inf) — they represent state
-    accumulated BEFORE this batch (the reference's TableInfos map is simply
-    "currently mapped", with no position qualifier), so they must resolve any
-    event in the batch, including out-of-order ones that precede the map's
-    original position.
+    TABLE_MAPs are O(tables x binlog files) control rows — the reference
+    holds them all in one in-memory Map (shyikobinlog/TableInfos.java), and
+    this engine does the same per batch: collect once, merge with the
+    persisted registry in Python, and hand the as-of join a local relation
+    (no second scan of the event source for the broadcast side; the
+    _latest_maps persistence below becomes pure Python, zero extra jobs).
+    At pathological map volume, coalesce identical-metadata islands in
+    Spark before collecting — resolve_table_metadata already does that
+    island dedup on whatever it is given.
+
+    Persisted entries are rewritten to position (-inf) — they represent
+    state accumulated BEFORE this batch (the reference's TableInfos map is
+    simply "currently mapped", with no position qualifier), so they must
+    resolve any event in the batch, including out-of-order ones that
+    precede the map's original position.
     """
-    batch_maps = table_map_registry(events)
-    persisted = table.metadata().get("table_maps", [])
-    if not persisted:
-        return batch_maps
-    spark = events.sparkSession
-    rows = []
-    for m in persisted:
+    rows = [
+        tuple(r[c] for c in _REGISTRY_COLS)
+        for r in table_map_registry(events).collect()
+    ]
+    for m in table.metadata().get("table_maps", []):
         d = dict(m)
         d["binlog_file"] = ""  # sorts before every real file name
         d["binlog_pos"] = -1
         rows.append(tuple(d[c] for c in _REGISTRY_COLS))
-    pdf = spark.createDataFrame(rows, _REGISTRY_SCHEMA)
-    return batch_maps.unionByName(pdf)
+    return events.sparkSession.createDataFrame(rows, _REGISTRY_SCHEMA)
 
 
 def _latest_maps(table_maps: DataFrame) -> list[dict]:
-    """Latest TABLE_MAP per (server_id, table_id), as JSON-able dicts."""
-    rows = (
-        table_maps.groupBy("server_id", "table_id")
-        .agg(
-            F.max_by(
-                F.struct(*_REGISTRY_COLS),
-                F.struct("binlog_file", "binlog_pos"),
-            ).alias("m")
-        )
-        .select("m.*")
-        .collect()
-    )
-    return [{c: r[c] for c in _REGISTRY_COLS} for r in rows]
+    """Latest TABLE_MAP per (server_id, table_id), as JSON-able dicts.
+
+    `table_maps` is the local relation built by _load_registry, so this is
+    a driver-side fold over already-collected control rows — no Spark job.
+    """
+    latest: dict[tuple, dict] = {}
+    for r in table_maps.collect():
+        key = (r["server_id"], r["table_id"])
+        cur = latest.get(key)
+        if cur is None or (r["binlog_file"], r["binlog_pos"]) >= (
+            cur["binlog_file"],
+            cur["binlog_pos"],
+        ):
+            latest[key] = {c: r[c] for c in _REGISTRY_COLS}
+    return [latest[k] for k in sorted(latest)]
 
 
 def _pos_lit(p: tuple) -> F.Column:
