@@ -36,7 +36,7 @@ from .operators.registry import (
     table_map_registry,
 )
 from .schema import EVT_QUERY
-from .sources.checkpoint import batch_lineage, events_after
+from .sources.checkpoint import batch_lineage, events_after, gate_on_xid
 from .sources.lake import LakeTable
 
 
@@ -56,6 +56,11 @@ class CdcConfig:
     two_phase_fold: bool | str = "auto"
     use_latest_on_bad_position: bool = False  # MariadbCdcConfig.java:89-95
     apply_ddl: bool = True
+    # Apply only XID-committed transactions; events past each server's last
+    # XID are held for the next batch via the lineage/resume contract
+    # (checkpoint.gate_on_xid; reference onXid semantics,
+    # MariadbCdcListener.java:17-22).
+    gate_on_xid: bool = False
 
 
 def decoded_changes(
@@ -114,6 +119,8 @@ def apply_batch(
 
     if resume_from_lineage:
         events = events_after(events, table.lineage())
+    if cfg.gate_on_xid:
+        events = gate_on_xid(events)
 
     # Control-plane passes (lineage agg, TABLE_MAP registry, DDL collect)
     # only touch envelope columns; the explicit projection lets Catalyst

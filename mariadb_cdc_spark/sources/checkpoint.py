@@ -119,3 +119,40 @@ def validate_position(
             f"saved position {saved} beyond available log end {latest}"
         )
     return saved
+
+
+def gate_on_xid(events: DataFrame) -> DataFrame:
+    """Keep only events covered by a committed transaction (XID seen).
+
+    The reference surfaces XID as the transaction-commit marker
+    (MariadbCdcListener.onXid, shyikobinlog/BinaryLogEventProcessor.java:103-105);
+    gating the apply on it means a batch cut mid-transaction never applies a
+    partial transaction. Events past each server's last XID are HELD: they
+    are excluded from the batch AND from its lineage, so the next batch
+    (resume_from_lineage / streaming offset) re-reads them once their commit
+    arrives — transactional atomicity from a plain envelope filter plus the
+    existing resume contract, no buffering state anywhere.
+
+    TABLE_MAP / FORMAT_DESCRIPTION pass through untouched: they never
+    advance the position (filters.position_advancing) and the held rows
+    need their mapping context on replay.
+    """
+    from ..schema import EVT_XID, NO_POSITION_SAVE_TYPES
+
+    commits = (
+        events.where(F.col("event_type") == EVT_XID)
+        .groupBy("server_id")
+        .agg(F.max(F.struct("binlog_file", "binlog_pos")).alias("p"))
+        .collect()
+    )
+    pred = F.col("event_type").isin(*NO_POSITION_SAVE_TYPES)
+    for r in commits:
+        upto = F.struct(
+            F.lit(r["p"]["binlog_file"]).alias("binlog_file"),
+            F.lit(int(r["p"]["binlog_pos"])).cast("long").alias("binlog_pos"),
+        )
+        pred = pred | (
+            (F.col("server_id") == int(r["server_id"]))
+            & (F.struct(F.col("binlog_file"), F.col("binlog_pos")) <= upto)
+        )
+    return events.where(pred)

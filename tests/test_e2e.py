@@ -193,3 +193,70 @@ def test_out_of_order_batches_converge_full_image(spark, sf_dir, tmp_table_path)
     assert _lake_hashes(reordered) == _lake_hashes(in_order)
     assert len(_lake_hashes(in_order)) > 50
     events.unpersist()
+
+
+def test_xid_gate_holds_uncommitted_tail_until_commit(spark, sf_dir, tmp_table_path):
+    """gate_on_xid: a batch cut mid-transaction applies nothing past the
+    last XID; its lineage stops there too, so the next batch's
+    resume_from_lineage re-reads and applies the held tail once its commit
+    arrives — transactional atomicity via the resume contract."""
+    repo = repo_table(spark, sf_dir)
+    events = generate_events(repo, rows_per_event=3).cache()
+
+    # last XID position = the commit horizon of batch 1
+    horizon = (
+        events.where(F.col("event_type") == "XID")
+        .agg(F.max(F.struct("binlog_file", "binlog_pos")).alias("p"))
+        .collect()[0]["p"]
+    )
+    # batch 1 = everything up to just after the LAST rows-event (so it ends
+    # mid "transaction": rows past the horizon, commit not included)
+    cfg = CdcConfig(gate_on_xid=True)
+    table = LakeTable.create(
+        spark, tmp_table_path, REPO_SCHEMA, MERGE_KEYS, n_buckets=8
+    )
+    apply_batch(events, table, cfg, stream_id="x", batch_id=0)
+
+    # only events <= horizon were applied
+    st = replay(
+        [
+            e
+            for e in _collect_events(events)
+            if (e["binlog_file"], e["binlog_pos"])
+            <= (horizon["binlog_file"], horizon["binlog_pos"])
+            or e["event_type"] in ("TABLE_MAP", "FORMAT_DESCRIPTION")
+        ],
+        MERGE_KEYS,
+        included=[f"{MAIN_DATABASE}.{MAIN_TABLE}"],
+    )
+    expected_gated = content_hashes(st, (MAIN_DATABASE, MAIN_TABLE), MERGE_KEYS)
+    assert _lake_hashes(table) == expected_gated
+    # lineage stopped at the horizon
+    lin = table.lineage()["1"]
+    assert (lin["file"], lin["pos"]) == (
+        horizon["binlog_file"],
+        horizon["binlog_pos"],
+    )
+
+    # batch 2: same stream with the tail now committed (a trailing XID);
+    # resume_from_lineage re-reads the held events past the horizon
+    tail_commit = events.sparkSession.createDataFrame(
+        [(
+            1, "bin.999999", 4, "XID", None, None, None, None, None, None,
+            None, None, None, None, None, None, 424242, None, None,
+        )],
+        events.schema,
+    )
+    events2 = events.unionByName(tail_commit)
+    apply_batch(
+        events2, table, CdcConfig(gate_on_xid=True), stream_id="x",
+        batch_id=1, resume_from_lineage=True,
+    )
+    st_full = replay(
+        _collect_events(events),
+        MERGE_KEYS,
+        included=[f"{MAIN_DATABASE}.{MAIN_TABLE}"],
+    )
+    expected_full = content_hashes(st_full, (MAIN_DATABASE, MAIN_TABLE), MERGE_KEYS)
+    assert _lake_hashes(table) == expected_full
+    events.unpersist()
