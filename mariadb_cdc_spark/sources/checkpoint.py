@@ -74,17 +74,22 @@ def batch_lineage(events: DataFrame) -> dict:
 def events_after(events: DataFrame, lineage: dict) -> DataFrame:
     """Keep only events strictly after each server's saved position.
 
-    (file, pos) tuple-compare via a struct comparison — stays a Catalyst
-    predicate on envelope columns (pushdown-friendly).
+    The (file, pos) tuple-compare is deliberately expanded into flat
+    column-vs-literal atoms — `file > f OR (file = f AND pos > p)` — instead
+    of a struct comparison: every leaf is parquet-pushable, so the whole
+    predicate lands in the scan's pushed filters and row groups of
+    fully-consumed binlog files are skipped by their min/max stats. At
+    10^10-event scale, resuming near the tip prunes almost the entire
+    history without reading it.
     """
     if not lineage:
         return events
     pred = F.lit(False)
     saved_servers = [int(s) for s in lineage]
     for sid, p in lineage.items():
-        after = F.struct(F.col("binlog_file"), F.col("binlog_pos")) > F.struct(
-            F.lit(p["file"]).alias("binlog_file"),
-            F.lit(int(p["pos"])).cast("long").alias("binlog_pos"),
+        f, pos = F.lit(p["file"]), F.lit(int(p["pos"])).cast("long")
+        after = (F.col("binlog_file") > f) | (
+            (F.col("binlog_file") == f) & (F.col("binlog_pos") > pos)
         )
         pred = pred | ((F.col("server_id") == int(sid)) & after)
     pred = pred | ~F.col("server_id").isin(saved_servers)
