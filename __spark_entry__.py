@@ -295,17 +295,18 @@ def q_cdc_gap_sessions(spark, sf):
     (the streaming session_window shape, expressed batch-wise)."""
     ev = _ev(spark, sf)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet ts is TIMESTAMP_NTZ; cast via timestamp (session TZ pinned to
-    # UTC) to epoch seconds — matches DuckDB's epoch(ts) on naive timestamps
-    epoch = F.col("ts").cast("timestamp").cast("long")
-    gap = epoch - F.lag(epoch).over(w)
+    # parquet ts is TIMESTAMP_NTZ; both sides compare MICROSECOND epochs
+    # (Spark unix_micros vs DuckDB epoch_us) so sub-second parts can never
+    # flip a gap>3600s decision differently on the two engines.
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = epoch_us - F.lag(epoch_us).over(w)
     wc = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        ev.withColumn("new_sess", F.when(gap > 3600, 1).otherwise(0))
+        ev.withColumn("new_sess", F.when(gap > 3600 * 1_000_000, 1).otherwise(0))
         .withColumn("session_id", F.sum("new_sess").over(wc))
         .groupBy("user_id", "session_id")
         .agg(
@@ -586,7 +587,7 @@ def oracle_sql() -> dict[str, str]:
               union all
               select e.* from events e, mx where e.event_id >= 0.8 * mx.m),
             ded as (select distinct * from stream)
-            select event_type, count(*) as n, sum(event_id) as sum_id
+            select event_type, count(*) as n, sum(event_id)::BIGINT as sum_id
             from ded group by event_type
         """,
         "cdc_registry_join": """
@@ -635,7 +636,7 @@ def oracle_sql() -> dict[str, str]:
             from last group by user_id
         """,
         "cdc_epoch_split": """
-            select user_id, epoch, count(*) as n_events
+            select user_id, epoch::BIGINT as epoch, count(*) as n_events
             from (select user_id,
                          sum(case when event_type = 'signup' then 1 else 0 end)
                            over (partition by user_id order by ts, event_id
@@ -646,8 +647,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_gap_sessions": """
             with g as (
               select user_id, event_id, ts,
-                     case when epoch(ts) - epoch(lag(ts) over
-                       (partition by user_id order by ts, event_id)) > 3600
+                     case when epoch_us(ts) - epoch_us(lag(ts) over
+                       (partition by user_id order by ts, event_id))
+                       > 3600000000
                        then 1 else 0 end as new_sess
               from events),
             s as (select user_id, event_id,
@@ -655,7 +657,8 @@ def oracle_sql() -> dict[str, str]:
                            order by ts, event_id rows unbounded preceding)
                            as session_id
                   from g)
-            select user_id, session_id, count(*) as n_events,
+            select user_id, session_id::BIGINT as session_id,
+                   count(*) as n_events,
                    min(event_id) as first_event, max(event_id) as last_event
             from s group by user_id, session_id
         """,

@@ -78,11 +78,18 @@ def repo_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _full_image(prefix: str = "") -> F.Column:
-    """map<string,string> image of the current repo-row columns."""
+def _full_image(prefix: str = "", overrides: dict[str, F.Column] | None = None) -> F.Column:
+    """map<string,string> image of the current repo-row columns.
+
+    `overrides` substitutes final values per column at map-construction time,
+    so every image is built by ONE create_map with unique keys — no
+    map_concat over duplicates, no dependence on a non-default
+    spark.sql.mapKeyDedupPolicy.
+    """
+    overrides = overrides or {}
     pairs = []
     for c in MAIN_COLUMNS:
-        pairs.extend([F.lit(c), F.col(prefix + c)])
+        pairs.extend([F.lit(c), overrides.get(c, F.col(prefix + c))])
     return F.create_map(*pairs)
 
 
@@ -113,21 +120,12 @@ def generate_changes(repo_df: DataFrame) -> DataFrame:
     )
 
     full0 = _full_image()
-    full1 = F.map_concat(
-        full0,
-        F.create_map(
-            F.lit("content"), rev2_content, F.lit("commit"), commit2
-        ),
-    )
+    full1 = _full_image(overrides={"content": rev2_content, "commit": commit2})
     # state after wave 1 (if it ran) else wave 0 — used as DELETE before-image
     full_after_upd = F.when(gate < 60, full1).otherwise(full0)
     partial2 = F.create_map(F.lit("content"), rev3_content)
-    resurrect = F.map_concat(
-        full0,
-        F.create_map(
-            F.lit("content"),
-            F.concat(F.col("content"), F.lit("\n// resurrected")),
-        ),
+    resurrect = _full_image(
+        overrides={"content": F.concat(F.col("content"), F.lit("\n// resurrected"))}
     )
 
     def _op(wave, op, before, after, cond):

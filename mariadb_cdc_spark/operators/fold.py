@@ -43,6 +43,21 @@ from ..schema import OP_DELETE, OP_INSERT, OP_UPDATE
 EMPTY_MAP = "cast(map() as map<string,string>)"
 
 
+def _merge_maps(base: Column, patch: Column) -> Column:
+    """Last-win map merge that is safe under the DEFAULT
+    spark.sql.mapKeyDedupPolicy=EXCEPTION: keys of `patch` are removed from
+    `base` before concatenation, so map_concat never sees a duplicate key.
+
+    This keeps the engine runnable on a stock SparkSession (no session-level
+    conf dependency) while preserving the reference's per-column-overwrite
+    apply semantics (shyikobinlog/BinaryLogEventProcessor.java:81-101).
+    """
+    return F.map_concat(
+        F.map_filter(base, lambda k, _v: ~F.map_contains_key(patch, k)),
+        patch,
+    )
+
+
 def extract_keys(changes: DataFrame, keys: list[str]) -> DataFrame:
     """Lift merge-key values out of the row images into top-level columns.
 
@@ -79,7 +94,7 @@ def _apply_event(acc: Column, x: Column) -> Column:
             _state(
                 acc["is_set"],
                 F.lit(False),
-                F.map_concat(
+                _merge_maps(
                     F.when(acc["deleted"], F.expr(EMPTY_MAP)).otherwise(acc["img"]),
                     after,
                 ),
@@ -94,7 +109,7 @@ def _combine(acc: Column, seg: Column) -> Column:
         _state(
             acc["is_set"],
             F.lit(False),
-            F.map_concat(
+            _merge_maps(
                 F.when(acc["deleted"], F.expr(EMPTY_MAP)).otherwise(acc["img"]),
                 seg["img"],
             ),
@@ -233,7 +248,7 @@ def _reset_patch_fold(changes: DataFrame, keys: list[str]) -> DataFrame:
         _cmp_by(lambda x: x["pos"]),
     )
     image = F.aggregate(
-        live_patches, base, lambda acc, p: F.map_concat(acc, p["img"])
+        live_patches, base, lambda acc, p: _merge_maps(acc, p["img"])
     )
 
     return agg.select(

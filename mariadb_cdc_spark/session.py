@@ -24,9 +24,10 @@ def get_spark(
     Scale notes (these matter at 100 TB, and are cheap locally):
       - AQE on: runtime partition coalescing + skew-join splitting so the
         merge-apply shuffle survives zipfian repo/table skew.
-      - mapKeyDedupPolicy=LAST_WIN: partial-image folds use map_concat where
-        the *later* image wins per column (binlog_row_image=minimal
-        semantics, reference README.md:200-235).
+      - NO mapKeyDedupPolicy override: every map build/merge in the engine
+        is duplicate-key-free by construction (operators.fold._merge_maps),
+        so the engine runs under a stock SparkSession (default EXCEPTION
+        policy) — tests/conftest.py deliberately uses defaults to prove it.
       - Arrow enabled: every Python-side kernel is a vectorized pandas UDF,
         never per-row Python.
       - UTC session TZ: deterministic vs the DuckDB oracle.
@@ -44,7 +45,6 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")

@@ -260,3 +260,22 @@ def test_xid_gate_holds_uncommitted_tail_until_commit(spark, sf_dir, tmp_table_p
     expected_full = content_hashes(st_full, (MAIN_DATABASE, MAIN_TABLE), MERGE_KEYS)
     assert _lake_hashes(table) == expected_full
     events.unpersist()
+
+
+def test_engine_runs_under_stock_map_key_policy(spark, tmp_table_path):
+    """VERDICT r1 #1: the engine must run under a stock SparkSession.
+
+    The session fixture sets no mapKeyDedupPolicy, so the default EXCEPTION
+    policy is active; any duplicate-key map build anywhere in the pipeline
+    would throw DUPLICATED_MAP_KEY here.
+    """
+    assert (
+        spark.conf.get("spark.sql.mapKeyDedupPolicy").upper() == "EXCEPTION"
+    )
+    repo = repo_table(spark, "/root/testdata/sf0.001")
+    events = generate_events(repo, rows_per_event=2)
+    table = LakeTable.create(
+        spark, tmp_table_path, REPO_SCHEMA, MERGE_KEYS, n_buckets=8
+    )
+    apply_batch(events, table, CdcConfig(), stream_id="stock", batch_id=0)
+    assert table.read().count() > 0
