@@ -352,6 +352,7 @@ def duplicate_components(
         .withColumn("label", F.col("id"))
         .persist()
     )
+    changed = 0
     for _ in range(max_iter):
         prop = edges.join(labels, edges["a"] == labels["id"]).select(
             F.col("b").alias("id"), F.col("label")
@@ -372,7 +373,18 @@ def duplicate_components(
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
-    return labels.select(
+    if changed > 0:
+        raise RuntimeError(
+            f"duplicate_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); the component diameter "
+            f"exceeds max_iter — raise max_iter or switch to "
+            f"large-star/small-star contraction"
+        )
+    # Materialize with truncated lineage, then release every cached
+    # intermediate — callers get a self-contained result, no cache leak.
+    out = labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("canonical_id")
-    )
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
+    edges.unpersist()
+    return out

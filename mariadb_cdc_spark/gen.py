@@ -348,11 +348,18 @@ def generate_events(
             AUDIT_COLUMNS,
             [FIELD_TYPE["LONGLONG"], FIELD_TYPE["VARCHAR"], FIELD_TYPE["VARCHAR"]],
         )
-        aw = Window.partitionBy(F.lit(1)).orderBy("key_hash", "repo", "path")
+        # Bucketed slot numbering (same scheme as the main table): arn is
+        # unique and deterministic without a single-task global window —
+        # n_buckets-way parallel row_numbers, offset by bucket * cap.
+        aw = Window.partitionBy("abucket").orderBy("key_hash", "repo", "path")
         audit = (
             repo_df.withColumn("key_hash", _hash64(F.col("repo"), F.col("path")))
             .where(F.pmod(F.col("key_hash"), 100) < 10)
-            .withColumn("arn", F.row_number().over(aw))
+            .withColumn("abucket", F.pmod(F.col("key_hash"), F.lit(n_buckets)))
+            .withColumn(
+                "arn",
+                F.col("abucket") * F.lit(cap) + F.row_number().over(aw),
+            )
             .select(
                 F.lit(server_id).cast("long").alias("server_id"),
                 F.lit("bin.000001").alias("binlog_file"),

@@ -45,6 +45,63 @@ def table_map_registry(events: DataFrame) -> DataFrame:
     )
 
 
+def coalesce_table_maps(table_maps: DataFrame) -> DataFrame:
+    """Collapse adjacent identical-payload TABLE_MAP occurrences into one row
+    per island (run-length encoding of schema versions per table).
+
+    A REAL binlog repeats TABLE_MAP before every transaction
+    (shyikobinlog/BinaryLogEventProcessor.java:84-100 resolves each rows
+    event against the current map), so raw occurrences are O(transactions).
+    Any driver collect or broadcast of that set is a scale-killer; after
+    coalescing it is O(tables x schema-versions) — the same cardinality the
+    reference holds in its in-memory TableInfos map (TableInfos.java:6-24).
+
+    Two-level RLE keeps the windows parallel at 10^10 events: level 1 runs
+    per (server_id, table_id, binlog_file) — parallelism O(tables x files),
+    each task bounded by one file's maps (a binlog file is size-capped) —
+    and level 2 merges the surviving per-file runs across files, a window
+    over O(tables x files x versions) tiny rows. RLE is associative over
+    adjacent chunks, so re-encoding the concatenated per-file runs yields
+    the exact global island set.
+    """
+    lvl1 = _rle_islands(table_maps, extra_part=["binlog_file"])
+    return _rle_islands(lvl1, extra_part=[])
+
+
+def _rle_islands(table_maps: DataFrame, extra_part: list[str]) -> DataFrame:
+    w = Window.partitionBy("server_id", "table_id", *extra_part).orderBy(
+        "binlog_file", "binlog_pos"
+    )
+    payload = F.struct("database", "table", "column_types", "column_names")
+    return (
+        table_maps.withColumn(
+            "_chg",
+            F.when(payload.eqNullSafe(F.lag(payload).over(w)), F.lit(0)).otherwise(
+                F.lit(1)
+            ),
+        )
+        .withColumn("_island", F.sum("_chg").over(w))
+        .groupBy("server_id", "table_id", *extra_part, "_island")
+        .agg(
+            F.min(F.struct("binlog_file", "binlog_pos")).alias("_from"),
+            F.first("database").alias("database"),
+            F.first("table").alias("table"),
+            F.first("column_types").alias("column_types"),
+            F.first("column_names").alias("column_names"),
+        )
+        .select(
+            "server_id",
+            F.col("_from.binlog_file").alias("binlog_file"),
+            F.col("_from.binlog_pos").alias("binlog_pos"),
+            "table_id",
+            "database",
+            "table",
+            "column_types",
+            "column_names",
+        )
+    )
+
+
 def resolve_table_metadata(
     changes: DataFrame, table_maps: DataFrame
 ) -> DataFrame:
@@ -71,26 +128,8 @@ def resolve_table_metadata(
 
     Adds: database, table, column_types, column_names, has_column_names.
     """
-    w = Window.partitionBy("server_id", "table_id").orderBy(
-        "binlog_file", "binlog_pos"
-    )
-    payload = F.struct("database", "table", "column_types", "column_names")
-    islands = (
-        table_maps.withColumn(
-            "_chg",
-            F.when(payload.eqNullSafe(F.lag(payload).over(w)), F.lit(0)).otherwise(
-                F.lit(1)
-            ),
-        )
-        .withColumn("_island", F.sum("_chg").over(w))
-        .groupBy("server_id", "table_id", "_island")
-        .agg(
-            F.min(F.struct("binlog_file", "binlog_pos")).alias("valid_from"),
-            F.first("database").alias("database"),
-            F.first("table").alias("table"),
-            F.first("column_types").alias("column_types"),
-            F.first("column_names").alias("column_names"),
-        )
+    islands = coalesce_table_maps(table_maps).withColumn(
+        "valid_from", F.struct("binlog_file", "binlog_pos")
     )
     wi = Window.partitionBy("server_id", "table_id").orderBy("valid_from")
     intervals = islands.select(

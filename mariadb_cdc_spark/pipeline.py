@@ -31,6 +31,7 @@ from .operators.decode import decode_rows_events
 from .operators.filters import filter_tables
 from .operators.fold import extract_keys, fold_changes
 from .operators.registry import (
+    coalesce_table_maps,
     positional_fallback,
     resolve_table_metadata,
     table_map_registry,
@@ -286,9 +287,12 @@ def _load_registry(events: DataFrame, table: LakeTable) -> DataFrame:
     persisted registry in Python, and hand the as-of join a local relation
     (no second scan of the event source for the broadcast side; the
     _latest_maps persistence below becomes pure Python, zero extra jobs).
-    At pathological map volume, coalesce identical-metadata islands in
-    Spark before collecting — resolve_table_metadata already does that
-    island dedup on whatever it is given.
+
+    The collect is BOUNDED: a real binlog emits TABLE_MAP before every
+    transaction (O(transactions) occurrences), so the occurrences are
+    island-coalesced IN SPARK first (registry.coalesce_table_maps — the
+    same RLE the as-of join uses) and only O(tables x schema-versions)
+    rows ever reach the driver.
 
     Persisted entries are rewritten to position (-inf) — they represent
     state accumulated BEFORE this batch (the reference's TableInfos map is
@@ -298,7 +302,7 @@ def _load_registry(events: DataFrame, table: LakeTable) -> DataFrame:
     """
     rows = [
         tuple(r[c] for c in _REGISTRY_COLS)
-        for r in table_map_registry(events).collect()
+        for r in coalesce_table_maps(table_map_registry(events)).collect()
     ]
     for m in table.metadata().get("table_maps", []):
         d = dict(m)

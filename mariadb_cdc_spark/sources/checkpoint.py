@@ -126,22 +126,10 @@ def validate_position(
     return saved
 
 
-def gate_on_xid(events: DataFrame) -> DataFrame:
-    """Keep only events covered by a committed transaction (XID seen).
-
-    The reference surfaces XID as the transaction-commit marker
-    (MariadbCdcListener.onXid, shyikobinlog/BinaryLogEventProcessor.java:103-105);
-    gating the apply on it means a batch cut mid-transaction never applies a
-    partial transaction. Events past each server's last XID are HELD: they
-    are excluded from the batch AND from its lineage, so the next batch
-    (resume_from_lineage / streaming offset) re-reads them once their commit
-    arrives — transactional atomicity from a plain envelope filter plus the
-    existing resume contract, no buffering state anywhere.
-
-    TABLE_MAP / FORMAT_DESCRIPTION pass through untouched: they never
-    advance the position (filters.position_advancing) and the held rows
-    need their mapping context on replay.
-    """
+def _xid_commit_pred(events: DataFrame) -> F.Column:
+    """Predicate: event is covered by a committed transaction (<= the last
+    XID position of its server), or is a non-position-advancing control
+    event. One tiny control-plane collect (O(servers) rows)."""
     from ..schema import EVT_XID, NO_POSITION_SAVE_TYPES
 
     commits = (
@@ -160,4 +148,33 @@ def gate_on_xid(events: DataFrame) -> DataFrame:
             (F.col("server_id") == int(r["server_id"]))
             & (F.struct(F.col("binlog_file"), F.col("binlog_pos")) <= upto)
         )
-    return events.where(pred)
+    return pred
+
+
+def gate_on_xid(events: DataFrame) -> DataFrame:
+    """Keep only events covered by a committed transaction (XID seen).
+
+    The reference surfaces XID as the transaction-commit marker
+    (MariadbCdcListener.onXid, shyikobinlog/BinaryLogEventProcessor.java:103-105);
+    gating the apply on it means a batch cut mid-transaction never applies a
+    partial transaction. Events past each server's last XID are HELD: they
+    are excluded from the batch AND from its lineage. Callers whose source
+    re-delivers (resume_from_lineage over a rewindable batch source) get
+    them back on the next read; the STREAMING path cannot rewind its file
+    source, so streaming.stream carries the held tail in an explicit buffer
+    (split_on_xid) — see start_cdc_stream.
+
+    TABLE_MAP / FORMAT_DESCRIPTION pass through untouched: they never
+    advance the position (filters.position_advancing) and the held rows
+    need their mapping context on replay.
+    """
+    return events.where(_xid_commit_pred(events))
+
+
+def split_on_xid(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(committed, held): the XID gate plus its complement — the
+    position-advancing tail past each server's last commit, which the caller
+    must buffer and merge into the next batch (it will NOT be re-delivered
+    by a forward-only source)."""
+    pred = _xid_commit_pred(events)
+    return events.where(pred), events.where(~pred)

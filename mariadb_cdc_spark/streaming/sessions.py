@@ -62,6 +62,14 @@ def _close_sessions(
         n = 0
     closed = []
     for t in ts:
+        if last is not None and t < last:
+            # Late event behind the open session's tail: the state machine
+            # cannot extend session_start backward, and the batch
+            # window/lag formulation it mirrors would have sorted it into
+            # place. Input contract (see sessionize_stream docstring) is
+            # per-key non-decreasing time across micro-batches; a violator
+            # is dropped rather than silently corrupting `last`.
+            continue
         if last is not None and t - last > gap_seconds:
             closed.append((key[0], start, last, n))
             start, n = t, 0
@@ -89,6 +97,14 @@ def sessionize_stream(
     micro-batches. Works identically on a batch DataFrame (one "batch" of
     state) and a readStream source — the test runs both and also splits the
     stream mid-session to prove state carry-over.
+
+    INPUT CONTRACT: per key, event times must be non-decreasing ACROSS
+    micro-batches (within a batch they are sorted here). This holds for a
+    binlog tail (delivery order == log order). An event arriving behind the
+    open session's last timestamp is DROPPED — matching neither extending
+    the session backward nor corrupting the gap clock; callers needing
+    bounded-lateness reordering should buffer upstream (e.g. a watermarked
+    sort) before this operator.
     """
     prepared = events.select(
         F.col(key_col).cast("long").alias("user_id"),

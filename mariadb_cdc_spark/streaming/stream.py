@@ -22,10 +22,15 @@ identical table (test_streaming.py proves it by sha256).
 
 from __future__ import annotations
 
+import os
+import shutil
+from dataclasses import replace
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..pipeline import CdcConfig, apply_batch
 from ..schema import EVENT_SCHEMA
+from ..sources.checkpoint import split_on_xid
 from ..sources.lake import LakeTable
 
 
@@ -56,16 +61,44 @@ def start_cdc_stream(
     stream_id: str = "cdc",
     trigger_available_now: bool = True,
 ):
-    """Run the CDC apply as a streaming query; returns the StreamingQuery."""
+    """Run the CDC apply as a streaming query; returns the StreamingQuery.
+
+    XID gating under streaming: the file source is forward-only (its
+    checkpoint advances past consumed files), so events held back by the
+    XID gate would be LOST if we relied on re-delivery. Instead each epoch
+    persists its held (uncommitted-tail) events to an explicit carry buffer
+    under the checkpoint dir and merges the previous epoch's buffer into the
+    next batch. The buffer write is idempotent per epoch (overwrite), so a
+    replayed epoch rewrites the identical carry; pruning keeps only the last
+    two epochs. (Local-FS paths here; an object-store deployment would use
+    the same layout via the Hadoop FileSystem API.)
+    """
+    carry_root = os.path.join(checkpoint_dir, "xid_carry")
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        epoch = int(epoch_id)
+        df, eff_cfg = batch_df, cfg
+        if cfg.gate_on_xid:
+            prev = _read_carry(batch_df.sparkSession, carry_root, epoch)
+            if prev is not None:
+                df = df.unionByName(prev)
+            committed, held = split_on_xid(df)
+            # persist the held tail BEFORE the apply: a crash mid-apply
+            # replays this epoch and rewrites the identical carry
+            held.write.mode("overwrite").parquet(
+                os.path.join(carry_root, str(epoch))
+            )
+            # already gated here; don't re-collect the commit bound inside
+            df, eff_cfg = committed, replace(cfg, gate_on_xid=False)
         apply_batch(
-            batch_df,
+            df,
             table,
-            cfg,
+            eff_cfg,
             stream_id=stream_id,
-            batch_id=int(epoch_id),
+            batch_id=epoch,
         )
+        if cfg.gate_on_xid:
+            _prune_carry(carry_root, keep_from=epoch - 1)
 
     writer = (
         events.writeStream.foreachBatch(_apply)
@@ -75,3 +108,29 @@ def start_cdc_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _read_carry(
+    spark: SparkSession, carry_root: str, epoch: int
+) -> DataFrame | None:
+    """Latest persisted carry buffer from an epoch strictly before `epoch`
+    (normally epoch-1; after a restart, whatever survived pruning)."""
+    if not os.path.isdir(carry_root):
+        return None
+    prior = [
+        int(d) for d in os.listdir(carry_root) if d.isdigit() and int(d) < epoch
+    ]
+    if not prior:
+        return None
+    path = os.path.join(carry_root, str(max(prior)))
+    return spark.read.schema(EVENT_SCHEMA).parquet(path)
+
+
+def _prune_carry(carry_root: str, keep_from: int) -> None:
+    """Drop carry buffers older than keep_from (epoch replay only ever reads
+    one epoch back, so two retained buffers bound the storage)."""
+    if not os.path.isdir(carry_root):
+        return
+    for d in os.listdir(carry_root):
+        if d.isdigit() and int(d) < keep_from:
+            shutil.rmtree(os.path.join(carry_root, d), ignore_errors=True)

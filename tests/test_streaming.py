@@ -106,3 +106,64 @@ def test_stream_replayed_epoch_is_noop(spark, sf_dir, tmp_path):
     apply_batch(events, table, cfg, stream_id="cdc", batch_id=0)
     assert table.metadata()["version"] == v
     assert _hashes(table) == h
+
+
+def test_stream_xid_gate_carries_uncommitted_tail(spark, sf_dir, tmp_path):
+    """ADVICE r1 (high): with gate_on_xid, events whose XID commit arrives
+    in a LATER micro-batch must not be lost — the stream's forward-only file
+    source never re-delivers them, so the carry buffer must.
+
+    Layout: file A = all events except the final XIDs; file B = those XIDs.
+    With maxFilesPerTrigger=1, A's tail past its last XID is held in epoch 0
+    and must be applied in epoch 1 when B's commits arrive.
+    """
+    from mariadb_cdc_spark.schema import EVT_XID
+
+    repo = repo_table(spark, sf_dir)
+    events = generate_events(repo, include_audit=False).cache()
+    cfg = CdcConfig(gate_on_xid=True)
+
+    # reference result: full batch, gate satisfied by adding a final XID
+    # covering everything
+    mx = events.agg(
+        F.max(F.struct("binlog_file", "binlog_pos")).alias("p")
+    ).collect()[0]["p"]
+    final_xid = spark.createDataFrame(
+        [(1, mx["binlog_file"], int(mx["binlog_pos"]) + 1, EVT_XID)],
+        "server_id long, binlog_file string, binlog_pos long, event_type string",
+    )
+    from mariadb_cdc_spark.gen import _pad_envelope
+
+    final_xid = _pad_envelope(final_xid, {})
+    full = events.unionByName(final_xid)
+
+    batch_table = LakeTable.create(
+        spark, str(tmp_path / "batch"), REPO_SCHEMA, MERGE_KEYS, n_buckets=4
+    )
+    apply_batch(full, batch_table, cfg, stream_id="b", batch_id=0)
+    expected = _hashes(batch_table)
+    assert len(expected) > 0
+
+    flat = tmp_path / "src"
+    flat.mkdir()
+    events.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "a"))
+    final_xid.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b"))
+    import shutil
+
+    for name, d in [("a_events", "a"), ("b_commits", "b")]:
+        for j, f in enumerate(sorted((tmp_path / d).glob("*.parquet"))):
+            shutil.copy(f, flat / f"{name}_{j}.parquet")
+
+    stream_table = LakeTable.create(
+        spark, str(tmp_path / "stream"), REPO_SCHEMA, MERGE_KEYS, n_buckets=4
+    )
+    ev = read_event_stream(spark, str(flat), max_files_per_trigger=1)
+    q = start_cdc_stream(
+        ev, stream_table, cfg,
+        checkpoint_dir=str(tmp_path / "ckpt"), trigger_available_now=False,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert _hashes(stream_table) == expected
+    events.unpersist()
