@@ -110,9 +110,6 @@ def generate_changes(repo_df: DataFrame) -> DataFrame:
     df = repo_df.withColumn("key_hash", _hash64(F.col("repo"), F.col("path")))
     gate = F.pmod(F.col("key_hash"), F.lit(100))
 
-    pk_map = F.create_map(
-        F.lit("repo"), F.col("repo"), F.lit("path"), F.col("path")
-    )
     rev2_content = F.concat(F.col("content"), F.lit("\n// rev 2"))
     rev3_content = F.concat(F.col("content"), F.lit("\n// rev 3"))
     commit2 = F.substring(
@@ -123,7 +120,13 @@ def generate_changes(repo_df: DataFrame) -> DataFrame:
     full1 = _full_image(overrides={"content": rev2_content, "commit": commit2})
     # state after wave 1 (if it ran) else wave 0 — used as DELETE before-image
     full_after_upd = F.when(gate < 60, full1).otherwise(full0)
-    partial2 = F.create_map(F.lit("content"), rev3_content)
+    # wave 2 is the MINIMAL-ROW-IMAGE wave: the event carries FULL images
+    # and the columns_used / update_columns_used bitmaps say which columns
+    # are real (before = PK only, after = changed column only — reference
+    # README.md:200-235). The engine's bitmap projection
+    # (operators.decode.apply_column_bitmaps) must shrink them, or the fold
+    # would see full images and wave-2 semantics would be wrong.
+    full2 = _full_image(overrides={"content": rev3_content})
     resurrect = _full_image(
         overrides={"content": F.concat(F.col("content"), F.lit("\n// resurrected"))}
     )
@@ -140,7 +143,7 @@ def generate_changes(repo_df: DataFrame) -> DataFrame:
     ops = F.array(
         _op(0, "INSERT", None, full0, F.lit(True)),
         _op(1, "UPDATE", full0, full1, gate < 60),
-        _op(2, "UPDATE", pk_map, partial2, gate < 35),
+        _op(2, "UPDATE", full_after_upd, full2, gate < 35),
         _op(3, "DELETE", full_after_upd, None, gate < 15),
         _op(4, "INSERT", None, resurrect, gate < 5),
     )
@@ -235,13 +238,21 @@ def generate_events(
         F.lit(None).cast("string").alias("table"),
         F.lit(None).cast("array<int>").alias("column_types"),
         F.lit(None).cast("array<string>").alias("column_names"),
-        F.expr(
-            "transform(array('repo','path','commit','lang','content'),"
-            " c -> true)"
-        ).alias("columns_used"),
+        # Honest wire bitmaps: the minimal-image wave (wave 2) marks only
+        # the PK in columns_used (before image) and only the changed column
+        # in update_columns_used (after image); full-image waves mark all.
+        F.when(
+            F.col("wave") == 2,
+            F.expr("array(true,true,false,false,false)"),
+        )
+        .otherwise(F.expr("array(true,true,true,true,true)"))
+        .alias("columns_used"),
         F.when(
             F.col("op") == "UPDATE",
-            F.expr("array(true,true,true,true,true)"),
+            F.when(
+                F.col("wave") == 2,
+                F.expr("array(false,false,false,false,true)"),
+            ).otherwise(F.expr("array(true,true,true,true,true)")),
         ).alias("update_columns_used"),
         F.when(
             F.col("op").isin("UPDATE", "DELETE"),

@@ -69,6 +69,17 @@ def decode_rows_events(events: DataFrame) -> DataFrame:
         ),
     )
 
+    # Per-image bitmaps (reference BinaryLogEventProcessor.java:212-225):
+    # the before-image is governed by columns_used for every op; the
+    # after-image by update_columns_used for UPDATE (dual-bitmap,
+    # UpdateRowsEventBinLogDataDeserializer.java:18-47) else columns_used.
+    # Carried through here and APPLIED after the registry join
+    # (apply_column_bitmaps) once column names are known.
+    after_used = F.when(
+        F.col("event_type") == EVT_UPDATE_ROWS,
+        F.coalesce(F.col("update_columns_used"), F.col("columns_used")),
+    ).otherwise(F.col("columns_used"))
+
     return (
         rows.withColumn("op", op)
         .select(
@@ -79,6 +90,8 @@ def decode_rows_events(events: DataFrame) -> DataFrame:
             "binlog_pos",
             "table_id",
             "gtid",
+            F.col("columns_used").alias("before_used"),
+            after_used.alias("after_used"),
             F.posexplode(pairs).alias("row_idx", "pair"),
         )
         .select(
@@ -90,9 +103,44 @@ def decode_rows_events(events: DataFrame) -> DataFrame:
             F.col("row_idx").cast("int").alias("row_idx"),
             "table_id",
             "gtid",
+            "before_used",
+            "after_used",
             F.col("pair.before").alias("before"),
             F.col("pair.after").alias("after"),
         )
+    )
+
+
+def apply_column_bitmaps(resolved: DataFrame) -> DataFrame:
+    """Mask each row image down to its bitmap's used columns.
+
+    The wire's row image contains ONLY the columns whose bit is set
+    (reference deserializers read bitmap-gated fields,
+    BaseRowsEventBinLogDataDeserializer.java:52-66); this envelope may carry
+    a superset (the generator emits full images), so the bitmap is
+    authoritative: entry (k, v) survives iff the bit at k's position in the
+    table's column order is set. A NULL bitmap, or a key not found in
+    column_names (post-DDL drift), conservatively KEEPS the entry.
+
+    Runs after resolve_table_metadata / positional_fallback: positional
+    images are keyed col0..colN, so position = int(substr(k, 4)); named
+    images use array_position over column_names. Pure Catalyst
+    (map_filter + get — 0-based, null-safe out-of-bounds), no Python.
+    """
+    def mask(img_col: str, used_col: str):
+        def keep(k, _v):
+            pos0 = F.when(
+                F.col("has_column_names"),
+                F.array_position(F.col("column_names"), k) - 1,
+            ).otherwise(F.substring(k, 4, 10).cast("int"))
+            return F.coalesce(F.get(F.col(used_col), pos0.cast("int")), F.lit(True))
+
+        return F.when(
+            F.col(used_col).isNull() | F.col(img_col).isNull(), F.col(img_col)
+        ).otherwise(F.map_filter(F.col(img_col), keep))
+
+    return resolved.withColumn("before", mask("before", "before_used")).withColumn(
+        "after", mask("after", "after_used")
     )
 
 

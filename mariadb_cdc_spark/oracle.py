@@ -97,6 +97,17 @@ def replay(
             if positional:
                 before = _positional(before)
                 after = _positional(after)
+            # columns_used bitmap projection (dual-bitmap for UPDATE,
+            # reference UpdateRowsEventBinLogDataDeserializer.java:18-47):
+            # the image's authoritative columns are the bitmap-set ones.
+            b_used = e.get("columns_used")
+            a_used = (
+                e.get("update_columns_used") or e.get("columns_used")
+                if et == "UPDATE_ROWS"
+                else e.get("columns_used")
+            )
+            before = _mask(before, b_used, names, positional)
+            after = _mask(after, a_used, names, positional)
             img = after if after is not None else {}
             src = after if et != "DELETE_ROWS" else before
             k = tuple((src or {}).get(kc) or (before or {}).get(kc) for kc in keys)
@@ -117,6 +128,23 @@ def _positional(img):
     if img is None:
         return None
     return {f"col{i}": v for i, v in enumerate(img.values())}
+
+
+def _mask(img, used, names, positional):
+    """Keep entries whose bitmap bit is set; null bitmap / unknown key keeps
+    (must mirror operators.decode.apply_column_bitmaps exactly)."""
+    if img is None or used is None:
+        return img
+    out = {}
+    for k, v in img.items():
+        if positional:
+            idx = int(k[3:]) if k.startswith("col") and k[3:].isdigit() else -1
+        else:
+            idx = names.index(k) if names and k in names else -1
+        keep = used[idx] if 0 <= idx < len(used) else True
+        if keep is None or keep:
+            out[k] = v
+    return out
 
 
 def content_hashes(

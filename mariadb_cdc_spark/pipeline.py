@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .functions.ddl import decide_schema_change, parse_alter_actions
-from .operators.decode import decode_rows_events
+from .operators.decode import apply_column_bitmaps, decode_rows_events
 from .operators.filters import filter_tables
 from .operators.fold import extract_keys, fold_changes
 from .operators.registry import (
@@ -84,6 +84,9 @@ def decoded_changes(
         table_maps = table_map_registry(events)
     changes = resolve_table_metadata(changes, table_maps)
     changes = positional_fallback(changes)
+    # columns_used / update_columns_used projection (P1/P2): images shrink
+    # to their bitmap-gated columns now that names are resolved.
+    changes = apply_column_bitmaps(changes).drop("before_used", "after_used")
     include = cfg.included_tables
     if include is None:
         include = [f"{cfg.database}.{cfg.table}"]
