@@ -317,6 +317,34 @@ def q_cdc_gap_sessions(spark, sf):
     )
 
 
+def q_cdc_typed_decode(spark, sf):
+    """K1-K7 wire-type decode end-to-end: binlog events whose row images are
+    HEX WIRE BYTES (NEWDECIMAL packed-BCD, DATETIME2/TIME2/TIMESTAMP2
+    bitfields, packed DATE, BIT, ENUM/SET via FullMeta labels, IEEE DOUBLE,
+    LONGLONG) flow through decode -> registry -> bitmap projection -> wire
+    decode -> fold -> typed lake MERGE. The oracle computes the same final
+    state from doc_id in closed form — agreement proves every encoder/
+    decoder pair AND the engine path around them."""
+    from mariadb_cdc_spark.gen import (
+        MAIN_DATABASE, TYPED_LAKE_SCHEMA, TYPED_TABLE, generate_typed_events,
+    )
+    from mariadb_cdc_spark.pipeline import CdcConfig, apply_batch
+    from mariadb_cdc_spark.sources.lake import LakeTable, _parse_type
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField(n, _parse_type(s)) for n, s in TYPED_LAKE_SCHEMA]
+    )
+    events = generate_typed_events(spark, sf)
+    tmp = tempfile.mkdtemp(prefix="cdc_q_typed_")
+    table = LakeTable.create(
+        spark, f"{tmp}/metrics", schema, ["id"], n_buckets=8
+    )
+    cfg = CdcConfig(database=MAIN_DATABASE, table=TYPED_TABLE, keys=["id"])
+    apply_batch(events, table, cfg, stream_id="typed", batch_id=0)
+    return table.read()
+
+
 def q_cdc_type_overlap(spark, sf):
     """Set-op coverage: users seen in clicks INTERSECT users seen in
     purchases, minus users seen in errors (EXCEPT)."""
@@ -472,6 +500,7 @@ QUERIES: dict[str, Callable] = {
     "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
     "cdc_multi_table": q_cdc_multi_table,
     "cdc_gap_sessions": q_cdc_gap_sessions,
+    "cdc_typed_decode": q_cdc_typed_decode,
     "cdc_type_overlap": q_cdc_type_overlap,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -661,6 +690,35 @@ def oracle_sql() -> dict[str, str]:
                    count(*) as n_events,
                    min(event_id) as first_event, max(event_id) as last_event
             from s group by user_id, session_id
+        """,
+        "cdc_typed_decode": """
+            with d as (select doc_id, (doc_id % 5 < 2) as upd from documents),
+            v as (select doc_id, upd,
+                    case when upd then (doc_id * 104729) % 100000000
+                         else (doc_id * 7919) % 100000000 end as pv,
+                    (doc_id * 37) % 86400 as ds,
+                    1 + doc_id % 7 as mask
+                  from d)
+            select doc_id::BIGINT as id,
+                   cast(printf('%d.%04d', pv // 10000, pv % 10000)
+                        as decimal(12,4)) as price,
+                   make_timestamp(
+                     (1704067200 + doc_id
+                      + case when upd then 3600 else 0 end) * 1000000
+                     + (doc_id % 1000) * 1000) as updated_at,
+                   (doc_id % 256)::BIGINT as flags,
+                   doc_id / 64.0 as ratio,
+                   case when doc_id % 2 = 0 then 'active' else 'archived' end
+                     as status,
+                   concat_ws(',',
+                     case when mask & 1 <> 0 then 'read' end,
+                     case when mask & 2 <> 0 then 'write' end,
+                     case when mask & 4 <> 0 then 'exec' end) as tags,
+                   (date '2024-01-01' + (doc_id % 365)::INT) as created,
+                   printf('%02d:%02d:%02d',
+                          ds // 3600, (ds // 60) % 60, ds % 60) as dur,
+                   make_timestamp((1704067200 + doc_id) * 1000000) as seen_at
+            from v
         """,
         "cdc_type_overlap": """
             select count(*) as n_users from (

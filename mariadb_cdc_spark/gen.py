@@ -15,6 +15,8 @@ Python oracle (oracle.py) can reproduce the expected final state.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 (pandas_udf type-hint resolution)
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -24,6 +26,7 @@ from .schema import (
     EVT_HEARTBEAT,
     EVT_ROTATE,
     EVT_TABLE_MAP,
+    EVT_UPDATE_ROWS,
     EVT_WRITE_ROWS,
     EVT_XID,
     FIELD_TYPE,
@@ -120,13 +123,18 @@ def generate_changes(repo_df: DataFrame) -> DataFrame:
     full1 = _full_image(overrides={"content": rev2_content, "commit": commit2})
     # state after wave 1 (if it ran) else wave 0 — used as DELETE before-image
     full_after_upd = F.when(gate < 60, full1).otherwise(full0)
-    # wave 2 is the MINIMAL-ROW-IMAGE wave: the event carries FULL images
-    # and the columns_used / update_columns_used bitmaps say which columns
-    # are real (before = PK only, after = changed column only — reference
-    # README.md:200-235). The engine's bitmap projection
-    # (operators.decode.apply_column_bitmaps) must shrink them, or the fold
-    # would see full images and wave-2 semantics would be wrong.
-    full2 = _full_image(overrides={"content": rev3_content})
+    # wave 2 is the MINIMAL-ROW-IMAGE wave: as on the real wire
+    # (binlog_row_image=minimal, reference README.md:200-235) the event
+    # carries ONLY the used columns' values — before = PK, after = changed
+    # column — plus the matching sparse bitmaps emitted by generate_events.
+    # The engine's apply_column_bitmaps runs over these rows (sparse bitmap
+    # => no short-circuit) and must agree with the image; the
+    # full-image-with-garbage adversarial case is pinned by
+    # test_column_bitmaps_are_authoritative.
+    pk_map = F.create_map(
+        F.lit("repo"), F.col("repo"), F.lit("path"), F.col("path")
+    )
+    partial2 = F.create_map(F.lit("content"), rev3_content)
     resurrect = _full_image(
         overrides={"content": F.concat(F.col("content"), F.lit("\n// resurrected"))}
     )
@@ -143,7 +151,7 @@ def generate_changes(repo_df: DataFrame) -> DataFrame:
     ops = F.array(
         _op(0, "INSERT", None, full0, F.lit(True)),
         _op(1, "UPDATE", full0, full1, gate < 60),
-        _op(2, "UPDATE", full_after_upd, full2, gate < 35),
+        _op(2, "UPDATE", pk_map, partial2, gate < 35),
         _op(3, "DELETE", full_after_upd, None, gate < 15),
         _op(4, "INSERT", None, resurrect, gate < 5),
     )
@@ -272,6 +280,7 @@ def generate_events(
             F.col("event_type")
         ),
     )
+    rows_events = _pad_envelope(rows_events, {})
 
     # XID commit markers after ~20% of rows events (pos +17 keeps order & uniqueness).
     xids = (
@@ -419,3 +428,190 @@ def _pad_envelope(df: DataFrame, overrides: dict[str, F.Column]) -> DataFrame:
         elif f.name not in present:
             df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
     return df.select(*[f.name for f in EVENT_SCHEMA.fields])
+
+
+# ------------------------------------------------------- binary typed table
+# A third CDC'd table whose row images are HEX-ENCODED WIRE BYTES decoded by
+# the engine's wire kernels (functions.typedec) — the path that exercises
+# NEWDECIMAL, DATETIME2, TIME2, TIMESTAMP2, DATE, BIT, ENUM, SET, DOUBLE and
+# LONGLONG end-to-end (reference decode matrix,
+# BaseRowsEventBinLogDataDeserializer.java:52-319).
+
+TYPED_TABLE_ID = 303
+TYPED_TABLE = "metrics"
+TYPED_COLUMNS = [
+    "id", "price", "updated_at", "flags", "ratio",
+    "status", "tags", "created", "dur", "seen_at",
+]
+# LONGLONG, NEWDECIMAL, DATETIME2, BIT, DOUBLE, ENUM, SET, DATE, TIME2, TIMESTAMP2
+TYPED_COLUMN_TYPES = [8, 246, 18, 16, 5, 247, 248, 10, 19, 17]
+# wire metadata: decimal precision|scale<<8, fsp, bit length, value length
+TYPED_COLUMN_METADATA = [0, 12 | (4 << 8), 3, 8, 8, 1, 1, 0, 0, 0]
+TYPED_ENUM_VALUES = [
+    None, None, None, None, None,
+    ["active", "archived"], ["read", "write", "exec"],
+    None, None, None,
+]
+TYPED_LAKE_SCHEMA = [
+    ("id", "bigint"), ("price", "decimal(12,4)"),
+    ("updated_at", "timestamp_ntz"), ("flags", "bigint"),
+    ("ratio", "double"), ("status", "string"), ("tags", "string"),
+    ("created", "date"), ("dur", "string"), ("seen_at", "timestamp_ntz"),
+]
+
+
+def _typed_logical(doc_id: int, updated: bool) -> dict:
+    """The logical row for a doc_id — the SAME closed-form the DuckDB oracle
+    computes (oracle_sql 'cdc_typed_decode'), so wire encode->decode is
+    verified end-to-end against an independent derivation."""
+    import datetime as _dt
+    from decimal import Decimal as _D
+
+    pv = (doc_id * (104729 if updated else 7919)) % 10**8
+    base = _dt.datetime(2024, 1, 1)
+    return {
+        "id": doc_id,
+        "price": _D(pv).scaleb(-4),
+        "updated_at": base
+        + _dt.timedelta(
+            seconds=doc_id + (3600 if updated else 0),
+            microseconds=(doc_id % 1000) * 1000,
+        ),
+        "flags": doc_id % 256,
+        "ratio": doc_id / 64,
+        "status": ["active", "archived"][doc_id % 2],
+        "tags_mask": 1 + doc_id % 7,
+        "created": _dt.date(2024, 1, 1) + _dt.timedelta(days=doc_id % 365),
+        "dur": _dt.time(
+            (doc_id * 37) % 86400 // 3600,
+            (doc_id * 37) % 86400 // 60 % 60,
+            (doc_id * 37) % 86400 % 60,
+        ),
+        "seen_at": _dt.datetime(1970, 1, 1)
+        + _dt.timedelta(seconds=BASE_EPOCH + doc_id),
+    }
+
+
+def generate_typed_events(spark, sf_dir: str, *, server_id: int = 1):
+    """Binlog-shaped events for codehub.metrics with wire-byte images.
+
+    Wave 0: INSERT (every doc_id), full image, all-true bitmap.
+    Wave 1: minimal-image UPDATE (doc_id%5<2): before carries id (PK bit
+    only), after carries price+updated_at (update bitmap) — bitmaps AND wire
+    decode compose on this path.
+
+    Positions are doc_id-derived (unique, monotone per key): no windows, no
+    shuffles — the generator stays embarrassingly parallel at any scale.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from .functions import typedec as td
+
+    cols = TYPED_COLUMNS
+
+    def wire_map(doc_id: int, updated: bool, subset: list[str] | None) -> dict:
+        lv = _typed_logical(doc_id, updated)
+        enc = {
+            "id": td.encode_int(lv["id"], 8),
+            "price": td.encode_newdecimal(lv["price"], 12, 4),
+            "updated_at": td.encode_datetime2(lv["updated_at"], 3),
+            "flags": td.encode_bit(lv["flags"], 8),
+            "ratio": td.encode_double(lv["ratio"]),
+            "status": td.encode_enum(1 + doc_id % 2, 1),
+            "tags": td.encode_set(lv["tags_mask"], 1),
+            "created": td.encode_date(lv["created"]),
+            "dur": td.encode_time2(lv["dur"], 0),
+            "seen_at": td.encode_timestamp2(lv["seen_at"], 0),
+        }
+        keep = subset or cols
+        return {c: enc[c].hex() for c in keep}
+
+    @pandas_udf("map<string,string>")
+    def img_insert(doc_id: pd.Series) -> pd.Series:
+        return doc_id.map(lambda d: wire_map(int(d), False, None))
+
+    @pandas_udf("map<string,string>")
+    def img_upd_before(doc_id: pd.Series) -> pd.Series:
+        return doc_id.map(lambda d: wire_map(int(d), False, ["id"]))
+
+    @pandas_udf("map<string,string>")
+    def img_upd_after(doc_id: pd.Series) -> pd.Series:
+        return doc_id.map(
+            lambda d: wire_map(int(d), True, ["price", "updated_at"])
+        )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    all_true = F.array(*[F.lit(True) for _ in cols])
+    pk_only = F.array(*[F.lit(c == "id") for c in cols])
+    upd_cols = F.array(*[F.lit(c in ("price", "updated_at")) for c in cols])
+
+    ins = docs.select(
+        F.lit(server_id).cast("long").alias("server_id"),
+        F.lit("typ.000001").alias("binlog_file"),
+        (F.col("doc_id").cast("long") * 256 + 64).alias("binlog_pos"),
+        F.lit(EVT_WRITE_ROWS).alias("event_type"),
+        F.timestamp_seconds(F.lit(BASE_EPOCH)).alias("ts"),
+        F.lit(None).cast("string").alias("gtid"),
+        F.col("doc_id"),
+    )
+    ins = _pad_envelope(
+        ins.withColumn("rows_after", F.array(img_insert("doc_id"))),
+        {
+            "table_id": F.lit(TYPED_TABLE_ID).cast("long"),
+            "columns_used": all_true,
+        },
+    )
+
+    upd = docs.where(F.pmod("doc_id", F.lit(5)) < 2).select(
+        F.lit(server_id).cast("long").alias("server_id"),
+        F.lit("typ.000002").alias("binlog_file"),
+        (F.col("doc_id").cast("long") * 256 + 64).alias("binlog_pos"),
+        F.lit(EVT_UPDATE_ROWS).alias("event_type"),
+        F.timestamp_seconds(F.lit(BASE_EPOCH)).alias("ts"),
+        F.lit(None).cast("string").alias("gtid"),
+        F.col("doc_id"),
+    )
+    upd = _pad_envelope(
+        upd.withColumn("rows_before", F.array(img_upd_before("doc_id")))
+        .withColumn("rows_after", F.array(img_upd_after("doc_id"))),
+        {
+            "table_id": F.lit(TYPED_TABLE_ID).cast("long"),
+            "columns_used": pk_only,
+            "update_columns_used": upd_cols,
+        },
+    )
+
+    files = spark.createDataFrame(
+        [("typ.000001",), ("typ.000002",)], "binlog_file string"
+    )
+    tmap = _pad_envelope(
+        files.select(
+            F.lit(server_id).cast("long").alias("server_id"),
+            "binlog_file",
+            F.lit(2).cast("long").alias("binlog_pos"),
+            F.lit(EVT_TABLE_MAP).alias("event_type"),
+            F.timestamp_seconds(F.lit(BASE_EPOCH)).alias("ts"),
+            F.lit(None).cast("string").alias("gtid"),
+        ),
+        {
+            "table_id": F.lit(TYPED_TABLE_ID).cast("long"),
+            "database": F.lit(MAIN_DATABASE),
+            "table": F.lit(TYPED_TABLE),
+            "column_types": F.array(*[F.lit(t) for t in TYPED_COLUMN_TYPES]),
+            "column_names": F.array(*[F.lit(c) for c in TYPED_COLUMNS]),
+            "column_metadata": F.array(
+                *[F.lit(m) for m in TYPED_COLUMN_METADATA]
+            ),
+            "column_enum_values": F.array(
+                *[
+                    F.lit(v).cast("array<string>")
+                    if v is None
+                    else F.array(*[F.lit(x) for x in v])
+                    for v in TYPED_ENUM_VALUES
+                ]
+            ),
+        },
+    )
+
+    out = ins.unionByName(upd).unionByName(tmap)
+    return out.select(*[f.name for f in EVENT_SCHEMA.fields])

@@ -13,6 +13,8 @@ posexplode + arrays_zip keep the stage inside whole-stage codegen.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 (pandas_udf type-hint resolution)
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -135,12 +137,97 @@ def apply_column_bitmaps(resolved: DataFrame) -> DataFrame:
             ).otherwise(F.substring(k, 4, 10).cast("int"))
             return F.coalesce(F.get(F.col(used_col), pos0.cast("int")), F.lit(True))
 
+        # all-true bitmap (binlog_row_image=full, the dominant case) short-
+        # circuits: the per-entry array_position scan only runs for rows
+        # that actually carry a sparse bitmap.
         return F.when(
-            F.col(used_col).isNull() | F.col(img_col).isNull(), F.col(img_col)
+            F.col(used_col).isNull()
+            | F.col(img_col).isNull()
+            | ~F.exists(F.col(used_col), lambda x: ~x),
+            F.col(img_col),
         ).otherwise(F.map_filter(F.col(img_col), keep))
 
     return resolved.withColumn("before", mask("before", "before_used")).withColumn(
         "after", mask("after", "after_used")
+    )
+
+
+def decode_wire_images(resolved: DataFrame) -> DataFrame:
+    """Decode hex-encoded wire-byte map values to canonical strings.
+
+    Envelope convention for binary-image sources: a column whose registry
+    type code is a WIRE type (typedec.WIRE_TYPES — NEWDECIMAL, DATETIME2,
+    TIME2, TIMESTAMP2, DATE, BIT, ENUM, SET, FLOAT/DOUBLE, integer
+    families) carries hex(wire bytes) as its map value; plain-text types
+    (VARCHAR/STRING/BLOB) stay as-is. Decoding needs the TABLE_MAP's
+    per-column metadata (precision/scale, fsp, bit length) and FullMeta
+    ENUM/SET labels, so this runs AFTER resolve_table_metadata.
+
+    Arrow-batched pandas UDF — this is the genuinely-Python stage (bit-level
+    wire formats are not Catalyst-expressible); rows whose table published
+    no column_metadata (string-image tables) skip the Python path entirely
+    via the WHEN gate, so the main repo_files stream never pays for it.
+
+    Reference: BaseRowsEventBinLogDataDeserializer.java:52-319 (decode
+    matrix), TableMapEventBinLogDataDeserializer.java:52-75 (FullMeta).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions import typedec as td
+
+    @pandas_udf("map<string,string>")
+    def _dec(
+        img: pd.Series,
+        names: pd.Series,
+        types: pd.Series,
+        metas: pd.Series,
+        enums: pd.Series,
+    ) -> pd.Series:
+        def one(im, nm, ty, me, en):
+            if im is None or nm is None or ty is None:
+                return im
+            idx = {n: i for i, n in enumerate(nm)}
+            out = {}
+            for k, v in im.items():
+                i = idx.get(k)
+                code = ty[i] if i is not None and i < len(ty) else None
+                if v is None or code is None or code not in td.WIRE_TYPES:
+                    out[k] = v
+                    continue
+                meta = me[i] if me is not None and i < len(me) else 0
+                labels = (
+                    list(en[i])
+                    if en is not None and i < len(en) and en[i] is not None
+                    else None
+                )
+                try:
+                    out[k] = td.decode_wire_value(
+                        int(code), int(meta or 0), bytes.fromhex(v), labels
+                    )
+                except (ValueError, IndexError):
+                    out[k] = v  # not wire-encoded after all: keep raw
+            return out
+
+        return pd.Series(
+            [one(*args) for args in zip(img, names, types, metas, enums)]
+        )
+
+    gate = F.col("column_metadata").isNotNull()
+
+    def maybe(col):
+        return F.when(
+            gate & F.col(col).isNotNull(),
+            _dec(
+                F.col(col),
+                F.col("column_names"),
+                F.col("column_types"),
+                F.col("column_metadata"),
+                F.col("column_enum_values"),
+            ),
+        ).otherwise(F.col(col))
+
+    return resolved.withColumn("before", maybe("before")).withColumn(
+        "after", maybe("after")
     )
 
 

@@ -25,6 +25,18 @@ from pyspark.sql import functions as F
 from ..schema import EVT_TABLE_MAP
 
 
+# TABLE_MAP metadata payload carried through the registry (the reference's
+# TableMapEvent fields incl. the FullMeta labels).
+META_COLS = [
+    "database",
+    "table",
+    "column_types",
+    "column_names",
+    "column_metadata",
+    "column_enum_values",
+]
+
+
 def table_map_registry(events: DataFrame) -> DataFrame:
     """All TABLE_MAP occurrences with their position (for as-of resolution)."""
     return (
@@ -34,10 +46,7 @@ def table_map_registry(events: DataFrame) -> DataFrame:
             "binlog_file",
             "binlog_pos",
             "table_id",
-            "database",
-            "table",
-            "column_types",
-            "column_names",
+            *META_COLS,
         )
         # at-least-once replay can duplicate maps; identical (pos, id) maps
         # would create zero-width intervals — harmless but noisy
@@ -72,7 +81,7 @@ def _rle_islands(table_maps: DataFrame, extra_part: list[str]) -> DataFrame:
     w = Window.partitionBy("server_id", "table_id", *extra_part).orderBy(
         "binlog_file", "binlog_pos"
     )
-    payload = F.struct("database", "table", "column_types", "column_names")
+    payload = F.struct(*META_COLS)
     return (
         table_maps.withColumn(
             "_chg",
@@ -84,20 +93,14 @@ def _rle_islands(table_maps: DataFrame, extra_part: list[str]) -> DataFrame:
         .groupBy("server_id", "table_id", *extra_part, "_island")
         .agg(
             F.min(F.struct("binlog_file", "binlog_pos")).alias("_from"),
-            F.first("database").alias("database"),
-            F.first("table").alias("table"),
-            F.first("column_types").alias("column_types"),
-            F.first("column_names").alias("column_names"),
+            *[F.first(c).alias(c) for c in META_COLS],
         )
         .select(
             "server_id",
             F.col("_from.binlog_file").alias("binlog_file"),
             F.col("_from.binlog_pos").alias("binlog_pos"),
             "table_id",
-            "database",
-            "table",
-            "column_types",
-            "column_names",
+            *META_COLS,
         )
     )
 
@@ -137,10 +140,7 @@ def resolve_table_metadata(
         "table_id",
         "valid_from",
         F.lead("valid_from").over(wi).alias("valid_to"),
-        "database",
-        "table",
-        "column_types",
-        "column_names",
+        *META_COLS,
     )
 
     m = intervals.alias("m")
@@ -157,10 +157,7 @@ def resolve_table_metadata(
     )
     out = c.join(F.broadcast(m), cond, "inner").select(  # inner ⇒ drop unmapped
         *[F.col(f"c.{x}") for x in changes.columns],
-        F.col("m.database").alias("database"),
-        F.col("m.table").alias("table"),
-        F.col("m.column_types").alias("column_types"),
-        F.col("m.column_names").alias("column_names"),
+        *[F.col(f"m.{x}").alias(x) for x in META_COLS],
         (
             # Mismatch guard (BinaryLogEventProcessor.java:89-91,227-236):
             # name count != type count => positional col0..N fallback.

@@ -27,7 +27,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .functions.ddl import decide_schema_change, parse_alter_actions
-from .operators.decode import apply_column_bitmaps, decode_rows_events
+from .operators.decode import (
+    apply_column_bitmaps,
+    decode_rows_events,
+    decode_wire_images,
+)
 from .operators.filters import filter_tables
 from .operators.fold import extract_keys, fold_changes
 from .operators.registry import (
@@ -65,7 +69,10 @@ class CdcConfig:
 
 
 def decoded_changes(
-    events: DataFrame, cfg: CdcConfig, table_maps: DataFrame | None = None
+    events: DataFrame,
+    cfg: CdcConfig,
+    table_maps: DataFrame | None = None,
+    wire_decode: bool | None = None,
 ) -> DataFrame:
     """events -> metadata-resolved, filtered row-change records.
 
@@ -87,6 +94,20 @@ def decoded_changes(
     # columns_used / update_columns_used projection (P1/P2): images shrink
     # to their bitmap-gated columns now that names are resolved.
     changes = apply_column_bitmaps(changes).drop("before_used", "after_used")
+    # Wire-typed tables (those that published column_metadata) get their hex
+    # byte images decoded to canonical strings. PLAN-level gate: Spark
+    # extracts pandas UDFs into an ArrowEvalPython stage that runs for every
+    # row regardless of any row-level WHEN, so the stage is added only when
+    # the registry actually holds a wire-typed table — a pure string-image
+    # batch keeps a fully JVM plan (verified by test_no_python_stage_*).
+    # apply_batch passes the flag from its already-collected registry rows;
+    # direct callers fall back to a probe of the maps side.
+    if wire_decode is None:
+        wire_decode = not table_maps.where(
+            F.col("column_metadata").isNotNull()
+        ).isEmpty()
+    if wire_decode:
+        changes = decode_wire_images(changes)
     include = cfg.included_tables
     if include is None:
         include = [f"{cfg.database}.{cfg.table}"]
@@ -142,7 +163,7 @@ def apply_batch(
     # persists the latest map per (server_id, table_id) in table metadata and
     # unions it into each batch's as-of join. TABLE_MAP rows are one-per-table
     # (control plane), so the collect is O(tables), not O(events).
-    table_maps = _load_registry(ctrl, table)
+    table_maps, has_wire = _load_registry(ctrl, table)
 
     # ---- control plane: DDL epochs (rare; driver-side by design)
     ddls = []
@@ -164,7 +185,9 @@ def apply_batch(
             )
         ]
 
-    changes = decoded_changes(events, cfg, table_maps=table_maps)
+    changes = decoded_changes(
+        events, cfg, table_maps=table_maps, wire_decode=has_wire
+    )
 
     hot_keys = table.metadata().get("hot_keys") or None
 
@@ -234,8 +257,10 @@ def apply_batch_multi(
     )
     # shared scan: decode + registry once, then per-table filter/fold/merge
     ctrl = events.drop("rows_before", "rows_after")
-    registry = _load_registry(ctrl, next(iter(tables.values()))[0])
-    changes = decoded_changes(events, base_cfg, table_maps=registry).persist()
+    registry, has_wire = _load_registry(ctrl, next(iter(tables.values()))[0])
+    changes = decoded_changes(
+        events, base_cfg, table_maps=registry, wire_decode=has_wire
+    ).persist()
     lineage = batch_lineage(ctrl)
     maps = _latest_maps(registry)
     for (db, tbl), (lake, keys) in tables.items():
@@ -262,6 +287,11 @@ def apply_batch_multi(
     return results
 
 
+# Above this many TABLE_MAP occurrences per batch, coalesce in Spark before
+# collecting (the real-binlog map-per-transaction shape); below it, one
+# early-exit scan is cheaper than the coalescer's window stages.
+_DENSE_MAPS_THRESHOLD = 4096
+
 _REGISTRY_COLS = [
     "server_id",
     "binlog_file",
@@ -271,16 +301,21 @@ _REGISTRY_COLS = [
     "table",
     "column_types",
     "column_names",
+    "column_metadata",
+    "column_enum_values",
 ]
 
 _REGISTRY_SCHEMA = (
     "server_id long, binlog_file string, binlog_pos long, table_id long,"
     " database string, table string, column_types array<int>,"
-    " column_names array<string>"
+    " column_names array<string>, column_metadata array<int>,"
+    " column_enum_values array<array<string>>"
 )
 
 
-def _load_registry(events: DataFrame, table: LakeTable) -> DataFrame:
+def _load_registry(
+    events: DataFrame, table: LakeTable
+) -> tuple[DataFrame, bool]:
     """One control-plane collect: the batch's TABLE_MAPs + the persisted
     registry, returned as a driver-built LOCAL relation.
 
@@ -303,16 +338,23 @@ def _load_registry(events: DataFrame, table: LakeTable) -> DataFrame:
     resolve any event in the batch, including out-of-order ones that
     precede the map's original position.
     """
-    rows = [
-        tuple(r[c] for c in _REGISTRY_COLS)
-        for r in coalesce_table_maps(table_map_registry(events)).collect()
-    ]
+    # Limit-probe: the sparse case (one map per table per file — this
+    # generator, or a curated landing zone) stays on a single early-exit
+    # scan; a dense real-binlog occurrence set (map per transaction) pays
+    # the coalescer's window stages to keep the collect bounded.
+    occurrences = table_map_registry(events)
+    probe = occurrences.limit(_DENSE_MAPS_THRESHOLD + 1).collect()
+    if len(probe) > _DENSE_MAPS_THRESHOLD:
+        probe = coalesce_table_maps(occurrences).collect()
+    rows = [tuple(r[c] for c in _REGISTRY_COLS) for r in probe]
     for m in table.metadata().get("table_maps", []):
         d = dict(m)
         d["binlog_file"] = ""  # sorts before every real file name
         d["binlog_pos"] = -1
-        rows.append(tuple(d[c] for c in _REGISTRY_COLS))
-    return events.sparkSession.createDataFrame(rows, _REGISTRY_SCHEMA)
+        rows.append(tuple(d.get(c) for c in _REGISTRY_COLS))
+    meta_idx = _REGISTRY_COLS.index("column_metadata")
+    has_wire = any(r[meta_idx] is not None for r in rows)
+    return events.sparkSession.createDataFrame(rows, _REGISTRY_SCHEMA), has_wire
 
 
 def _latest_maps(table_maps: DataFrame) -> list[dict]:

@@ -54,6 +54,16 @@ EVENT_SCHEMA = T.StructType(
         T.StructField("table", T.StringType(), True),  # TABLE_MAP only
         T.StructField("column_types", T.ArrayType(T.IntegerType()), True),
         T.StructField("column_names", T.ArrayType(T.StringType()), True),
+        # per-column wire metadata (TableMapEvent.getMetadata(): decimal
+        # precision|scale<<8, temporal fsp, BIT length, string length) and
+        # the FullMeta ENUM/SET label lists
+        # (TableMapEventBinLogDataDeserializer.java:52-75)
+        T.StructField("column_metadata", T.ArrayType(T.IntegerType()), True),
+        T.StructField(
+            "column_enum_values",
+            T.ArrayType(T.ArrayType(T.StringType())),
+            True,
+        ),
         T.StructField("columns_used", T.ArrayType(T.BooleanType()), True),
         T.StructField("update_columns_used", T.ArrayType(T.BooleanType()), True),
         T.StructField("rows_before", _IMG, True),  # UPDATE/DELETE images

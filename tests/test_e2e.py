@@ -240,11 +240,13 @@ def test_xid_gate_holds_uncommitted_tail_until_commit(spark, sf_dir, tmp_table_p
 
     # batch 2: same stream with the tail now committed (a trailing XID);
     # resume_from_lineage re-reads the held events past the horizon
+    xid_row = {f.name: None for f in events.schema.fields}
+    xid_row.update(
+        server_id=1, binlog_file="bin.999999", binlog_pos=4,
+        event_type="XID", xid=424242,
+    )
     tail_commit = events.sparkSession.createDataFrame(
-        [(
-            1, "bin.999999", 4, "XID", None, None, None, None, None, None,
-            None, None, None, None, None, None, 424242, None, None,
-        )],
+        [tuple(xid_row[f.name] for f in events.schema.fields)],
         events.schema,
     )
     events2 = events.unionByName(tail_commit)

@@ -315,3 +315,16 @@ def test_column_bitmaps_positional_mode(spark):
     pre = resolved.collect()[0]["after"]
     out = apply_column_bitmaps(resolved).collect()
     assert out[0]["after"] == {k: pre[k] for k in ("col0", "col2")}
+
+
+def test_no_python_stage_for_string_image_batches(spark):
+    """Perf guard: a batch with no wire-typed table must compile to a fully
+    JVM plan — Spark would otherwise run the extracted ArrowEvalPython
+    stage for EVERY row, row-level WHEN or not."""
+    from mariadb_cdc_spark.gen import generate_events, repo_table
+    from mariadb_cdc_spark.pipeline import CdcConfig, decoded_changes
+
+    repo = repo_table(spark, "/root/testdata/sf0.001")
+    ch = decoded_changes(generate_events(repo), CdcConfig())
+    plan = ch._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -96,3 +96,90 @@ def test_vectorized_udfs(spark):
     assert out[0]["d"] == Decimal("-1234.56")
     assert out[0]["t"] == dt.datetime(2024, 6, 15, 12, 30, 45)
     assert out[1]["d"] is None and out[1]["t"] is None
+
+
+# ---------------------------------------------------------- round 2 kernels
+
+import datetime as dt
+
+from mariadb_cdc_spark.functions import typedec as td
+
+
+def test_time2_roundtrip():
+    for t in [dt.time(0, 0, 0), dt.time(13, 14, 15), dt.time(23, 59, 59)]:
+        assert td.decode_time2(td.encode_time2(t)) == t
+    # fsp carries microseconds at 2-digit granularity steps
+    t = dt.time(1, 2, 3, 450000)
+    assert td.decode_time2(td.encode_time2(t, 2), 2) == t
+
+
+def test_timestamp2_roundtrip_and_zero():
+    ts = dt.datetime(2024, 6, 1, 12, 30, 45)
+    assert td.decode_timestamp2(td.encode_timestamp2(ts)) == ts
+    assert td.decode_timestamp2(b"\x00\x00\x00\x00") is None  # zero-ts -> null
+
+
+def test_date_roundtrip_and_zero_date():
+    d = dt.date(2024, 2, 29)
+    assert td.decode_date(td.encode_date(d)) == d
+    assert td.decode_date((2024 << 9).to_bytes(3, "little")) is None  # 00-00
+
+
+def test_bit_byte_order():
+    # BIT(12): value 0xABC -> 2 bytes big-endian on the wire
+    assert td.decode_bit(td.encode_bit(0xABC, 12), 12) == 0xABC
+    assert td.decode_bit(b"\x01\x00", 9) == 256
+
+
+def test_enum_label_resolution():
+    labels = ["active", "archived"]
+    assert td.decode_enum(td.encode_enum(1), labels) == "active"
+    assert td.decode_enum(td.encode_enum(2), labels) == "archived"
+    assert td.decode_enum(td.encode_enum(0), labels) == ""  # invalid value
+    assert td.decode_enum(td.encode_enum(9), labels) == 9  # unknown -> index
+
+
+def test_set_bitmask_labels():
+    labels = ["read", "write", "exec"]
+    assert td.decode_set(td.encode_set(0b101), labels) == "read,exec"
+    assert td.decode_set(td.encode_set(0), labels) == ""
+    assert td.decode_set(td.encode_set(3), None) == 3  # no labels -> mask
+
+
+def test_float_double_bits():
+    assert td.decode_float(td.encode_float(1.5)) == 1.5
+    assert td.decode_double(td.encode_double(-2.25)) == -2.25
+
+
+def test_int_families_sign_extension():
+    assert td.decode_int(td.encode_int(-5, 3), 3) == -5  # INT24
+    assert td.decode_int(td.encode_int(-1, 1), 1) == -1  # TINY
+    assert td.decode_int(td.encode_int(2**40, 8), 8) == 2**40  # LONGLONG
+
+
+def test_v1_temporal_packings():
+    assert td.decode_time_v1(int("131415").to_bytes(3, "little")) == dt.time(
+        13, 14, 15
+    )
+    v = 20240102030405
+    assert td.decode_datetime_v1(v.to_bytes(8, "little")) == dt.datetime(
+        2024, 1, 2, 3, 4, 5
+    )
+    assert td.decode_timestamp_v1((1704067200).to_bytes(4, "little")) == (
+        dt.datetime(2024, 1, 1)
+    )
+
+
+def test_wire_dispatch_canonical_strings():
+    assert (
+        td.decode_wire_value(246, 12 | (4 << 8),
+                             td.encode_newdecimal(td.Decimal("0.0042"), 12, 4))
+        == "0.0042"
+    )
+    assert (
+        td.decode_wire_value(18, 0, td.encode_datetime2(
+            dt.datetime(2024, 1, 2, 3, 4, 5)))
+        == "2024-01-02 03:04:05"
+    )
+    assert td.decode_wire_value(16, 8, td.encode_bit(170, 8)) == "170"
+    assert td.decode_wire_value(5, 8, td.encode_double(2.5)) == "2.5"
