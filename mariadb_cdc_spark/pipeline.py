@@ -34,6 +34,7 @@ from .operators.decode import (
 )
 from .operators.filters import filter_tables
 from .operators.fold import extract_keys, fold_changes
+from .operators.names import ColumnNameCache, enrich_column_names
 from .operators.registry import (
     coalesce_table_maps,
     positional_fallback,
@@ -66,6 +67,12 @@ class CdcConfig:
     # (checkpoint.gate_on_xid; reference onXid semantics,
     # MariadbCdcListener.java:17-22).
     gate_on_xid: bool = False
+    # Column-name side channel for streams whose TABLE_MAP carries no names
+    # (pre-10.5): a (database, table) -> list[str] callable, or a
+    # ColumnNameCache to share memoization across batches (the reference's
+    # JdbcColumnNamesGetter + ColumnNameCache pair). DDL epochs invalidate
+    # affected entries (operators.names).
+    column_names_getter: object | None = None
 
 
 def decoded_changes(
@@ -191,6 +198,12 @@ def apply_batch(
 
     hot_keys = table.metadata().get("hot_keys") or None
 
+    # Column-name side channel (J2): fetched per epoch so a DDL's
+    # invalidation re-fetches for the post-DDL epoch.
+    names_cache = cfg.column_names_getter
+    if names_cache is not None and not isinstance(names_cache, ColumnNameCache):
+        names_cache = ColumnNameCache(names_cache)
+
     bounds = [(r["binlog_file"], r["binlog_pos"]) for r in ddls] + [None]
     lo = None
     n_epochs = 0
@@ -205,6 +218,8 @@ def apply_batch(
             epoch = epoch.where(
                 F.struct("binlog_file", "binlog_pos") <= _pos_lit(hi)
             )
+        if names_cache is not None:
+            epoch = enrich_column_names(epoch, names_cache)
         folded = fold_for_merge(epoch, cfg, hot_keys=hot_keys)
         res = table.merge(
             folded,
@@ -218,6 +233,11 @@ def apply_batch(
 
         if hi is not None:
             _apply_ddl(table, ddls[i]["sql"])
+            if names_cache is not None:
+                # SchemaChangedListener flow: DDL invalidates the cache so
+                # the next epoch re-fetches (ColumnNameCache.java:31-42)
+                for t in decide_schema_change(ddls[i]["sql"]).tables:
+                    names_cache.invalidate(t.database, t.table)
             lo = hi
 
     # final commit: batch id (exactly-once) + persisted TABLE_MAP registry

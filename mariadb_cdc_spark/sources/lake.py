@@ -7,10 +7,17 @@ The north rule targets Iceberg MERGE; this sandbox image has no Iceberg jar
   - snapshot isolation: readers see the version named by an atomically
     swapped pointer file (os.replace of metadata/LATEST — same trick as
     Iceberg's version-hint / HadoopTableOperations commit);
-  - bucket-level copy-on-write: data is hash-bucketed on the merge keys and a
-    MERGE rewrites ONLY the buckets its updates touch — at 100 TB a batch
-    touching 3% of key-space rewrites 3% of files, not the table (Iceberg
-    partition-level overwrite semantics);
+  - bucket-level copy-on-write + DELTA FILES (merge-on-read): data is
+    hash-bucketed on the merge keys; a small MERGE appends per-bucket delta
+    files holding only the resolved upserted rows (bytes written ~ batch
+    size, NOT bucket size — a 1%-of-keys batch writes ~1% of table bytes),
+    while large batches and delta-heavy buckets take the copy-on-write path
+    that rewrites the bucket and folds its deltas in (compaction). Readers
+    resolve per-key latest via the position-gate columns, and ONLY for
+    buckets that actually carry deltas — delta-free buckets stay a plain
+    scan. This is the Hudi/Iceberg MOR trade: steady-state write
+    amplification is bounded (~2x worst case via the compaction threshold)
+    instead of bucket-size/batch-size;
   - exactly-once sink: each commit records (stream_id, batch_id); replaying
     the same foreachBatch epoch after a crash is a no-op, which upgrades the
     reference's at-least-once + listener-exception-swallow delivery
@@ -74,6 +81,15 @@ class LakeTable:
     # batch's skew-safe fold. A reducer folding ~100k changes is fine;
     # millions (zipfian repos at 10^10-event scale) are not.
     HOT_KEY_CHANGES = 100_000
+    # MOR thresholds: a bucket compacts (COW rewrite folding its deltas)
+    # when it carries this many delta files, or when accumulated delta
+    # bytes exceed this fraction of its base bytes. Bounds read-side merge
+    # cost and total write amplification (~1/COMPACT_BYTES_FRACTION extra).
+    MAX_DELTA_FILES = 8
+    COMPACT_BYTES_FRACTION = 0.25
+    # Batches upserting more than this fraction of the table's rows skip
+    # the delta path — at that size the COW rewrite is the cheaper plan.
+    MOR_MAX_ROW_FRACTION = 0.2
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -98,6 +114,8 @@ class LakeTable:
             "keys": keys,
             "n_buckets": n_buckets,
             "buckets": {},
+            "deltas": {},       # bucket -> [delta data_rel, ...] (MOR)
+            "delta_bytes": {},  # bucket -> accumulated delta bytes
             "committed": {},
             "lineage": {},
             "metrics": {"n_rows": 0},
@@ -169,14 +187,47 @@ class LakeTable:
         Buckets written before an add-column/widen are aligned on read
         (missing -> null, cast to logical type) — Iceberg-style lazy schema
         evolution without rewriting history. Tombstones are filtered out.
+        Delta-carrying buckets resolve per-key latest (merge-on-read);
+        delta-free buckets are a plain scan.
         """
         meta = self.metadata(version)
-        df = self._read_buckets(
-            meta, [int(b) for b in meta["buckets"]], internal=True
+        buckets = sorted(
+            {int(b) for b in meta["buckets"]}
+            | {int(b) for b, rels in meta.get("deltas", {}).items() if rels}
         )
+        df = self._read_state(meta, buckets)
         return df.where(~F.coalesce(F.col(CDC_DELETED), F.lit(False))).select(
             *[n for n, _ in meta["schema"]]
         )
+
+    def _read_state(self, meta: dict, buckets: list[int]) -> DataFrame:
+        """base ∪ deltas for `buckets` with per-key LATEST-position
+        resolution — but ONLY delta-carrying buckets pay the resolution
+        shuffle; delta-free buckets stream through untouched."""
+        deltas = meta.get("deltas", {})
+        plain = [b for b in buckets if not deltas.get(str(b))]
+        dirty = [b for b in buckets if deltas.get(str(b))]
+        parts = []
+        if plain:
+            parts.append(self._read_buckets(meta, plain, internal=True))
+        if dirty:
+            stack = self._read_buckets(meta, dirty, internal=True)
+            logical = list(meta["schema"]) + _INTERNAL
+            for b in dirty:
+                for rel in deltas[str(b)]:
+                    stack = stack.unionByName(
+                        self._aligned_scan(
+                            [os.path.join(self.path, rel, f"_bucket={b}")],
+                            logical,
+                        )
+                    )
+            parts.append(_latest_per_key(stack, meta["keys"]))
+        if not parts:
+            return self._read_buckets(meta, [], internal=True)  # typed empty
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # ----------------------------------------------------------------- merge
     def merge(
@@ -217,6 +268,7 @@ class LakeTable:
         # keeps the fold from recomputing for the join below.
         stats = u.agg(
             F.collect_set("_bucket").alias("bks"),
+            F.count(F.lit(1)).alias("n"),
             F.array_distinct(
                 F.flatten(F.collect_set(F.map_keys(F.col("image"))))
             ).alias("cols"),
@@ -235,7 +287,10 @@ class LakeTable:
             ).alias("hot"),
         ).collect()[0]
         affected = sorted(stats["bks"])
+        n_upserts = int(stats["n"])
         meta["hot_keys"] = [[r[k] for k in keys] for r in stats["hot"]]
+        deltas = meta.setdefault("deltas", {})
+        dbytes = meta.setdefault("delta_bytes", {})
 
         # schema evolution: image keys not yet in the schema become new
         # string columns (metadata-only; DDL-driven typed evolution goes
@@ -245,7 +300,9 @@ class LakeTable:
             meta["schema"].append([c, "string"])
         logical = meta["schema"]
 
-        if not any(str(b) in meta["buckets"] for b in affected):
+        if not any(
+            str(b) in meta["buckets"] or deltas.get(str(b)) for b in affected
+        ):
             # Fast path: no affected bucket has any existing data (initial
             # load, or a batch touching only brand-new key space). The
             # full-outer join against an empty target is the identity on the
@@ -282,8 +339,29 @@ class LakeTable:
             return self._commit_merged(
                 merged, meta, affected, version, u,
                 stream_id=stream_id, batch_id=batch_id, lineage=lineage,
+                n_upserts=n_upserts,
             )
-        target = self._read_buckets(meta, affected, internal=True)
+        # MOR vs COW: small batches append per-bucket delta files (bytes ~
+        # batch size); large batches, and buckets whose deltas crossed the
+        # compaction threshold, take the copy-on-write rewrite (which folds
+        # the deltas back in and clears them).
+        need_compact = any(
+            len(deltas.get(str(b), [])) >= self.MAX_DELTA_FILES
+            or dbytes.get(str(b), 0)
+            > self.COMPACT_BYTES_FRACTION * max(self._base_bytes(meta, b), 1)
+            for b in affected
+        )
+        big = n_upserts > self.MOR_MAX_ROW_FRACTION * max(
+            meta["metrics"].get("n_rows") or 0, 1
+        )
+        if not (need_compact or big):
+            return self._merge_delta(
+                u, meta, affected, version, n_upserts,
+                stream_id=stream_id, batch_id=batch_id, lineage=lineage,
+                cast_types=cast_types,
+            )
+
+        target = self._read_state(meta, affected)
         t = target.alias("t")
         s = u.alias("u")
         cond = [F.col(f"t.{k}") == F.col(f"u.{k}") for k in keys]
@@ -351,6 +429,7 @@ class LakeTable:
         return self._commit_merged(
             merged, meta, affected, version, u,
             stream_id=stream_id, batch_id=batch_id, lineage=lineage,
+            n_upserts=n_upserts,
         )
 
     def _commit_merged(
@@ -364,6 +443,7 @@ class LakeTable:
         stream_id: str,
         batch_id: int | None,
         lineage: dict | None,
+        n_upserts: int = 0,
     ) -> dict:
         keys, n_buckets = meta["keys"], meta["n_buckets"]
         data_rel = f"data/v{version}"
@@ -382,6 +462,9 @@ class LakeTable:
                 meta["buckets"][str(b)] = data_rel
             else:
                 meta["buckets"].pop(str(b), None)
+            # COW rewrite folded any deltas of this bucket into the new base
+            meta.setdefault("deltas", {}).pop(str(b), None)
+            meta.setdefault("delta_bytes", {}).pop(str(b), None)
         meta["version"] = version
         if batch_id is not None:
             meta["committed"][stream_id] = batch_id
@@ -393,6 +476,11 @@ class LakeTable:
                     cur["pos"],
                 ):
                     meta["lineage"][str(sid)] = posinfo
+        # Upper-bound row estimate feeding the MOR/COW decision only (an
+        # overestimate biases toward deltas, which compaction bounds).
+        meta["metrics"]["n_rows"] = (
+            meta["metrics"].get("n_rows", 0) + n_upserts
+        )
         meta["ts"] = time.time()
         self._write_metadata(meta)
         return {"skipped": False, "version": version, "buckets": len(affected)}
@@ -412,12 +500,24 @@ class LakeTable:
                 dirs.setdefault(rel, []).append(b)
         if not dirs:
             return empty
-        parts = []
-        for rel, bs in dirs.items():
-            df = self.spark.read.parquet(
-                *[os.path.join(self.path, rel, f"_bucket={b}") for b in bs]
+        parts = [
+            self._aligned_scan(
+                [os.path.join(self.path, rel, f"_bucket={b}") for b in bs],
+                logical,
             )
-            cols = [
+            for rel, bs in dirs.items()
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _aligned_scan(self, paths: list[str], logical: list) -> DataFrame:
+        """Scan parquet dirs aligned to the logical schema (missing columns
+        null-fill, present columns cast — lazy schema evolution)."""
+        df = self.spark.read.parquet(*paths)
+        return df.select(
+            *[
                 (
                     F.col(n).cast(_parse_type(s))
                     if n in df.columns
@@ -425,11 +525,7 @@ class LakeTable:
                 ).alias(n)
                 for n, s in logical
             ]
-            parts.append(df.select(*cols))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        )
 
     # ------------------------------------------------------- schema evolution
     def add_column(self, name: str, spark_type: str = "string") -> None:
@@ -463,14 +559,15 @@ class LakeTable:
         self._write_metadata(meta)
 
     def _rewrite(self, fn) -> None:
-        """Physical rewrite preserving internal CDC gate columns."""
+        """Physical rewrite preserving internal CDC gate columns. Folds any
+        delta files into the new base (full compaction)."""
         meta = self.metadata()
         version = meta["version"] + 1
-        df = fn(
-            self._read_buckets(
-                meta, [int(b) for b in meta["buckets"]], internal=True
-            )
+        buckets = sorted(
+            {int(b) for b in meta["buckets"]}
+            | {int(b) for b, rels in meta.get("deltas", {}).items() if rels}
         )
+        df = fn(self._read_state(meta, buckets))
         data_rel = f"data/v{version}"
         keys, n_buckets = meta["keys"], meta["n_buckets"]
         (
@@ -483,8 +580,139 @@ class LakeTable:
         meta["buckets"] = {
             str(b): data_rel for b in self._present_buckets(data_rel)
         }
+        meta["deltas"] = {}
+        meta["delta_bytes"] = {}
         meta["version"] = version
         self._write_metadata(meta)
+
+    def _base_bytes(self, meta: dict, bucket: int) -> int:
+        rel = meta["buckets"].get(str(bucket))
+        if not rel:
+            return 0
+        return _dir_bytes(
+            os.path.join(self.path, rel, f"_bucket={bucket}")
+        )
+
+    def _merge_delta(
+        self,
+        u: DataFrame,
+        meta: dict,
+        affected: list[int],
+        version: int,
+        n_upserts: int,
+        *,
+        stream_id: str,
+        batch_id: int | None,
+        lineage: dict | None,
+        cast_types: bool,
+    ) -> dict:
+        """MERGE as a per-bucket DELTA append (merge-on-read write path).
+
+        Resolves the folded upserts against the affected buckets' current
+        state (base ∪ prior deltas) so each delta row is a complete,
+        position-gated row image; writes ONLY those rows. Bytes written are
+        proportional to the batch, not the touched buckets — the
+        write-amplification answer for 100 TB tables where every batch
+        grazes every bucket (tools/probe_write_amp.py measures it).
+        """
+        keys, n_buckets = meta["keys"], meta["n_buckets"]
+        logical = meta["schema"]
+        cur = self._read_state(meta, affected)
+        t = cur.alias("t")
+        s = u.alias("u")
+        cond = [F.col(f"t.{k}") == F.col(f"u.{k}") for k in keys]
+        joined = s.join(t, cond, "left_outer")
+
+        t_pos = F.struct(
+            F.col(f"t.{CDC_FILE}"), F.col(f"t.{CDC_POS}"), F.col(f"t.{CDC_IDX}")
+        )
+        u_pos = F.struct(
+            F.col("u.last_file").alias(CDC_FILE),
+            F.col("u.last_pos").alias(CDC_POS),
+            F.col("u.last_row_idx").alias(CDC_IDX),
+        )
+        exists = F.col(f"t.{keys[0]}").isNotNull()
+        newer = F.col(f"t.{CDC_FILE}").isNull() | (u_pos > t_pos)
+        deleting = F.col("u.final_op") == F.lit("DELETE")
+        take = (~exists & ~deleting) | (exists & newer)
+
+        out_cols = []
+        for n, st in logical:
+            typ = _parse_type(st)
+            img_val = F.col("u.image").getItem(n)
+            if cast_types:
+                img_val = img_val.cast(typ)
+            if n in keys:
+                out_cols.append(F.col(f"u.{n}").cast(typ).alias(n))
+            else:
+                tcol = (
+                    F.col(f"t.{n}") if n in cur.columns else F.lit(None)
+                )
+                base = (
+                    F.when(
+                        ~exists
+                        | F.coalesce(F.col(f"t.{CDC_DELETED}"), F.lit(False)),
+                        F.lit(None),
+                    )
+                    .otherwise(tcol)
+                    .cast(typ)
+                )
+                out_cols.append(
+                    F.when(deleting, F.lit(None).cast(typ))
+                    .otherwise(F.coalesce(img_val, base))
+                    .alias(n)
+                )
+        out_cols.extend(
+            [
+                F.col("u.last_file").alias(CDC_FILE),
+                F.col("u.last_pos").alias(CDC_POS),
+                F.col("u.last_row_idx").alias(CDC_IDX),
+                deleting.alias(CDC_DELETED),
+            ]
+        )
+        delta = joined.where(take).select(*out_cols)
+
+        data_rel = f"data/d{version}"
+        (
+            delta.withColumn("_bucket", _bucket_col(keys, n_buckets))
+            .repartition(max(len(affected), 1), "_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(os.path.join(self.path, data_rel))
+        )
+        u.unpersist()
+
+        for b in self._present_buckets(data_rel):
+            meta.setdefault("deltas", {}).setdefault(str(b), []).append(
+                data_rel
+            )
+            meta.setdefault("delta_bytes", {})[str(b)] = meta[
+                "delta_bytes"
+            ].get(str(b), 0) + _dir_bytes(
+                os.path.join(self.path, data_rel, f"_bucket={b}")
+            )
+        meta["version"] = version
+        if batch_id is not None:
+            meta["committed"][stream_id] = batch_id
+        if lineage:
+            for sid, posinfo in lineage.items():
+                cur_pos = meta["lineage"].get(str(sid))
+                if cur_pos is None or (posinfo["file"], posinfo["pos"]) >= (
+                    cur_pos["file"],
+                    cur_pos["pos"],
+                ):
+                    meta["lineage"][str(sid)] = posinfo
+        meta["metrics"]["n_rows"] = (
+            meta["metrics"].get("n_rows", 0) + n_upserts
+        )
+        meta["ts"] = time.time()
+        self._write_metadata(meta)
+        return {
+            "skipped": False,
+            "version": version,
+            "buckets": len(affected),
+            "mode": "delta",
+        }
 
     # ------------------------------------------------------------ maintenance
     def lineage(self) -> dict:
@@ -495,6 +723,31 @@ class LakeTable:
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
+
+
+def _latest_per_key(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge-on-read resolution: one row per key — the one with the max
+    (_cdc_file, _cdc_pos, _cdc_idx) position (the same LWW gate MERGE
+    enforces at write time). One shuffle over only the delta-carrying
+    buckets' rows."""
+    pos = F.struct(F.col(CDC_FILE), F.col(CDC_POS), F.col(CDC_IDX))
+    cols = df.columns
+    return (
+        df.groupBy(*keys)
+        .agg(F.max_by(F.struct(*[F.col(c) for c in cols]), pos).alias("_r"))
+        .select(*[F.col(f"_r.{c}").alias(c) for c in cols])
+    )
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
 
 
 def _parse_type(s: str) -> T.DataType:

@@ -1,0 +1,117 @@
+"""Merge-on-read delta path (VERDICT r1 #7): small batches append delta
+files (bytes ~ batch), readers resolve per-key latest, compaction folds
+deltas back into the base."""
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mariadb_cdc_spark.sources.lake import LakeTable, _dir_bytes
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("val", T.StringType()),
+    ]
+)
+
+
+def _folded(spark, rows):
+    """rows: (id, final_op, image_dict, pos)"""
+    return spark.createDataFrame(
+        [
+            (rid, op, img, "bin.000001", pos, 0, 1)
+            for rid, op, img, pos in rows
+        ],
+        "id string, final_op string, image map<string,string>,"
+        " last_file string, last_pos long, last_row_idx int, n_changes long",
+    )
+
+
+def _init(spark, path, n=500, n_buckets=8):
+    table = LakeTable.create(spark, path, SCHEMA, ["id"], n_buckets=n_buckets)
+    initial = _folded(
+        spark, [(f"k{i}", "UPSERT", {"id": f"k{i}", "val": f"v{i}"}, 100 + i)
+                for i in range(n)]
+    )
+    table.merge(initial, stream_id="init", batch_id=0)
+    return table
+
+
+def test_small_batch_takes_delta_path_and_reads_back(spark, tmp_path):
+    table = _init(spark, str(tmp_path / "t"))
+    base_bytes = _dir_bytes(str(tmp_path / "t" / "data"))
+
+    upd = _folded(
+        spark,
+        [("k3", "UPSERT", {"val": "v3b"}, 10_000),
+         ("k7", "DELETE", {}, 10_001)],
+    )
+    res = table.merge(upd, stream_id="init", batch_id=1)
+    assert res["mode"] == "delta"
+
+    meta = table.metadata()
+    assert any(meta["deltas"].values())
+    delta_bytes = sum(meta["delta_bytes"].values())
+    # 2-row delta must be a small fraction of the 500-row base
+    assert delta_bytes < base_bytes * 0.25
+
+    rows = {r["id"]: r["val"] for r in table.read().collect()}
+    assert rows["k3"] == "v3b"
+    assert "k7" not in rows
+    assert len(rows) == 499
+    assert rows["k42"] == "v42"  # untouched keys intact
+
+
+def test_stale_delta_update_loses_position_gate(spark, tmp_path):
+    table = _init(spark, str(tmp_path / "t2"), n=50)
+    stale = _folded(spark, [("k3", "UPSERT", {"val": "OLD"}, 1)])  # pos 1 < 103
+    res = table.merge(stale, stream_id="init", batch_id=1)
+    assert res["mode"] == "delta"
+    rows = {r["id"]: r["val"] for r in table.read().collect()}
+    assert rows["k3"] == "v3"  # stale write filtered at delta-write time
+
+
+def test_compaction_folds_deltas_into_base(spark, tmp_path):
+    table = _init(spark, str(tmp_path / "t3"), n=100, n_buckets=2)
+    # drive one bucket past MAX_DELTA_FILES
+    for i in range(LakeTable.MAX_DELTA_FILES + 1):
+        upd = _folded(
+            spark, [("k1", "UPSERT", {"val": f"rev{i}"}, 20_000 + i)]
+        )
+        table.merge(upd, stream_id="init", batch_id=2 + i)
+    meta = table.metadata()
+    # the compaction threshold fired at some point: bucket of k1 was COW'd
+    # and its delta list reset (possibly re-populated after)
+    assert all(
+        len(rels) <= LakeTable.MAX_DELTA_FILES
+        for rels in meta["deltas"].values()
+    )
+    rows = {r["id"]: r["val"] for r in table.read().collect()}
+    assert rows["k1"] == f"rev{LakeTable.MAX_DELTA_FILES}"
+    assert len(rows) == 100
+
+
+def test_exactly_once_replay_of_delta_batch(spark, tmp_path):
+    table = _init(spark, str(tmp_path / "t4"), n=20)
+    upd = _folded(spark, [("k5", "UPSERT", {"val": "new"}, 9_999)])
+    table.merge(upd, stream_id="init", batch_id=1)
+    v = table.metadata()["version"]
+    res = table.merge(upd, stream_id="init", batch_id=1)  # replayed epoch
+    assert res["skipped"] is True
+    assert table.metadata()["version"] == v
+
+
+def test_schema_evolution_through_delta(spark, tmp_path):
+    """A delta batch introducing a new image column evolves the schema;
+    base rows null-fill on read."""
+    table = _init(spark, str(tmp_path / "t5"), n=10)
+    upd = _folded(
+        spark, [("k2", "UPSERT", {"val": "x", "extra": "e"}, 9_000)]
+    )
+    res = table.merge(upd, stream_id="init", batch_id=1)
+    assert res["mode"] == "delta"
+    rows = {r["id"]: r.asDict() for r in table.read().collect()}
+    assert rows["k2"]["extra"] == "e"
+    assert rows["k1"]["extra"] is None
