@@ -25,6 +25,7 @@ from .schema import (
     EVT_FORMAT_DESCRIPTION,
     EVT_HEARTBEAT,
     EVT_ROTATE,
+    EVT_STOP,
     EVT_TABLE_MAP,
     EVT_UPDATE_ROWS,
     EVT_WRITE_ROWS,
@@ -178,6 +179,7 @@ def generate_events(
     events_per_file: int = 4096,
     rows_per_event: int = 1,
     include_audit: bool = True,
+    include_stop: bool = False,
     extra_events: DataFrame | None = None,
 ) -> DataFrame:
     """Build the full binlog-shaped event table (EVENT_SCHEMA).
@@ -358,6 +360,24 @@ def generate_events(
     )
 
     parts = [rows_events, xids, hbs, fd, rot, tmap_main]
+
+    if include_stop:
+        # STOP: written on clean server shutdown (BinlogEventType.java);
+        # position-ADVANCING (only FORMAT_DESCRIPTION/TABLE_MAP are exempt,
+        # BinaryLogEventProcessor.java:128-132), carries no payload. Placed
+        # in a sentinel file that sorts after every data file.
+        stop = _pad_envelope(
+            rows_events.sparkSession.range(1).select(
+                F.lit(server_id).cast("long").alias("server_id"),
+                F.lit("bin.999999").alias("binlog_file"),
+                F.lit(4).cast("long").alias("binlog_pos"),
+                F.lit(EVT_STOP).alias("event_type"),
+                F.timestamp_seconds(F.lit(BASE_EPOCH)).alias("ts"),
+                F.lit(None).cast("string").alias("gtid"),
+            ),
+            {},
+        )
+        parts.append(stop)
 
     if include_audit:
         tmap_audit = _table_map(

@@ -42,7 +42,12 @@ from .operators.registry import (
     table_map_registry,
 )
 from .schema import EVT_QUERY
-from .sources.checkpoint import batch_lineage, events_after, gate_on_xid
+from .sources.checkpoint import (
+    batch_lineage,
+    events_after,
+    gate_on_xid,
+    liveness_metrics,
+)
 from .sources.lake import LakeTable
 
 
@@ -67,6 +72,11 @@ class CdcConfig:
     # (checkpoint.gate_on_xid; reference onXid semantics,
     # MariadbCdcListener.java:17-22).
     gate_on_xid: bool = False
+    # Surface per-server liveness (last event ts, heartbeat cadence, max
+    # in-batch silence) in the batch result and table metadata — the
+    # ReconnectThread observability (BinLogReader.java:333-380); pair with
+    # checkpoint.stalled_servers to drive source restarts.
+    track_liveness: bool = False
     # Column-name side channel for streams whose TABLE_MAP carries no names
     # (pre-10.5): a (database, table) -> list[str] callable, or a
     # ColumnNameCache to share memoization across batches (the reference's
@@ -163,6 +173,7 @@ def apply_batch(
     ctrl = events.drop("rows_before", "rows_after")
 
     lineage = batch_lineage(ctrl)
+    liveness = liveness_metrics(ctrl) if cfg.track_liveness else None
 
     # Persistent TABLE_MAP registry: the reference keeps TableInfos in memory
     # for the whole session (shyikobinlog/TableInfos.java); across restarts a
@@ -245,11 +256,15 @@ def apply_batch(
     if batch_id is not None:
         meta["committed"][stream_id] = batch_id
     meta["table_maps"] = _latest_maps(table_maps)
+    if liveness is not None:
+        meta["liveness"] = liveness
     meta["version"] += 1
     table._write_metadata(meta)
 
     total["epochs"] = n_epochs
     total["lineage"] = lineage
+    if liveness is not None:
+        total["liveness"] = liveness
     return total
 
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.filters import position_advancing
@@ -69,6 +69,75 @@ def batch_lineage(events: DataFrame) -> dict:
         }
         for r in rows
     }
+
+
+def liveness_metrics(events: DataFrame) -> dict:
+    """Per-server liveness: the ReconnectThread/heartbeat observability
+    re-expressed batch-wise (reference BinLogReader.java:333-380 tracks
+    lastEventTimestamp and reconnects after keepConnectionTimeout of
+    silence; BinLogReaderHeartbeatTest.java:56-63 pins heartbeat cadence).
+
+    Returns {server_id: {last_ts, n_events, n_heartbeats,
+    max_silence_seconds, heartbeat_interval_seconds}} — one distributed agg
+    (the silence gap is a per-server window lag, parallel across servers).
+    """
+    from ..schema import EVT_HEARTBEAT
+
+    w = Window.partitionBy("server_id").orderBy("ts")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    hb_w = Window.partitionBy("server_id", "_is_hb").orderBy("ts")
+    hb_gap = F.when(
+        F.col("_is_hb"),
+        F.col("ts").cast("double")
+        - F.lag(F.col("ts").cast("double")).over(hb_w),
+    )
+    rows = (
+        events.where(F.col("ts").isNotNull())
+        .withColumn("_is_hb", F.col("event_type") == EVT_HEARTBEAT)
+        .withColumn("_gap", gap)
+        .withColumn("_hb_gap", hb_gap)
+        .groupBy("server_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("_is_hb").cast("long")).alias("n_heartbeats"),
+            F.max("_gap").alias("max_silence"),
+            F.avg("_hb_gap").alias("hb_interval"),
+        )
+        .collect()
+    )
+    return {
+        str(r["server_id"]): {
+            "last_ts": r["last_ts"].isoformat() if r["last_ts"] else None,
+            "last_epoch": (
+                int(r["last_ts"].timestamp()) if r["last_ts"] else None
+            ),
+            "n_events": int(r["n_events"]),
+            "n_heartbeats": int(r["n_heartbeats"] or 0),
+            "max_silence_seconds": (
+                float(r["max_silence"]) if r["max_silence"] is not None else None
+            ),
+            "heartbeat_interval_seconds": (
+                float(r["hb_interval"]) if r["hb_interval"] is not None else None
+            ),
+        }
+        for r in rows
+    }
+
+
+def stalled_servers(
+    liveness: dict, *, now_epoch: float, keep_timeout_seconds: float
+) -> list[str]:
+    """The ReconnectThread condition (BinLogReader.java:344-349):
+    servers silent longer than keepConnectionTimeout. The engine's
+    equivalent of tryReconnect is restart-from-checkpoint of the source;
+    this surfaces WHICH servers need it."""
+    return sorted(
+        sid
+        for sid, m in liveness.items()
+        if m["last_epoch"] is not None
+        and now_epoch - m["last_epoch"] > keep_timeout_seconds
+    )
 
 
 def events_after(events: DataFrame, lineage: dict) -> DataFrame:
