@@ -444,6 +444,32 @@ def q_emb_neardup(spark, sf):
     return embedding_near_duplicates(_emb(spark, sf), threshold=0.35)
 
 
+def q_media_audio_features(spark, sf):
+    """Multimodal binary path, REAL codec: synthesize PCM16 WAV payloads
+    (square waves, parameters closed-form in doc_id), decode them with the
+    in-repo RIFF parser via mapInPandas, and emit per-clip features. The
+    oracle recomputes every feature from doc_id directly — agreement proves
+    the encoder, the decoder, and the Arrow plumbing."""
+    from mariadb_cdc_spark.functions.multimodal import (
+        audio_features,
+        synthesize_real_media,
+    )
+
+    return audio_features(synthesize_real_media(_docs(spark, sf)))
+
+
+def q_media_image_stats(spark, sf):
+    """Multimodal image path, REAL codec: P6 PPM payloads decoded with the
+    in-repo parser; per-channel means + the dims of a real nearest-neighbor
+    thumbnail resize. Closed-form oracle in doc_id."""
+    from mariadb_cdc_spark.functions.multimodal import (
+        image_stats,
+        synthesize_real_media,
+    )
+
+    return image_stats(synthesize_real_media(_docs(spark, sf)))
+
+
 # --------------------------------------------------------------- analytics
 
 def q_agg_pricing(spark, sf):
@@ -513,6 +539,8 @@ QUERIES: dict[str, Callable] = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,
     "emb_neardup": q_emb_neardup,
+    "media_audio_features": q_media_audio_features,
+    "media_image_stats": q_media_image_stats,
     "agg_pricing": q_agg_pricing,
     "join_revenue": q_join_revenue,
 }
@@ -898,6 +926,28 @@ def oracle_sql() -> dict[str, str]:
             where list_dot_product(a.v, b.v) /
                     (sqrt(list_dot_product(a.v, a.v)) *
                      sqrt(list_dot_product(b.v, b.v))) >= 0.35
+        """,
+        "media_audio_features": """
+            select doc_id::BIGINT as media_id,
+                   8000::INT as sample_rate,
+                   (800 + (doc_id % 200) * 8)::INT as n_samples,
+                   ((800 + (doc_id % 200) * 8) // 8)::INT as duration_ms,
+                   (1000 + (doc_id * 37) % 20000)::DOUBLE as peak,
+                   (1000 + (doc_id * 37) % 20000)::DOUBLE as rms
+            from documents where doc_id % 2 = 0
+        """,
+        "media_image_stats": """
+            select doc_id::BIGINT as media_id,
+                   (16 + doc_id % 48)::INT as width,
+                   (16 + (doc_id * 3) % 32)::INT as height,
+                   ((16 + doc_id % 48)
+                    * (16 + (doc_id * 3) % 32))::INT as n_pixels,
+                   (doc_id % 256)::DOUBLE as mean_r,
+                   ((doc_id * 7) % 256)::DOUBLE as mean_g,
+                   ((doc_id * 13) % 256)::DOUBLE as mean_b,
+                   ((16 + doc_id % 48 + 1) // 2)::INT as thumb_w,
+                   ((16 + (doc_id * 3) % 32 + 1) // 2)::INT as thumb_h
+            from documents where doc_id % 2 = 1
         """,
         "agg_pricing": """
             select l_returnflag, l_linestatus,

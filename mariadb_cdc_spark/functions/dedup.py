@@ -210,6 +210,11 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """LSH candidates refined by estimated Jaccard (signature agreement)."""
     sig = minhash_signature(df, text_col, n, num_hashes, id_col)
+    # sig feeds three consumers (banding + both refinement joins) and AQE's
+    # broadcast conversion defeats identical-subplan exchange reuse, so the
+    # shingle-explode+digest mass would run 3x. Lazy local checkpoint
+    # materializes it once; blocks are freed when the result is released.
+    sig = sig.localCheckpoint(eager=False)
     cands = minhash_lsh_candidates(sig, num_hashes, bands)
     a = sig.alias("sa")
     b = sig.alias("sb")

@@ -148,3 +148,52 @@ def test_duplicate_components_transitive_chain(spark):
         for r in duplicate_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+# --------------------------------------------------- real media codecs (r2)
+
+def test_wav_roundtrip_and_malformed():
+    import numpy as np
+    import pytest
+    from mariadb_cdc_spark.functions import multimodal as mm
+
+    wave = np.where((np.arange(1600) // 4) % 2 == 0, 2500, -2500)
+    f = mm.decode_wav(mm.encode_wav(wave, 8000))
+    assert f["sample_rate"] == 8000
+    assert f["n_samples"] == 1600
+    assert f["duration_ms"] == 200
+    assert f["peak"] == 2500.0 and f["rms"] == 2500.0
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"not a wav")
+
+
+def test_ppm_roundtrip_resize_and_stub_intact():
+    import numpy as np
+    import pytest
+    from mariadb_cdc_spark.functions import multimodal as mm
+
+    px = np.zeros((5, 7, 3), dtype=np.uint8)
+    px[..., 0] = 9
+    back = mm.decode_ppm(mm.encode_ppm(px))
+    assert (back == px).all()
+    th = mm.resize_ppm(back, 2)
+    assert th.shape == (3, 4, 3)  # ceil semantics
+    with pytest.raises(ValueError):
+        mm.decode_ppm(b"JFIF....")
+    # compressed formats remain explicitly stubbed
+    with pytest.raises(NotImplementedError):
+        mm._decode_image_stub(b"\xff\xd8\xff")
+
+
+def test_media_features_distributed(spark):
+    from pyspark.sql import functions as F
+    from mariadb_cdc_spark.functions import multimodal as mm
+
+    docs = spark.range(20).select(F.col("id").alias("doc_id"))
+    media = mm.synthesize_real_media(docs)
+    au = {r["media_id"]: r for r in mm.audio_features(media).collect()}
+    im = {r["media_id"]: r for r in mm.image_stats(media).collect()}
+    assert set(au) == {d for d in range(20) if d % 2 == 0}
+    assert set(im) == {d for d in range(20) if d % 2 == 1}
+    assert au[4]["rms"] == float(1000 + 4 * 37 % 20000)
+    assert im[3]["width"] == 16 + 3 % 48 and im[3]["mean_g"] == float(21)
