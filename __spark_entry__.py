@@ -345,6 +345,101 @@ def q_cdc_typed_decode(spark, sf):
     return table.read()
 
 
+def q_cdc_names_channel(spark, sf):
+    """J2 end-to-end over the ENGINE: a pre-10.5 stream (TABLE_MAP without
+    column names) flows nameless images through positional col<i> fallback
+    (set-bit addressing for the minimal-image update wave), the column-name
+    side channel resolves real names, and the fold/MERGE produce the final
+    typed table — verified value-level against a closed-form oracle."""
+    from mariadb_cdc_spark.gen import _pad_envelope
+    from mariadb_cdc_spark.operators.names import static_names_getter
+    from mariadb_cdc_spark.pipeline import CdcConfig, apply_batch
+    from mariadb_cdc_spark.sources.lake import LakeTable
+    from pyspark.sql import types as T
+
+    docs = _docs(spark, sf).select("doc_id", "lang")
+    base = [
+        F.lit(1).cast("long").alias("server_id"),
+        F.timestamp_seconds(F.lit(1704067200)).alias("ts"),
+        F.lit(None).cast("string").alias("gtid"),
+    ]
+    tmap = _pad_envelope(
+        spark.range(1).select(
+            *base,
+            F.lit("bin.000001").alias("binlog_file"),
+            F.lit(2).cast("long").alias("binlog_pos"),
+            F.lit("TABLE_MAP").alias("event_type"),
+        ),
+        {
+            "table_id": F.lit(7).cast("long"),
+            "database": F.lit("test"),
+            "table": F.lit("docs"),
+            "column_types": F.array(F.lit(15), F.lit(15)),
+            # pre-10.5: NO names on the wire
+        },
+    )
+    ins = _pad_envelope(
+        docs.select(
+            *base,
+            F.lit("bin.000001").alias("binlog_file"),
+            (F.col("doc_id").cast("long") * 16 + 100).alias("binlog_pos"),
+            F.lit("WRITE_ROWS").alias("event_type"),
+            "doc_id",
+            "lang",
+        ).withColumn(
+            "rows_after",
+            F.array(
+                F.create_map(
+                    F.lit("a"), F.col("doc_id").cast("string"),
+                    F.lit("b"), F.col("lang"),
+                )
+            ),
+        ),
+        {"table_id": F.lit(7).cast("long")},
+    )
+    upd = _pad_envelope(
+        docs.where(F.pmod("doc_id", F.lit(3)) == 0)
+        .select(
+            *base,
+            F.lit("bin.000002").alias("binlog_file"),
+            (F.col("doc_id").cast("long") * 16 + 100).alias("binlog_pos"),
+            F.lit("UPDATE_ROWS").alias("event_type"),
+            "doc_id",
+            "lang",
+        )
+        .withColumn(
+            "rows_before",
+            F.array(F.create_map(F.lit("a"), F.col("doc_id").cast("string"))),
+        )
+        .withColumn(
+            "rows_after",
+            F.array(F.create_map(F.lit("b"), F.upper(F.col("lang")))),
+        ),
+        {
+            "table_id": F.lit(7).cast("long"),
+            "columns_used": F.array(F.lit(True), F.lit(False)),
+            "update_columns_used": F.array(F.lit(False), F.lit(True)),
+        },
+    )
+    events = tmap.unionByName(ins).unionByName(upd)
+
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in ["id", "lang"]]
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_q_names_")
+    table = LakeTable.create(spark, f"{tmp}/docs", schema, ["id"], n_buckets=8)
+    cfg = CdcConfig(
+        database="test",
+        table="docs",
+        keys=["id"],
+        column_names_getter=static_names_getter(
+            {("test", "docs"): ["id", "lang"]}
+        ),
+    )
+    apply_batch(events, table, cfg, stream_id="names", batch_id=0)
+    return table.read()
+
+
 def q_cdc_type_overlap(spark, sf):
     """Set-op coverage: users seen in clicks INTERSECT users seen in
     purchases, minus users seen in errors (EXCEPT)."""
@@ -527,6 +622,7 @@ QUERIES: dict[str, Callable] = {
     "cdc_multi_table": q_cdc_multi_table,
     "cdc_gap_sessions": q_cdc_gap_sessions,
     "cdc_typed_decode": q_cdc_typed_decode,
+    "cdc_names_channel": q_cdc_names_channel,
     "cdc_type_overlap": q_cdc_type_overlap,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -747,6 +843,12 @@ def oracle_sql() -> dict[str, str]:
                           ds // 3600, (ds // 60) % 60, ds % 60) as dur,
                    make_timestamp((1704067200 + doc_id) * 1000000) as seen_at
             from v
+        """,
+        "cdc_names_channel": """
+            select doc_id::VARCHAR as id,
+                   case when doc_id % 3 = 0 then upper(lang)
+                        else lang end as lang
+            from documents
         """,
         "cdc_type_overlap": """
             select count(*) as n_users from (

@@ -75,12 +75,20 @@ def decode_rows_events(events: DataFrame) -> DataFrame:
     # the before-image is governed by columns_used for every op; the
     # after-image by update_columns_used for UPDATE (dual-bitmap,
     # UpdateRowsEventBinLogDataDeserializer.java:18-47) else columns_used.
-    # Carried through here and APPLIED after the registry join
-    # (apply_column_bitmaps) once column names are known.
+    # ALL-TRUE bitmaps normalize to NULL here, ONCE per event before the
+    # row explode — binlog_row_image=full (the common case) then carries no
+    # array through the explode and apply_column_bitmaps short-circuits on
+    # the null instead of re-testing per image.
+    def sparse_only(col):
+        return F.when(F.exists(col, lambda x: ~x), col)
+
     after_used = F.when(
         F.col("event_type") == EVT_UPDATE_ROWS,
-        F.coalesce(F.col("update_columns_used"), F.col("columns_used")),
-    ).otherwise(F.col("columns_used"))
+        sparse_only(
+            F.coalesce(F.col("update_columns_used"), F.col("columns_used"))
+        ),
+    ).otherwise(sparse_only(F.col("columns_used")))
+    before_used = sparse_only(F.col("columns_used"))
 
     return (
         rows.withColumn("op", op)
@@ -92,7 +100,7 @@ def decode_rows_events(events: DataFrame) -> DataFrame:
             "binlog_pos",
             "table_id",
             "gtid",
-            F.col("columns_used").alias("before_used"),
+            before_used.alias("before_used"),
             after_used.alias("after_used"),
             F.posexplode(pairs).alias("row_idx", "pair"),
         )

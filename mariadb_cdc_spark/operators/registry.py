@@ -169,27 +169,56 @@ def resolve_table_metadata(
 
 
 def positional_fallback(resolved: DataFrame) -> DataFrame:
-    """Rewrite image keys to col0..colN when names are unknown/mismatched.
+    """Rewrite image keys to col<i> when names are unknown/mismatched.
 
     Mirrors BinaryLogEventProcessor.java:227-236 (synthesized names). The
-    generator emits images keyed by real column names; when
-    has_column_names=false the engine must not trust them, so keys become
-    positional. Images are maps, so we re-key by the position of each key in
-    column_names if present else by insertion order.
+    positional index comes from the image's BITMAP, exactly as the wire
+    decoder assigns values (readColumnValues,
+    BaseRowsEventBinLogDataDeserializer.java:20-41): the i-th map entry is
+    the i-th SET BIT of columns_used / update_columns_used. A sparse
+    minimal-image map {v} with bitmap [F,T] therefore re-keys to col1, not
+    col0 — entry order alone would mis-address every sparse image. With no
+    bitmap (null = all columns), set-bit order degenerates to 0..N.
     """
-    def rekey(col):
+    def rekey(col, used_col):
+        positions = F.filter(
+            F.sequence(F.lit(0), F.size(F.col(used_col)) - 1),
+            lambda i: F.get(F.col(used_col), i.cast("int")),
+        )
+        # Set-bit addressing requires the wire invariant |entries| == |set
+        # bits|; envelope images carrying a superset (bitmap authoritative,
+        # see apply_column_bitmaps) keep plain entry order.
+        use_bits = F.col(used_col).isNotNull() & (
+            F.size(positions) == F.size(F.map_keys(F.col(col)))
+        )
         return F.when(
             F.col("has_column_names") | F.col(col).isNull(), F.col(col)
         ).otherwise(
             F.map_from_arrays(
                 F.transform(
                     F.sequence(F.lit(0), F.size(F.map_keys(F.col(col))) - 1),
-                    lambda i: F.concat(F.lit("col"), i.cast("string")),
+                    lambda i: F.concat(
+                        F.lit("col"),
+                        F.coalesce(
+                            F.when(use_bits, F.get(positions, i.cast("int"))),
+                            i,
+                        ).cast("string"),
+                    ),
                 ),
                 F.map_values(F.col(col)),
             )
         )
 
-    return resolved.withColumn("before", rekey("before")).withColumn(
-        "after", rekey("after")
+    has_bitmaps = (
+        "before_used" in resolved.columns and "after_used" in resolved.columns
     )
+    if not has_bitmaps:
+        resolved = resolved.withColumn(
+            "before_used", F.lit(None).cast("array<boolean>")
+        ).withColumn("after_used", F.lit(None).cast("array<boolean>"))
+    out = resolved.withColumn(
+        "before", rekey("before", "before_used")
+    ).withColumn("after", rekey("after", "after_used"))
+    if not has_bitmaps:
+        out = out.drop("before_used", "after_used")
+    return out

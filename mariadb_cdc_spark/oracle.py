@@ -94,9 +94,6 @@ def replay(
             st.seen.add(dk)
             before = befores[i] if i < len(befores) else None
             after = afters[i] if i < len(afters) else None
-            if positional:
-                before = _positional(before)
-                after = _positional(after)
             # columns_used bitmap projection (dual-bitmap for UPDATE,
             # reference UpdateRowsEventBinLogDataDeserializer.java:18-47):
             # the image's authoritative columns are the bitmap-set ones.
@@ -106,6 +103,11 @@ def replay(
                 if et == "UPDATE_ROWS"
                 else e.get("columns_used")
             )
+            if positional:
+                # positional index = i-th SET BIT of the image's bitmap
+                # (readColumnValues assignment), not plain entry order
+                before = _positional(before, b_used)
+                after = _positional(after, a_used)
             before = _mask(before, b_used, names, positional)
             after = _mask(after, a_used, names, positional)
             img = after if after is not None else {}
@@ -124,9 +126,16 @@ def replay(
     return st
 
 
-def _positional(img):
+def _positional(img, used=None):
     if img is None:
         return None
+    if used:
+        set_bits = [i for i, b in enumerate(used) if b]
+        # set-bit addressing only under the wire invariant |entries|==|bits|
+        if len(set_bits) == len(img):
+            return {
+                f"col{set_bits[i]}": v for i, v in enumerate(img.values())
+            }
     return {f"col{i}": v for i, v in enumerate(img.values())}
 
 

@@ -328,3 +328,39 @@ def test_no_python_stage_for_string_image_batches(spark):
     ch = decoded_changes(generate_events(repo), CdcConfig())
     plan = ch._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_positional_sparse_image_addresses_set_bits(spark):
+    """A sparse positional image maps its i-th entry to the i-th SET BIT of
+    the bitmap (readColumnValues semantics) — plain entry order would call
+    the value col0 and the bitmap mask would then drop it."""
+    from mariadb_cdc_spark.operators.decode import apply_column_bitmaps
+
+    ev = _events(
+        spark,
+        [
+            # nameless map => positional mode
+            {**tmap(2, 7, "db", "t", []), "column_names": None,
+             "column_types": [15, 15, 15]},
+            {
+                "server_id": 1,
+                "binlog_file": "bin.000001",
+                "binlog_pos": 20,
+                "event_type": "UPDATE_ROWS",
+                "table_id": 7,
+                "columns_used": [True, False, False],
+                "update_columns_used": [False, False, True],
+                "rows_before": [{"k": "pk1"}],
+                "rows_after": [{"v": "new"}],
+            },
+        ],
+    )
+    out = apply_column_bitmaps(
+        positional_fallback(
+            resolve_table_metadata(
+                decode_rows_events(ev), table_map_registry(ev)
+            )
+        )
+    ).collect()[0]
+    assert out["before"] == {"col0": "pk1"}
+    assert out["after"] == {"col2": "new"}  # 3rd column, NOT col0
