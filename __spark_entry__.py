@@ -214,10 +214,11 @@ def q_cdc_epoch_split(spark, sf):
 
 def q_cdc_pipeline_e2e(spark, sf):
     """The full CDC engine (gen -> decode -> registry -> fold -> MERGE) at
-    the given scale factor; returns the final lake-table state. No SQL
-    oracle (the engine IS the thing being measured) — the driver records a
-    rows-only check; value-level verification is the sequential-oracle
-    sha256 suite in tests/test_e2e.py."""
+    the given scale factor; returns the final lake-table state. The DuckDB
+    oracle computes the wave plan's final state in closed form from the
+    documents table (hash-gated waves are deterministic), so the driver
+    hash-verifies the ENTIRE engine path; the sequential-oracle sha256
+    suite in tests/test_e2e.py is the second, independent check."""
     from mariadb_cdc_spark.gen import MERGE_KEYS, generate_events, repo_table
     from mariadb_cdc_spark.pipeline import CdcConfig, apply_batch
     from mariadb_cdc_spark.sources.lake import LakeTable
@@ -241,8 +242,8 @@ def q_cdc_multi_table(spark, sf):
     """Multi-table apply (S7: the reference delivers every table's changes
     through ONE listener): one decode+registry pass fans out to per-table
     fold/MERGE; returns the union of both final tables tagged by name.
-    Rows-only check (stateful engine path); value-level verification is
-    tests/test_multi_table.py."""
+    The DuckDB oracle derives both tables' final keys in closed form;
+    value-level verification is also in tests/test_multi_table.py."""
     from mariadb_cdc_spark.gen import (
         AUDIT_TABLE, AUDIT_TABLE_ID, MAIN_DATABASE, MAIN_TABLE, MERGE_KEYS,
         generate_events, repo_table,
@@ -565,6 +566,21 @@ def q_media_image_stats(spark, sf):
     return image_stats(synthesize_real_media(_docs(spark, sf)))
 
 
+def q_media_png_stats(spark, sf):
+    """Multimodal COMPRESSED-image path, REAL codec: 8-bit RGB gradient
+    PNGs are encoded in-repo (zlib deflate, CYCLING scanline filters so
+    Sub/Up/Average/Paeth all appear), then decoded back (CRC-checked chunk
+    parse, inflate, full de-filter matrix) into exact integer per-channel
+    pixel sums; the DuckDB oracle reproduces the sums in closed form, so
+    agreement proves encoder AND decoder bit-exact."""
+    from mariadb_cdc_spark.functions.multimodal import (
+        png_stats,
+        synthesize_png_media,
+    )
+
+    return png_stats(synthesize_png_media(_docs(spark, sf)))
+
+
 # --------------------------------------------------------------- analytics
 
 def q_agg_pricing(spark, sf):
@@ -637,6 +653,7 @@ QUERIES: dict[str, Callable] = {
     "emb_neardup": q_emb_neardup,
     "media_audio_features": q_media_audio_features,
     "media_image_stats": q_media_image_stats,
+    "media_png_stats": q_media_png_stats,
     "agg_pricing": q_agg_pricing,
     "join_revenue": q_join_revenue,
 }
@@ -796,6 +813,71 @@ def oracle_sql() -> dict[str, str]:
                                  rows unbounded preceding) as epoch
                   from events)
             group by user_id, epoch
+        """,
+        "cdc_pipeline_e2e": """
+            -- Closed-form final state of the wave plan (gen.generate_changes):
+            -- gate = hash60(\\x1f||repo||\\x1f||path) % 100;
+            --   <5 resurrected, [5,15) deleted, [15,35) rev3 partial update,
+            --   [35,60) rev2 full update, >=60 original insert.
+            with base as (
+              select 'repo_' || source as repo,
+                     'src/' || lang || '/doc_' ||
+                       lpad(doc_id::VARCHAR, 8, '0') || '.txt' as path,
+                     substring(md5(text) || md5(text || '#'), 1, 40)
+                       as commit0,
+                     lang,
+                     text as content
+              from documents),
+            keyed as (
+              select *,
+                     ('0x' || substring(
+                        md5(chr(31) || repo || chr(31) || path), 1, 15)
+                     )::BIGINT % 100 as gate
+              from base)
+            select repo, path,
+                   case when gate < 5 or gate >= 60 then commit0
+                        else substring(md5(commit0) || commit0, 1, 40) end
+                     as commit,
+                   lang,
+                   case when gate < 5
+                          then content || chr(10) || '// resurrected'
+                        when gate < 35
+                          then content || chr(10) || '// rev 3'
+                        when gate < 60
+                          then content || chr(10) || '// rev 2'
+                        else content end as content
+            from keyed
+            where gate < 5 or gate >= 15
+        """,
+        "cdc_multi_table": """
+            -- Main table: e2e final keys. Audit table: key_hash%100<10 keys,
+            -- audit_id = abucket*cap + row_number within abucket
+            -- (gen.generate_events include_audit path, n_buckets=32).
+            with base as (
+              select 'repo_' || source as repo,
+                     'src/' || lang || '/doc_' ||
+                       lpad(doc_id::VARCHAR, 8, '0') || '.txt' as path
+              from documents),
+            keyed as (
+              select repo, path,
+                     ('0x' || substring(
+                        md5(chr(31) || repo || chr(31) || path), 1, 15)
+                     )::BIGINT as key_hash
+              from base),
+            cap as (select count(*) + 2 as c from base),
+            audit as (
+              select repo, path, key_hash, key_hash % 32 as abucket
+              from keyed where key_hash % 100 < 10)
+            select 'repo_files' as table_name, repo as k1, path as k2
+            from keyed
+            where key_hash % 100 < 5 or key_hash % 100 >= 15
+            union all
+            select 'audit' as table_name,
+                   (abucket * (select c from cap)
+                    + row_number() over (partition by abucket
+                        order by key_hash, repo, path))::VARCHAR as k1,
+                   repo as k2
+            from audit
         """,
         "cdc_gap_sessions": """
             with g as (
@@ -1050,6 +1132,27 @@ def oracle_sql() -> dict[str, str]:
                    ((16 + doc_id % 48 + 1) // 2)::INT as thumb_w,
                    ((16 + (doc_id * 3) % 32 + 1) // 2)::INT as thumb_h
             from documents where doc_id % 2 = 1
+        """,
+        "media_png_stats": """
+            -- pixel(y,x,c) = (x + 3y + 7c + doc_id) % 256 over a
+            -- (16 + id%48) x (16 + 3id%32) grid; sums computed cell-by-cell.
+            with dims as (
+              select doc_id,
+                     16 + doc_id % 48 as w,
+                     16 + (doc_id * 3) % 32 as h
+              from documents),
+            ys as (select doc_id, w, h, unnest(range(0, h)) as y from dims),
+            cells as (select doc_id, w, h, y,
+                             unnest(range(0, w)) as x
+                      from ys)
+            select doc_id::BIGINT as media_id,
+                   w::INT as width, h::INT as height,
+                   (w * h)::INT as n_pixels,
+                   sum((x + 3 * y + doc_id) % 256)::BIGINT as sum_r,
+                   sum((x + 3 * y + 7 + doc_id) % 256)::BIGINT as sum_g,
+                   sum((x + 3 * y + 14 + doc_id) % 256)::BIGINT as sum_b
+            from cells
+            group by doc_id, w, h
         """,
         "agg_pricing": """
             select l_returnflag, l_linestatus,

@@ -1,10 +1,11 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
 The Spark-side architecture is real and tested — schema, partition-preserving
-mapInPandas with Arrow batches, deterministic fake featurizers — while the
-actual codec calls are STUBS (the image/audio libraries are not in this
-container). Swap `_decode_image_stub` for PIL/torchvision etc. on a real
-cluster; nothing else changes.
+mapInPandas with Arrow batches — and so are the WAV/PPM/PNG codecs below
+(stdlib struct + zlib + numpy; no external image/audio libraries needed).
+Only entropy-coded formats (JPEG/MP4) remain stubs: swap
+`_decode_image_stub` for PIL/torchvision etc. on a real cluster; nothing
+else changes.
 
 Design rules for 100 TB of binary payloads:
   - binary stays opaque in Spark (no per-row Python objects crossing the
@@ -134,11 +135,14 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 # --------------------------------------------------- real codecs (r2)
-# Pure-stdlib/numpy decoders for the UNCOMPRESSED container formats — these
-# are REAL (struct header parse + numpy pixel/sample math), so the binary
-# path is exercised end to end in this container. Compressed codecs
-# (JPEG/PNG/MP4) stay behind _decode_image_stub until PIL/av exist on the
-# cluster; nothing else in the pipeline changes.
+# Pure-stdlib/numpy codecs — REAL implementations (struct header parse,
+# zlib inflate/deflate, scanline de-filtering, numpy pixel/sample math), so
+# the binary path is exercised end to end in this container:
+#   WAV (RIFF PCM16), PPM (P6), and PNG (8-bit RGB: full None/Sub/Up/
+#   Average/Paeth filter matrix + CRC-checked chunks over zlib).
+# Codecs needing entropy decoders we can't justify hand-rolling (JPEG/MP4)
+# stay behind _decode_image_stub until PIL/av exist on the cluster; nothing
+# else in the pipeline changes.
 
 import struct
 
@@ -204,6 +208,198 @@ def resize_ppm(pixels: "np.ndarray", factor: int = 2) -> "np.ndarray":
     """Nearest-neighbor downsample by integer factor (numpy stride slicing
     — the real thumbnail kernel, no codec library needed)."""
     return pixels[::factor, ::factor, :]
+
+
+import zlib
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_vec(a, b, c):
+    """Paeth predictor, vectorized over a scanline (PNG spec §6.6)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels: "np.ndarray", filter_cycle: bool = True) -> bytes:
+    """Real PNG writer: 8-bit RGB, no interlace, zlib-compressed IDAT.
+
+    With `filter_cycle` each scanline uses filter type y % 5, so a decoder
+    must correctly invert None/Sub/Up/Average/Paeth — the round-trip test
+    covers the full filter matrix, not just the trivial case.
+    """
+    h, w, _ = pixels.shape
+    px = pixels.astype(np.int32)
+    z = np.zeros((1, 3), np.int32)
+    raw = bytearray()
+    prior = np.zeros((w, 3), np.int32)
+    for y in range(h):
+        line = px[y]
+        left = np.vstack([z, line[:-1]])
+        f = (y % 5) if filter_cycle else 0
+        if f == 0:
+            filt = line
+        elif f == 1:  # Sub
+            filt = (line - left) % 256
+        elif f == 2:  # Up
+            filt = (line - prior) % 256
+        elif f == 3:  # Average
+            filt = (line - (left + prior) // 2) % 256
+        else:  # Paeth
+            ul = np.vstack([z, prior[:-1]])
+            filt = (line - _paeth_vec(left, prior, ul)) % 256
+        raw.append(f)
+        raw += filt.astype(np.uint8).tobytes()
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """Real PNG reader for 8-bit RGB non-interlaced images: chunk + CRC
+    parse, zlib inflate, and full scanline de-filtering (None/Sub/Up/
+    Average/Paeth) -> (h, w, 3) uint8. Other color types / bit depths
+    raise NotImplementedError (they'd need PIL on a real cluster)."""
+    if payload is None or not payload.startswith(PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, idat, w, h = 8, b"", None, None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack(">I4s", payload[pos : pos + 8])
+        pos += 8
+        data = payload[pos : pos + ln]
+        pos += ln
+        (crc,) = struct.unpack(">I", payload[pos : pos + 4])
+        pos += 4
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {typ!r} chunk")
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype != 2 or inter != 0:
+                raise NotImplementedError(
+                    "only 8-bit RGB non-interlaced supported in-container"
+                )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = w * 3
+    out = np.zeros((h, w, 3), np.uint8)
+    prior = np.zeros(stride, np.int64)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw[pos : pos + stride], np.uint8).astype(
+            np.int64
+        )
+        pos += stride
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: per-channel cumulative sum mod 256
+            rec = np.cumsum(line.reshape(w, 3), axis=0).reshape(stride) % 256
+        elif f == 2:  # Up
+            rec = (line + prior) % 256
+        elif f == 3:  # Average (sequential: left is reconstructed)
+            rec = line
+            for i in range(stride):
+                left = rec[i - 3] if i >= 3 else 0
+                rec[i] = (rec[i] + ((left + prior[i]) >> 1)) % 256
+        elif f == 4:  # Paeth (sequential)
+            rec = line
+            for i in range(stride):
+                a = rec[i - 3] if i >= 3 else 0
+                c = prior[i - 3] if i >= 3 else 0
+                b = prior[i]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (rec[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown filter type {f}")
+        out[y] = rec.reshape(w, 3).astype(np.uint8)
+        prior = rec
+    return out
+
+
+def synthesize_png_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL PNGs: every doc gets an 8-bit RGB gradient
+    pixel(y, x, c) = (x + 3y + 7c + doc_id) % 256 — non-constant in both
+    axes so the cycling scanline filters (encode_png) produce non-trivial
+    Sub/Up/Average/Paeth data, and every per-channel pixel SUM has a closed
+    form a DuckDB oracle reproduces exactly (query media_png_stats)."""
+
+    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 16 + d % 48
+                h = 16 + (d * 3) % 32
+                x = np.arange(w).reshape(1, w, 1)
+                y = np.arange(h).reshape(h, 1, 1)
+                c = np.arange(3).reshape(1, 1, 3)
+                px = ((x + 3 * y + 7 * c + d) % 256).astype(np.uint8)
+                out.append((d, "image", "image/png", encode_png(px)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "kind", "mime", "payload"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _fn,
+        "media_id long, kind string, mime string, payload binary",
+    )
+
+
+PNG_STATS_SCHEMA = (
+    "media_id long, width int, height int, n_pixels int,"
+    " sum_r long, sum_g long, sum_b long"
+)
+
+
+def png_stats(media: DataFrame) -> DataFrame:
+    """Decode PNG payloads -> dimensions + EXACT integer per-channel pixel
+    sums (no float comparisons in the oracle gate)."""
+
+    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_png(payload).astype(np.int64)
+                hh, ww, _ = px.shape
+                sums = px.reshape(-1, 3).sum(axis=0)
+                rows.append(
+                    (int(mid), ww, hh, ww * hh,
+                     int(sums[0]), int(sums[1]), int(sums[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_pixels",
+                         "sum_r", "sum_g", "sum_b"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _fn, PNG_STATS_SCHEMA
+    )
 
 
 def synthesize_real_media(docs: DataFrame) -> DataFrame:

@@ -185,6 +185,60 @@ def test_ppm_roundtrip_resize_and_stub_intact():
         mm._decode_image_stub(b"\xff\xd8\xff")
 
 
+def test_png_roundtrip_full_filter_matrix():
+    """encode_png cycles scanline filters (y % 5), so a single round-trip
+    of a tall-enough gradient exercises None/Sub/Up/Average/Paeth decode."""
+    import numpy as np
+    import pytest
+    from mariadb_cdc_spark.functions import multimodal as mm
+
+    h, w = 11, 13  # >= 5 rows -> all five filter types present
+    arr = (
+        np.arange(h * w * 3, dtype=np.int64) ** 2 * 2654435761 % 256
+    ).reshape(h, w, 3).astype(np.uint8)
+    for cyc in (True, False):
+        back = mm.decode_png(mm.encode_png(arr, filter_cycle=cyc))
+        assert (back == arr).all()
+    # degenerate dims
+    for shape in ((1, 1, 3), (1, 9, 3), (9, 1, 3)):
+        px = (np.arange(np.prod(shape)) * 31 % 256).reshape(shape).astype(
+            np.uint8
+        )
+        assert (mm.decode_png(mm.encode_png(px)) == px).all()
+    # container errors are loud, not silent
+    with pytest.raises(ValueError):
+        mm.decode_png(b"GIF89a....")
+    good = mm.encode_png(arr)
+    corrupted = bytearray(good)
+    corrupted[-5] ^= 0xFF  # flip a byte inside IEND's CRC
+    with pytest.raises(ValueError):
+        mm.decode_png(bytes(corrupted))
+
+
+def test_png_stats_distributed(spark):
+    """synthesize -> decode in executors; sums match the gradient's closed
+    form (the same formula the DuckDB oracle uses)."""
+    from pyspark.sql import functions as F
+    from mariadb_cdc_spark.functions import multimodal as mm
+
+    docs = spark.range(12).select(F.col("id").alias("doc_id"))
+    got = {
+        r["media_id"]: r
+        for r in mm.png_stats(mm.synthesize_png_media(docs)).collect()
+    }
+    assert set(got) == set(range(12))
+    for d in (0, 5, 11):
+        w, h = 16 + d % 48, 16 + (d * 3) % 32
+        assert (got[d]["width"], got[d]["height"]) == (w, h)
+        exp_r = sum(
+            (x + 3 * y + d) % 256 for x in range(w) for y in range(h)
+        )
+        exp_b = sum(
+            (x + 3 * y + 14 + d) % 256 for x in range(w) for y in range(h)
+        )
+        assert got[d]["sum_r"] == exp_r and got[d]["sum_b"] == exp_b
+
+
 def test_media_features_distributed(spark):
     from pyspark.sql import functions as F
     from mariadb_cdc_spark.functions import multimodal as mm
