@@ -1,0 +1,94 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+`df.sample()` is partition-order-dependent: the same fraction on the same
+data yields DIFFERENT rows after a repartition or a cluster resize — useless
+for reproducible corpus builds. These operators key the decision on a
+content hash instead, so membership is:
+
+  - deterministic: same key + salt -> same decision, on 1 or 1000 executors;
+  - re-runnable: an incremental re-ingest keeps prior sampling decisions;
+  - shuffle-free: a narrow `where` right after the scan (Catalyst pushes it
+    into the file source), no exchange introduced at any scale;
+  - auditable: an ANSI-SQL oracle reproduces the exact member set
+    (__spark_entry__.oracle_sql: sample_stratified / sample_split).
+
+The hash is the engine's canonical md5->60-bit scheme (gen._hash64 uses the
+same construction) mapped to basis points (1 bp = 0.01%), so fractions are
+exact rationals, not float thresholds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BP_SCALE = 10_000  # basis points: 10000 = keep everything
+
+
+def _hash_bp(cols: list[Column], salt: str) -> Column:
+    """Deterministic basis-point bucket in [0, 10000) from key columns.
+
+    md5 (not xxhash64) so any SQL engine reproduces it — portability beats
+    the cheaper hash here; sampling runs once per corpus build.
+    """
+    joined = F.concat_ws("\x1f", F.lit(salt), *cols)
+    h60 = F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
+    return F.pmod(h60, F.lit(BP_SCALE))
+
+
+def hash_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    fraction_bp: int,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep rows whose key hashes below `fraction_bp` basis points.
+
+    ~fraction_bp/10000 of rows survive; membership depends only on
+    (key, salt). Different salts give independent samples of the same data.
+    """
+    keys = [F.col(c).cast("string") for c in key_cols]
+    return df.where(_hash_bp(keys, salt) < fraction_bp)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions_bp: dict[str, int],
+    key_cols: list[str],
+    default_bp: int = 0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum hash sampling: each stratum value gets its own rate.
+
+    The standard corpus-mixing move (e.g. downsample boilerplate-heavy
+    domains, keep all rare-language docs). One narrow filter — the rate
+    lookup is a CASE expression, not a join, so no shuffle and no broadcast
+    at any stratum cardinality that fits a literal map.
+    """
+    rate = F.lit(default_bp)
+    for value, bp in sorted(fractions_bp.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(bp)).otherwise(rate)
+    keys = [F.col(c).cast("string") for c in key_cols]
+    return df.where(_hash_bp(keys, salt) < rate)
+
+
+def train_eval_split(
+    df: DataFrame,
+    key_cols: list[str],
+    eval_bp: int = 1_000,
+    salt: str = "split",
+) -> DataFrame:
+    """Disjoint, exhaustive train/eval assignment keyed on content hash.
+
+    Every row lands in exactly one split; assignment survives re-ingests
+    and cluster-size changes, so eval contamination can't creep in through
+    nondeterministic splitting. Adds a `split` column ('train' | 'eval').
+    """
+    keys = [F.col(c).cast("string") for c in key_cols]
+    return df.withColumn(
+        "split",
+        F.when(_hash_bp(keys, salt) < eval_bp, F.lit("eval")).otherwise(
+            F.lit("train")
+        ),
+    )

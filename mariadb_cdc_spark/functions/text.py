@@ -105,6 +105,42 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns in the Java-regex / RE2 shared subset (explicit classes, no
+# lookaround, no \b) so Spark and the DuckDB oracle match byte-for-byte.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]+"
+PII_PHONE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+PII_IPV4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails, phone numbers, and IPv4 addresses from text.
+
+    The standard pre-training privacy pass. Pure Catalyst regexp_replace —
+    JVM-side, codegen'd, scan-speed at 100 TB. Counts are taken BEFORE
+    redaction, and patterns apply in a fixed order (email, then ip, then
+    phone) so overlapping matches resolve identically on any engine.
+    Emits the redacted text plus per-category counts for audit metrics.
+    """
+    c = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), F.lit(0)))
+    after_email = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    n_ips = F.size(
+        F.regexp_extract_all(after_email, F.lit(PII_IPV4), F.lit(0))
+    )
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    n_phones = F.size(
+        F.regexp_extract_all(after_ip, F.lit(PII_PHONE), F.lit(0))
+    )
+    redacted = F.regexp_replace(after_ip, PII_PHONE, "<PHONE>")
+    return df.select(
+        "doc_id",
+        redacted.alias("text_redacted"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over case/whitespace-normalized text.
 

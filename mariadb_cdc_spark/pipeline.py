@@ -90,6 +90,8 @@ def decoded_changes(
     cfg: CdcConfig,
     table_maps: DataFrame | None = None,
     wire_decode: bool | None = None,
+    all_named: bool | None = None,
+    has_sparse_bitmaps: bool | None = None,
 ) -> DataFrame:
     """events -> metadata-resolved, filtered row-change records.
 
@@ -107,10 +109,26 @@ def decoded_changes(
     if table_maps is None:
         table_maps = table_map_registry(events)
     changes = resolve_table_metadata(changes, table_maps)
-    changes = positional_fallback(changes)
+    # PLAN-level gates (same reasoning as the wire_decode gate below):
+    # higher-order map/array expressions are CodegenFallback — even behind a
+    # row-level WHEN they cost per-row boxing across 10^10 events. When the
+    # whole registry is named (all_named) the positional re-key is the
+    # identity for every row; when no event carries a sparse bitmap
+    # (binlog_row_image=full everywhere) the mask is too — so both stages
+    # are dropped from the plan, not evaluated-and-skipped per row.
+    # apply_batch derives the flags from its collected registry + one pruned
+    # bitmap-column probe; direct callers keep the conservative per-row path.
+    if all_named is None:
+        all_named = False
+    if has_sparse_bitmaps is None:
+        has_sparse_bitmaps = True
+    if not all_named:
+        changes = positional_fallback(changes)
     # columns_used / update_columns_used projection (P1/P2): images shrink
     # to their bitmap-gated columns now that names are resolved.
-    changes = apply_column_bitmaps(changes).drop("before_used", "after_used")
+    if has_sparse_bitmaps:
+        changes = apply_column_bitmaps(changes)
+    changes = changes.drop("before_used", "after_used")
     # Wire-typed tables (those that published column_metadata) get their hex
     # byte images decoded to canonical strings. PLAN-level gate: Spark
     # extracts pandas UDFs into an ArrowEvalPython stage that runs for every
@@ -172,7 +190,9 @@ def apply_batch(
     # deserialize; each pruned parquet scan is ~0.3s at bench scale).
     ctrl = events.drop("rows_before", "rows_after")
 
-    lineage = batch_lineage(ctrl)
+    lineage, has_sparse_bitmaps = batch_lineage(
+        ctrl, probe_sparse_bitmaps=True
+    )
     liveness = liveness_metrics(ctrl) if cfg.track_liveness else None
 
     # Persistent TABLE_MAP registry: the reference keeps TableInfos in memory
@@ -181,7 +201,7 @@ def apply_batch(
     # persists the latest map per (server_id, table_id) in table metadata and
     # unions it into each batch's as-of join. TABLE_MAP rows are one-per-table
     # (control plane), so the collect is O(tables), not O(events).
-    table_maps, has_wire = _load_registry(ctrl, table)
+    table_maps, has_wire, all_named = _load_registry(ctrl, table)
 
     # ---- control plane: DDL epochs (rare; driver-side by design)
     ddls = []
@@ -204,7 +224,12 @@ def apply_batch(
         ]
 
     changes = decoded_changes(
-        events, cfg, table_maps=table_maps, wire_decode=has_wire
+        events,
+        cfg,
+        table_maps=table_maps,
+        wire_decode=has_wire,
+        all_named=all_named,
+        has_sparse_bitmaps=has_sparse_bitmaps,
     )
 
     hot_keys = table.metadata().get("hot_keys") or None
@@ -292,11 +317,20 @@ def apply_batch_multi(
     )
     # shared scan: decode + registry once, then per-table filter/fold/merge
     ctrl = events.drop("rows_before", "rows_after")
-    registry, has_wire = _load_registry(ctrl, next(iter(tables.values()))[0])
+    registry, has_wire, all_named = _load_registry(
+        ctrl, next(iter(tables.values()))[0]
+    )
+    lineage, has_sparse_bitmaps = batch_lineage(
+        ctrl, probe_sparse_bitmaps=True
+    )
     changes = decoded_changes(
-        events, base_cfg, table_maps=registry, wire_decode=has_wire
+        events,
+        base_cfg,
+        table_maps=registry,
+        wire_decode=has_wire,
+        all_named=all_named,
+        has_sparse_bitmaps=has_sparse_bitmaps,
     ).persist()
-    lineage = batch_lineage(ctrl)
     maps = _latest_maps(registry)
     for (db, tbl), (lake, keys) in tables.items():
         if batch_id is not None and batch_id <= lake.committed_batch(stream_id):
@@ -388,8 +422,24 @@ def _load_registry(
         d["binlog_pos"] = -1
         rows.append(tuple(d.get(c) for c in _REGISTRY_COLS))
     meta_idx = _REGISTRY_COLS.index("column_metadata")
+    names_idx = _REGISTRY_COLS.index("column_names")
+    types_idx = _REGISTRY_COLS.index("column_types")
     has_wire = any(r[meta_idx] is not None for r in rows)
-    return events.sparkSession.createDataFrame(rows, _REGISTRY_SCHEMA), has_wire
+    # Every mapped table carries a valid name list <=> positional_fallback
+    # is the identity for every resolvable row and can be dropped from the
+    # plan (decoded_changes all_named gate). Empty registry => no row
+    # resolves at all, so the stage is vacuously skippable too.
+    all_named = all(
+        r[names_idx] is not None
+        and r[types_idx] is not None
+        and len(r[names_idx]) == len(r[types_idx])
+        for r in rows
+    )
+    return (
+        events.sparkSession.createDataFrame(rows, _REGISTRY_SCHEMA),
+        has_wire,
+        all_named,
+    )
 
 
 def _latest_maps(table_maps: DataFrame) -> list[dict]:

@@ -46,22 +46,35 @@ class BinlogPosition:
         return cls(d["file"], d["pos"]) if d else None
 
 
-def batch_lineage(events: DataFrame) -> dict:
+def batch_lineage(
+    events: DataFrame, *, probe_sparse_bitmaps: bool = False
+) -> dict | tuple[dict, bool]:
     """Per-server max position among position-advancing events.
 
     This is the per-partition lineage the north rule requires: computed as a
     distributed agg (partial max per scan partition, tiny final combine).
+
+    `probe_sparse_bitmaps=True` piggybacks the bitmap-sparsity probe (does
+    ANY event carry a false bit in columns_used / update_columns_used?) onto
+    the SAME aggregation — the pipeline's plan gates need the answer every
+    batch, and folding it here costs zero extra jobs. Returns
+    (lineage, has_sparse) in that mode.
     """
-    rows = (
-        position_advancing(events)
-        .groupBy("server_id")
-        .agg(
-            F.max(F.struct("binlog_file", "binlog_pos")).alias("p"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-        .collect()
+    sparse = F.coalesce(
+        F.exists("columns_used", lambda x: ~x)
+        | F.exists("update_columns_used", lambda x: ~x),
+        F.lit(False),
     )
-    return {
+    aggs = [
+        F.max(F.struct("binlog_file", "binlog_pos")).alias("p"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if probe_sparse_bitmaps:
+        aggs.append(F.max(sparse).alias("any_sparse"))
+    rows = (
+        position_advancing(events).groupBy("server_id").agg(*aggs).collect()
+    )
+    lineage = {
         str(r["server_id"]): {
             "file": r["p"]["binlog_file"],
             "pos": int(r["p"]["binlog_pos"]),
@@ -69,6 +82,9 @@ def batch_lineage(events: DataFrame) -> dict:
         }
         for r in rows
     }
+    if probe_sparse_bitmaps:
+        return lineage, any(bool(r["any_sparse"]) for r in rows)
+    return lineage
 
 
 def liveness_metrics(events: DataFrame) -> dict:

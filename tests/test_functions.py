@@ -251,3 +251,80 @@ def test_media_features_distributed(spark):
     assert set(im) == {d for d in range(20) if d % 2 == 1}
     assert au[4]["rms"] == float(1000 + 4 * 37 % 20000)
     assert im[3]["width"] == 16 + 3 % 48 and im[3]["mean_g"] == float(21)
+
+
+# ------------------------------------------- sampling + PII redaction (r2)
+
+def test_hash_sample_deterministic_under_repartition(spark):
+    """Membership must not change with partitioning — the property
+    df.sample() lacks and the whole reason these operators exist."""
+    from pyspark.sql import functions as F
+    from mariadb_cdc_spark.functions import sampling as sp
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"] for r in sp.hash_sample(docs, ["doc_id"], 3000).collect()}
+    b = {
+        r["doc_id"]
+        for r in sp.hash_sample(
+            docs.repartition(17), ["doc_id"], 3000
+        ).collect()
+    }
+    assert a == b
+    assert 0.25 < len(a) / 2000 < 0.35  # ~30% +- sampling noise
+    # different salts give (near-)independent member sets
+    c = {
+        r["doc_id"]
+        for r in sp.hash_sample(docs, ["doc_id"], 3000, salt="other").collect()
+    }
+    assert c != a
+
+
+def test_train_eval_split_disjoint_exhaustive(spark):
+    from pyspark.sql import functions as F
+    from mariadb_cdc_spark.functions import sampling as sp
+
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"))
+    s = sp.train_eval_split(docs, ["doc_id"], eval_bp=2000)
+    counts = {r["split"]: r["n"] for r in
+              s.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["eval"] + counts["train"] == 1000
+    assert 0.15 < counts["eval"] / 1000 < 0.25
+
+
+def test_stratified_sample_rates(spark):
+    from pyspark.sql import functions as F
+    from mariadb_cdc_spark.functions import sampling as sp
+
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zz").alias("lang"),
+    )
+    s = sp.stratified_sample(
+        docs, "lang", {"en": 5000}, ["doc_id"], default_bp=0
+    )
+    got = {r["lang"]: r["n"] for r in
+           s.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "zz" not in got            # default 0 bp -> dropped entirely
+    assert 0.4 < got["en"] / 2000 < 0.6
+
+
+def test_redact_pii_counts_and_replacement(spark):
+    from pyspark.sql import functions as F
+    from mariadb_cdc_spark.functions.text import redact_pii
+
+    rows = [
+        (1, "mail a.b+c@x-corp.io and 192.168.0.1 then 555-123-4567 end"),
+        (2, "no pii here, just 3.14 and v1.2"),
+        (3, "two mails: a@b.com b@c.org; ip 10.0.0.7; tel 800.555.1234"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (1, 1, 1)
+    assert got[1]["text_redacted"] == (
+        "mail <EMAIL> and <IP> then <PHONE> end"
+    )
+    assert (got[2]["n_emails"], got[2]["n_ips"], got[2]["n_phones"]) == (0, 0, 0)
+    assert got[2]["text_redacted"] == rows[1][1]
+    assert (got[3]["n_emails"], got[3]["n_ips"], got[3]["n_phones"]) == (2, 1, 1)
+    assert "<EMAIL>" in got[3]["text_redacted"]
+    assert "a@b.com" not in got[3]["text_redacted"]

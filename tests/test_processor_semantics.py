@@ -364,3 +364,44 @@ def test_positional_sparse_image_addresses_set_bits(spark):
     ).collect()[0]
     assert out["before"] == {"col0": "pk1"}
     assert out["after"] == {"col2": "new"}  # 3rd column, NOT col0
+
+
+def test_plan_gates_preserve_masking_through_apply_batch(spark, tmp_path):
+    """apply_batch derives all_named / has_sparse_bitmaps plan gates from the
+    batch (checkpoint.batch_lineage probe + _load_registry): a sparse-bitmap
+    UPDATE with garbage in masked slots must STILL be masked end to end —
+    the gates may only drop stages that are provably the identity."""
+    from pyspark.sql import types as T
+
+    from mariadb_cdc_spark.pipeline import CdcConfig, apply_batch
+    from mariadb_cdc_spark.sources.lake import LakeTable
+
+    ev = _events(
+        spark,
+        [
+            tmap(2, 7, "db", "t", ["id", "a", "b"]),
+            write(10, 7, [{"id": "1", "a": "x", "b": "y"}]),
+            {
+                "server_id": 1,
+                "binlog_file": "bin.000001",
+                "binlog_pos": 20,
+                "event_type": "UPDATE_ROWS",
+                "table_id": 7,
+                "columns_used": [True, False, False],
+                "update_columns_used": [False, False, True],
+                "rows_before": [{"id": "1", "a": "GARBAGE", "b": "GARBAGE"}],
+                "rows_after": [{"id": "1", "a": "GARBAGE", "b": "y2"}],
+            },
+        ],
+    )
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in
+                           ["id", "a", "b"]])
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, ["id"], n_buckets=2
+    )
+    cfg = CdcConfig(database="db", table="t", keys=["id"], apply_ddl=False)
+    apply_batch(ev, table, cfg, stream_id="g", batch_id=0)
+    rows = {r["id"]: r for r in table.read().collect()}
+    # partial UPDATE patched b only; garbage 'a' from the masked slot must
+    # not leak over the INSERT's value
+    assert rows["1"]["a"] == "x" and rows["1"]["b"] == "y2"

@@ -40,8 +40,9 @@ table = LakeTable.create(spark, f"{tmp}/t", REPO_SCHEMA, MERGE_KEYS, n_buckets=6
 cfg = CdcConfig(apply_ddl=False)
 
 lineage = t("batch_lineage", lambda: batch_lineage(events))
-maps, has_wire = t("load_registry", lambda: _load_registry(events, table))
-changes = decoded_changes(events, cfg, table_maps=maps, wire_decode=has_wire)
+maps, has_wire, all_named = t("load_registry", lambda: _load_registry(events, table))
+changes = decoded_changes(events, cfg, table_maps=maps, wire_decode=has_wire,
+                          all_named=all_named)
 t("decode+registry count", lambda: changes.count())
 folded = fold_for_merge(changes, cfg)
 t("fold noop-write", lambda: folded.write.format("noop").mode("overwrite").save())

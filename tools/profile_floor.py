@@ -52,8 +52,9 @@ def one_apply(tag):
     t0_all = time.time()
     ctrl = events.drop("rows_before", "rows_after").persist()
     lineage = t("lineage", lambda: batch_lineage(ctrl))
-    maps = _load_registry(ctrl, table)
-    changes = decoded_changes(events, cfg, table_maps=maps)
+    maps, has_wire, all_named = _load_registry(ctrl, table)
+    changes = decoded_changes(events, cfg, table_maps=maps,
+                              wire_decode=has_wire, all_named=all_named)
     folded = fold_for_merge(changes, cfg)
     meta = table.metadata()
     u = folded.withColumn("_bucket", _bucket_col(MERGE_KEYS, 64)).persist()

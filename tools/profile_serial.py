@@ -51,8 +51,9 @@ cfg = CdcConfig(apply_ddl=False)
 t0_all = time.time()
 ctrl = events.drop("rows_before", "rows_after").persist()
 lineage = t("batch_lineage(ctrl)", lambda: batch_lineage(ctrl))
-maps = _load_registry(ctrl, table)
-changes = decoded_changes(events, cfg, table_maps=maps)
+maps, has_wire, all_named = _load_registry(ctrl, table)
+changes = decoded_changes(events, cfg, table_maps=maps,
+                          wire_decode=has_wire, all_named=all_named)
 folded = fold_for_merge(changes, cfg)
 
 meta = table.metadata()
