@@ -520,6 +520,79 @@ def q_text_fingerprint(spark, sf):
     return fingerprint(_docs(spark, sf))
 
 
+def q_pii_redaction(spark, sf):
+    """Privacy scrub: deterministic PII (email, IPv4, phone) is injected
+    into every document, then redacted by the engine's pure-Catalyst pass;
+    the oracle re-runs the identical inject+redact pipeline in DuckDB, so
+    per-category counts AND the redacted text (md5) must agree exactly."""
+    from mariadb_cdc_spark.functions.text import redact_pii
+
+    injected = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org via 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" tel 555-867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    r = redact_pii(injected)
+    return r.select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
+def q_sample_stratified(spark, sf):
+    """Deterministic per-language corpus mixing: hash-keyed stratified
+    sampling (membership independent of partitioning/cluster size), with
+    per-stratum counts + id checksums the oracle reproduces exactly."""
+    from mariadb_cdc_spark.functions.sampling import stratified_sample
+
+    rates = {"en": 5000, "es": 2500, "fr": 1000, "de": 500}
+    s = stratified_sample(
+        _docs(spark, sf), "lang", rates, ["doc_id"], default_bp=100
+    )
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+def q_sample_split(spark, sf):
+    """Hash-keyed train/eval split: disjoint, exhaustive, re-ingest-stable
+    assignment; per (lang, split) counts + id checksums."""
+    from mariadb_cdc_spark.functions.sampling import train_eval_split
+
+    s = train_eval_split(_docs(spark, sf), ["doc_id"], eval_bp=1000)
+    return s.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+def q_text_len_quantiles(spark, sf):
+    """Per-language length distribution: EXACT interpolated quantiles
+    (Spark `percentile` == DuckDB `quantile_cont`), the stats pass behind
+    length-based corpus filtering."""
+    d = _docs(spark, sf).select("lang", F.length("text").alias("n"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("n", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("n", F.lit(0.9)), 4).alias("p90"),
+        F.min("n").cast("long").alias("min_len"),
+        F.max("n").cast("long").alias("max_len"),
+    )
+
+
 def q_ann_bruteforce(spark, sf):
     from mariadb_cdc_spark.functions.similarity import brute_force_topk
 
@@ -648,6 +721,10 @@ QUERIES: dict[str, Callable] = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "pii_redaction": q_pii_redaction,
+    "sample_stratified": q_sample_stratified,
+    "sample_split": q_sample_split,
+    "text_len_quantiles": q_text_len_quantiles,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,
     "emb_neardup": q_emb_neardup,
@@ -705,6 +782,12 @@ def _minhash_cte(num_hashes: int = 16) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from mariadb_cdc_spark.functions.text import (
+        PII_EMAIL as _PII_EMAIL,
+        PII_IPV4 as _PII_IPV4,
+        PII_PHONE as _PII_PHONE,
+    )
+
     num_hashes, bands, rpb = 16, 4, 4
     band_exprs = ",\n           ".join(
         "md5(concat_ws('_', '{b}', {cols})) as band_{b}".format(
@@ -1065,6 +1148,64 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
                      as norm_len
             from documents
+        """,
+        "pii_redaction": f"""
+            with t as (
+              select doc_id,
+                     text || ' contact user' || doc_id::VARCHAR
+                          || '@mail.example.org via 10.'
+                          || (doc_id % 256)::VARCHAR || '.0.'
+                          || (doc_id % 100)::VARCHAR
+                          || ' tel 555-867-'
+                          || lpad((doc_id % 10000)::VARCHAR, 4, '0') as text
+              from documents),
+            e as (select doc_id,
+                    len(regexp_extract_all(text, '{_PII_EMAIL}')) as n_emails,
+                    regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') as t1
+                  from t),
+            i as (select doc_id, n_emails,
+                    len(regexp_extract_all(t1, '{_PII_IPV4}')) as n_ips,
+                    regexp_replace(t1, '{_PII_IPV4}', '<IP>', 'g') as t2
+                  from e),
+            p as (select doc_id, n_emails, n_ips,
+                    len(regexp_extract_all(t2, '{_PII_PHONE}')) as n_phones,
+                    regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') as t3
+                  from i)
+            select doc_id, n_emails, n_ips, n_phones,
+                   md5(t3) as redacted_md5
+            from p
+        """,
+        "sample_stratified": """
+            select lang, count(*) as n_sampled,
+                   sum(doc_id)::BIGINT as sum_ids
+            from (select lang, doc_id,
+                    ('0x' || substring(
+                       md5('strat' || chr(31) || doc_id::VARCHAR), 1, 15)
+                    )::BIGINT % 10000 as bp
+                  from documents)
+            where bp < case lang when 'en' then 5000 when 'es' then 2500
+                                 when 'fr' then 1000 when 'de' then 500
+                                 else 100 end
+            group by lang
+        """,
+        "sample_split": """
+            select lang,
+                   case when ('0x' || substring(
+                          md5('split' || chr(31) || doc_id::VARCHAR), 1, 15)
+                        )::BIGINT % 10000 < 1000
+                        then 'eval' else 'train' end as split,
+                   count(*) as n_docs,
+                   sum(doc_id)::BIGINT as sum_ids
+            from documents
+            group by 1, 2
+        """,
+        "text_len_quantiles": """
+            select lang, count(*) as n_docs,
+                   round(quantile_cont(length(text), 0.5), 4) as p50,
+                   round(quantile_cont(length(text), 0.9), 4) as p90,
+                   min(length(text))::BIGINT as min_len,
+                   max(length(text))::BIGINT as max_len
+            from documents group by lang
         """,
         "ann_bruteforce": """
             with e as (select vec_id, embedding::DOUBLE[] v from embeddings),
