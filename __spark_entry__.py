@@ -593,6 +593,39 @@ def q_text_len_quantiles(spark, sf):
     )
 
 
+def q_corpus_build(spark, sf):
+    """The composed training-corpus build — the pipeline a pre-training data
+    team actually runs, as ONE declarative plan Catalyst optimizes end to
+    end: quality screen -> exact-dedup survivorship (canonical = min doc_id
+    per normalized-text fingerprint) -> per-language hash-keyed stratified
+    sample -> per-language token budget. Scale shape: doc_id equi-joins,
+    one fingerprint shuffle, narrow sample filter, map-side-combinable
+    final agg."""
+    from mariadb_cdc_spark.functions.sampling import stratified_sample
+    from mariadb_cdc_spark.functions.text import fingerprint, quality_features
+
+    d = _docs(spark, sf)
+    q = (
+        quality_features(d)
+        .where("passes_quality")
+        .select("doc_id", "n_tokens", "n_subwords")
+    )
+    fp = fingerprint(d).select("doc_id", "fingerprint")
+    keep = d.select("doc_id", "lang").join(q, "doc_id").join(fp, "doc_id")
+    canon = keep.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    dedup = keep.join(canon, ["fingerprint", "doc_id"])
+    rates = {"en": 8000, "es": 8000, "fr": 6000, "de": 6000}
+    s = stratified_sample(
+        dedup, "lang", rates, ["doc_id"], default_bp=5000, salt="corpus"
+    )
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("n_subwords").alias("sum_subwords"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
 def q_ann_bruteforce(spark, sf):
     from mariadb_cdc_spark.functions.similarity import brute_force_topk
 
@@ -725,6 +758,7 @@ QUERIES: dict[str, Callable] = {
     "sample_stratified": q_sample_stratified,
     "sample_split": q_sample_split,
     "text_len_quantiles": q_text_len_quantiles,
+    "corpus_build": q_corpus_build,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,
     "emb_neardup": q_emb_neardup,
@@ -1206,6 +1240,43 @@ def oracle_sql() -> dict[str, str]:
                    min(length(text))::BIGINT as min_len,
                    max(length(text))::BIGINT as max_len
             from documents group by lang
+        """,
+        "corpus_build": r"""
+            with q as (
+              select doc_id, lang,
+                     len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                     t -> t != '')) as n_tokens,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\r\n]+'))
+                       as n_subwords,
+                     md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       as fingerprint,
+                     (len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                      t -> t != '')) >= 5
+                      and length(text) >= 30
+                      and (length(text) - length(regexp_replace(text,
+                           '[.,;:!?''"()\[\]{}]', '', 'g')))
+                          / greatest(length(text), 1) < 0.2) as ok
+              from documents),
+            keep as (select * from q where ok),
+            canon as (select fingerprint, min(doc_id) as doc_id
+                      from keep group by fingerprint),
+            ded as (select k.* from keep k
+                    join canon c
+                      on k.fingerprint = c.fingerprint
+                     and k.doc_id = c.doc_id),
+            samp as (select * from ded
+                     where ('0x' || substring(
+                              md5('corpus' || chr(31) || doc_id::VARCHAR),
+                              1, 15))::BIGINT % 10000
+                           < case lang when 'en' then 8000 when 'es' then 8000
+                                       when 'fr' then 6000 when 'de' then 6000
+                                       else 5000 end)
+            select lang, count(*) as n_docs,
+                   sum(n_tokens)::BIGINT as sum_tokens,
+                   sum(n_subwords)::BIGINT as sum_subwords,
+                   sum(doc_id)::BIGINT as sum_ids
+            from samp group by lang
         """,
         "ann_bruteforce": """
             with e as (select vec_id, embedding::DOUBLE[] v from embeddings),

@@ -116,8 +116,10 @@ def decoded_changes(
     # identity for every row; when no event carries a sparse bitmap
     # (binlog_row_image=full everywhere) the mask is too — so both stages
     # are dropped from the plan, not evaluated-and-skipped per row.
-    # apply_batch derives the flags from its collected registry + one pruned
-    # bitmap-column probe; direct callers keep the conservative per-row path.
+    # apply_batch derives the flags from its collected registry + a sparsity
+    # probe folded into the lineage aggregation (batch_lineage
+    # probe_sparse_bitmaps — zero extra jobs); direct callers keep the
+    # conservative per-row path.
     if all_named is None:
         all_named = False
     if has_sparse_bitmaps is None:
