@@ -322,8 +322,10 @@ def q_cdc_typed_decode(spark, sf):
     """K1-K7 wire-type decode end-to-end: binlog events whose row images are
     HEX WIRE BYTES (NEWDECIMAL packed-BCD, DATETIME2/TIME2/TIMESTAMP2
     bitfields, packed DATE, BIT, ENUM/SET via FullMeta labels, IEEE DOUBLE,
-    LONGLONG) flow through decode -> registry -> bitmap projection -> wire
-    decode -> fold -> typed lake MERGE. The oracle computes the same final
+    LONGLONG, length-prefixed VARCHAR, STRING with packed dual-format
+    metadata, BLOB, JSON) flow through decode -> registry -> bitmap
+    projection -> wire decode -> fold -> typed lake MERGE. The oracle
+    computes the same final
     state from doc_id in closed form — agreement proves every encoder/
     decoder pair AND the engine path around them."""
     from mariadb_cdc_spark.gen import (
@@ -1040,7 +1042,12 @@ def oracle_sql() -> dict[str, str]:
                    (date '2024-01-01' + (doc_id % 365)::INT) as created,
                    printf('%02d:%02d:%02d',
                           ds // 3600, (ds // 60) % 60, ds % 60) as dur,
-                   make_timestamp((1704067200 + doc_id) * 1000000) as seen_at
+                   make_timestamp((1704067200 + doc_id) * 1000000) as seen_at,
+                   'doc-' || doc_id as name,
+                   repeat('t', (1 + doc_id % 9)::INT) || '-' || doc_id
+                     as title,
+                   lower(hex('p' || doc_id::VARCHAR)) as payload,
+                   '{"k":' || doc_id || '}' as attrs
             from v
         """,
         "cdc_names_channel": """

@@ -6,11 +6,12 @@ from the PUBLIC MySQL/MariaDB on-disk formats — packed-BCD NEWDECIMAL
 (mysql strings/decimal.c layout), DATETIME2 40-bit big-endian bitfield with
 fractional seconds, zero-date -> null, sign-extended TINY/SHORT/INT24 —
 as batch kernels over binary columns: one Python invocation per Arrow batch,
-никогда per row.
+never per row.
 
-These run OFF the envelope hot path (they decode payload bytes when the
-source emits raw wire images); the synthetic generator emits string maps, so
-the kernels are exercised by the type-matrix tests (FIXTURES.md §4.13).
+String-image tables (no column_metadata published) skip these entirely; the
+`codehub.metrics` typed table carries hex wire bytes through the full engine
+path (decode -> registry -> bitmaps -> decode_wire_images -> fold -> MERGE),
+verified against a closed-form DuckDB oracle (Q:cdc_typed_decode).
 """
 
 from __future__ import annotations
@@ -412,11 +413,99 @@ def encode_int(v: int, nbytes: int, signed: bool = True) -> bytes:
     return int(v).to_bytes(nbytes, "little", signed=signed)
 
 
+# --------------------------------------------------- string / blob family
+
+
+def resolve_string_meta(metadata: int) -> tuple[int, int]:
+    """STRING's packed dual-format metadata (reference readString,
+    BaseRowsEventBinLogDataDeserializer.java:186-200).
+
+    A column transmitted as STRING (254) packs its REAL type into the high
+    metadata byte when metadata >= 256:
+      * (meta0 & 0x30) != 0x30 — the real type is meta0 | 0x30 and the two
+        complemented bits carry the length's bits 8-9, so CHAR(>255 bytes)
+        survives: length = meta1 | (((meta0 & 0x30) ^ 0x30) << 4).
+      * otherwise meta0 IS the type verbatim (ENUM/SET transmitted as
+        STRING) and meta1 is the packed value length.
+    Returns (real_type_code, length)."""
+    if metadata < 256:
+        return 254, metadata
+    meta0, meta1 = metadata >> 8, metadata & 0xFF
+    if (meta0 & 0x30) != 0x30:
+        return meta0 | 0x30, meta1 | (((meta0 & 0x30) ^ 0x30) << 4)
+    return meta0, meta1
+
+
+def decode_varchar(buf: bytes, max_len: int) -> str | None:
+    """VARCHAR/VAR_STRING: 1-byte length prefix when the declared max byte
+    length fits 255, else 2-byte little-endian (readVarchar :181-184)."""
+    if buf is None:
+        return None
+    if max_len <= 255:
+        n, off = buf[0], 1
+    else:
+        n, off = int.from_bytes(buf[:2], "little"), 2
+    return buf[off : off + n].decode("utf-8", "replace")
+
+
+def encode_varchar(s: str, max_len: int) -> bytes:
+    b = s.encode("utf-8")
+    pre = 1 if max_len <= 255 else 2
+    return len(b).to_bytes(pre, "little") + b
+
+
+def decode_string(buf: bytes, metadata: int, labels: list[str] | None):
+    """STRING (254): resolve the packed dual-format metadata, then decode as
+    the real type — ENUM/SET values are `length` index/mask bytes, CHAR
+    payloads are length-prefixed with the prefix width chosen by the
+    RESOLVED length (readString :201-216)."""
+    if buf is None:
+        return None
+    real, length = resolve_string_meta(metadata)
+    if real == 247:
+        return decode_enum(buf[:length], labels)
+    if real == 248:
+        return decode_set(buf[:length], labels)
+    if length <= 255:
+        n, off = buf[0], 1
+    else:
+        n, off = int.from_bytes(buf[:2], "little"), 2
+    return buf[off : off + n].decode("utf-8", "replace")
+
+
+def encode_string(s: str, metadata: int) -> bytes:
+    _, length = resolve_string_meta(metadata)
+    b = s.encode("utf-8")
+    pre = 1 if length <= 255 else 2
+    return len(b).to_bytes(pre, "little") + b
+
+
+def decode_blob(buf: bytes, meta: int) -> bytes | None:
+    """BLOB family (TINY/MEDIUM/LONG/BLOB, 249-252) and the blob-shaped
+    JSON/GEOMETRY payloads: `meta` little-endian length-prefix bytes, then
+    the payload (readBlob :177-179, readJson/readGeometry :306-319)."""
+    if buf is None:
+        return None
+    n = int.from_bytes(buf[:meta], "little")
+    return buf[meta : meta + n]
+
+
+def encode_blob(data: bytes, meta: int) -> bytes:
+    return len(data).to_bytes(meta, "little") + data
+
+
 # ------------------------------------------------- canonical-string dispatch
 
 # Wire-typed field codes whose map values carry hex-encoded payload bytes in
-# the binary-image envelope convention (VARCHAR/STRING/BLOB stay plain text).
-WIRE_TYPES = frozenset([0, 1, 2, 3, 4, 5, 7, 8, 9, 10, 11, 12, 13, 16, 17, 19, 18, 246, 247, 248])
+# the binary-image envelope convention. Includes the string/blob family:
+# VARCHAR(15)/VAR_STRING(253), STRING(254, packed dual-format metadata),
+# TINY/MEDIUM/LONG/BLOB(249-252), JSON(245), GEOMETRY(255). Tables that
+# publish no column_metadata never reach the decode gate, so plain-text
+# string-map sources stay untouched.
+WIRE_TYPES = frozenset(
+    [0, 1, 2, 3, 4, 5, 7, 8, 9, 10, 11, 12, 13, 15, 16, 17, 18, 19]
+    + [245, 246, 247, 248, 249, 250, 251, 252, 253, 254, 255]
+)
 
 # MariaDB 5.6+ subsecond type codes (MYSQL_TYPE_TIMESTAMP2=17,
 # DATETIME2=18, TIME2=19).
@@ -487,6 +576,20 @@ def decode_wire_value(
         return None if v is None else str(v)
     if type_code == 0:  # old DECIMAL: stored as string on modern servers
         return buf.decode("utf-8", "replace")
+    if type_code in (15, 253):  # VARCHAR / VAR_STRING
+        return decode_varchar(buf, meta)
+    if type_code == 254:  # STRING (packed dual-format metadata)
+        v = decode_string(buf, meta, labels)
+        return None if v is None else str(v)
+    if type_code in (249, 250, 251, 252):  # BLOB family -> canonical hex
+        v = decode_blob(buf, meta)
+        return None if v is None else v.hex()
+    if type_code == 245:  # JSON: MariaDB stores the utf-8 text (LONGBLOB)
+        v = decode_blob(buf, meta)
+        return None if v is None else v.decode("utf-8", "replace")
+    if type_code == 255:  # GEOMETRY: WKB payload -> canonical hex
+        v = decode_blob(buf, meta)
+        return None if v is None else v.hex()
     nbytes = {1: 1, 2: 2, 9: 3, 3: 4, 8: 8}.get(type_code)
     if nbytes:
         v = decode_int(buf, nbytes)

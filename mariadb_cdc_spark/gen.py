@@ -453,30 +453,42 @@ def _pad_envelope(df: DataFrame, overrides: dict[str, F.Column]) -> DataFrame:
 # ------------------------------------------------------- binary typed table
 # A third CDC'd table whose row images are HEX-ENCODED WIRE BYTES decoded by
 # the engine's wire kernels (functions.typedec) — the path that exercises
-# NEWDECIMAL, DATETIME2, TIME2, TIMESTAMP2, DATE, BIT, ENUM, SET, DOUBLE and
-# LONGLONG end-to-end (reference decode matrix,
-# BaseRowsEventBinLogDataDeserializer.java:52-319).
+# NEWDECIMAL, DATETIME2, TIME2, TIMESTAMP2, DATE, BIT, ENUM, SET, DOUBLE,
+# LONGLONG, VARCHAR, packed-metadata STRING, BLOB and JSON end-to-end
+# (reference decode matrix, BaseRowsEventBinLogDataDeserializer.java:52-319).
 
 TYPED_TABLE_ID = 303
 TYPED_TABLE = "metrics"
 TYPED_COLUMNS = [
     "id", "price", "updated_at", "flags", "ratio",
     "status", "tags", "created", "dur", "seen_at",
+    "name", "title", "payload", "attrs",
 ]
-# LONGLONG, NEWDECIMAL, DATETIME2, BIT, DOUBLE, ENUM, SET, DATE, TIME2, TIMESTAMP2
-TYPED_COLUMN_TYPES = [8, 246, 18, 16, 5, 247, 248, 10, 19, 17]
-# wire metadata: decimal precision|scale<<8, fsp, bit length, value length
-TYPED_COLUMN_METADATA = [0, 12 | (4 << 8), 3, 8, 8, 1, 1, 0, 0, 0]
+# LONGLONG, NEWDECIMAL, DATETIME2, BIT, DOUBLE, ENUM, SET, DATE, TIME2,
+# TIMESTAMP2, VARCHAR, STRING, BLOB, JSON
+TYPED_COLUMN_TYPES = [8, 246, 18, 16, 5, 247, 248, 10, 19, 17, 15, 254, 252, 245]
+# wire metadata: decimal precision|scale<<8, fsp, bit length, value length,
+# varchar max bytes, STRING packed dual-format (real type STRING + length
+# 300 -> meta0 0xEE / meta1 0x2C, resolve_string_meta round-trip), blob/json
+# length-prefix width
+TYPED_STRING_PACKED_META = 0xEE2C  # CHAR(300): two-byte length prefixes
+TYPED_COLUMN_METADATA = [
+    0, 12 | (4 << 8), 3, 8, 8, 1, 1, 0, 0, 0,
+    40, TYPED_STRING_PACKED_META, 2, 4,
+]
 TYPED_ENUM_VALUES = [
     None, None, None, None, None,
     ["active", "archived"], ["read", "write", "exec"],
     None, None, None,
+    None, None, None, None,
 ]
 TYPED_LAKE_SCHEMA = [
     ("id", "bigint"), ("price", "decimal(12,4)"),
     ("updated_at", "timestamp_ntz"), ("flags", "bigint"),
     ("ratio", "double"), ("status", "string"), ("tags", "string"),
     ("created", "date"), ("dur", "string"), ("seen_at", "timestamp_ntz"),
+    ("name", "string"), ("title", "string"), ("payload", "string"),
+    ("attrs", "string"),
 ]
 
 
@@ -509,6 +521,10 @@ def _typed_logical(doc_id: int, updated: bool) -> dict:
         ),
         "seen_at": _dt.datetime(1970, 1, 1)
         + _dt.timedelta(seconds=BASE_EPOCH + doc_id),
+        "name": f"doc-{doc_id}",
+        "title": "t" * (1 + doc_id % 9) + f"-{doc_id}",
+        "payload": f"p{doc_id}".encode("utf-8"),
+        "attrs": '{"k":%d}' % doc_id,
     }
 
 
@@ -542,6 +558,10 @@ def generate_typed_events(spark, sf_dir: str, *, server_id: int = 1):
             "created": td.encode_date(lv["created"]),
             "dur": td.encode_time2(lv["dur"], 0),
             "seen_at": td.encode_timestamp2(lv["seen_at"], 0),
+            "name": td.encode_varchar(lv["name"], 40),
+            "title": td.encode_string(lv["title"], TYPED_STRING_PACKED_META),
+            "payload": td.encode_blob(lv["payload"], 2),
+            "attrs": td.encode_blob(lv["attrs"].encode("utf-8"), 4),
         }
         keep = subset or cols
         return {c: enc[c].hex() for c in keep}

@@ -166,10 +166,12 @@ def decode_wire_images(resolved: DataFrame) -> DataFrame:
     Envelope convention for binary-image sources: a column whose registry
     type code is a WIRE type (typedec.WIRE_TYPES — NEWDECIMAL, DATETIME2,
     TIME2, TIMESTAMP2, DATE, BIT, ENUM, SET, FLOAT/DOUBLE, integer
-    families) carries hex(wire bytes) as its map value; plain-text types
-    (VARCHAR/STRING/BLOB) stay as-is. Decoding needs the TABLE_MAP's
-    per-column metadata (precision/scale, fsp, bit length) and FullMeta
-    ENUM/SET labels, so this runs AFTER resolve_table_metadata.
+    families, length-prefixed VARCHAR/STRING, BLOB/JSON/GEOMETRY) carries
+    hex(wire bytes) as its map value; tables that publish no
+    column_metadata (plain string-map sources) never reach the gate.
+    Decoding needs the TABLE_MAP's per-column metadata (precision/scale,
+    fsp, bit length, lengths/prefix widths) and FullMeta ENUM/SET labels,
+    so this runs AFTER resolve_table_metadata.
 
     Arrow-batched pandas UDF — this is the genuinely-Python stage (bit-level
     wire formats are not Catalyst-expressible); rows whose table published

@@ -183,3 +183,78 @@ def test_wire_dispatch_canonical_strings():
     )
     assert td.decode_wire_value(16, 8, td.encode_bit(170, 8)) == "170"
     assert td.decode_wire_value(5, 8, td.encode_double(2.5)) == "2.5"
+
+
+def test_varchar_length_prefix_width():
+    # declared max <= 255 bytes -> 1-byte prefix; > 255 -> 2-byte
+    # (readVarchar, BaseRowsEventBinLogDataDeserializer.java:181-184)
+    assert td.encode_varchar("hi", 40)[0] == 2
+    assert td.decode_varchar(td.encode_varchar("hi", 40), 40) == "hi"
+    long_meta = 400
+    enc = td.encode_varchar("x" * 300, long_meta)
+    assert enc[:2] == (300).to_bytes(2, "little")
+    assert td.decode_varchar(enc, long_meta) == "x" * 300
+    # utf-8 multibyte survives
+    assert td.decode_varchar(td.encode_varchar("héllo", 40), 40) == "héllo"
+
+
+def test_resolve_string_meta_dual_format():
+    # readString :186-200. metadata < 256: plain CHAR(length)
+    assert td.resolve_string_meta(40) == (254, 40)
+    # packed real-type bits: CHAR(300) -> meta0 0xEE, meta1 0x2C
+    assert td.resolve_string_meta(0xEE2C) == (254, 300)
+    # ENUM/SET transmitted verbatim in the high byte ((meta0&0x30)==0x30)
+    assert td.resolve_string_meta((247 << 8) | 1) == (247, 1)
+    assert td.resolve_string_meta((248 << 8) | 2) == (248, 2)
+
+
+def test_string_packed_metadata_round_trip():
+    meta = 0xEE2C  # CHAR(300): resolved length 300 -> 2-byte prefix
+    enc = td.encode_string("title-7", meta)
+    assert enc[:2] == (7).to_bytes(2, "little")
+    assert td.decode_string(enc, meta, None) == "title-7"
+    # short CHAR: 1-byte prefix
+    assert td.decode_string(td.encode_string("ab", 10), 10, None) == "ab"
+
+
+def test_string_carries_enum_and_set():
+    # ENUM transmitted as STRING: value bytes are the 1-based index
+    enc = td.encode_enum(2, 1)
+    assert (
+        td.decode_string(enc, (247 << 8) | 1, ["read", "write"]) == "write"
+    )
+    # SET transmitted as STRING: value bytes are the bitmask
+    enc = td.encode_set(0b101, 1)
+    assert (
+        td.decode_string(enc, (248 << 8) | 1, ["r", "w", "x"]) == "r,x"
+    )
+
+
+def test_blob_prefix_widths():
+    # metadata = number of little-endian length bytes (readBlob :177-179)
+    for meta in (1, 2, 3, 4):
+        data = b"\x00\xffpayload"
+        enc = td.encode_blob(data, meta)
+        assert enc[:meta] == len(data).to_bytes(meta, "little")
+        assert td.decode_blob(enc, meta) == data
+
+
+def test_wire_dispatch_string_blob_family():
+    assert td.decode_wire_value(15, 40, td.encode_varchar("v", 40)) == "v"
+    assert td.decode_wire_value(253, 40, td.encode_varchar("v", 40)) == "v"
+    assert (
+        td.decode_wire_value(254, 0xEE2C, td.encode_string("s", 0xEE2C))
+        == "s"
+    )
+    assert (
+        td.decode_wire_value(252, 2, td.encode_blob(b"\x01\x02", 2))
+        == "0102"
+    )
+    assert (
+        td.decode_wire_value(245, 4, td.encode_blob(b'{"k":1}', 4))
+        == '{"k":1}'
+    )
+    assert (
+        td.decode_wire_value(255, 4, td.encode_blob(b"\x00\x01WKB", 4))
+        == b"\x00\x01WKB".hex()
+    )
