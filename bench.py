@@ -231,6 +231,15 @@ def scaling():
     The input is replicated (SPARK_GRAFT_BENCH_REPEAT, default 8, ~3.1M
     events) so parallel work dominates fixed costs (planning, driver
     metadata commits), as it trivially does at the 10^10-event target.
+
+    Legs are INTERLEAVED (lo, hi, lo, hi, ...), one fresh session each:
+    the sandbox host carries time-varying external load outside this VM's
+    view, and running all lo legs then all hi legs lets the two levels
+    sample DIFFERENT noise epochs — which corrupts the ratio in either
+    direction. Interleaving puts adjacent lo/hi legs in the same noise
+    window, and min-of-legs per level then picks the quietest window for
+    both. The efficiency is additionally reported per adjacent pair
+    (pair_eff) so a single quiet window is visible as such.
     """
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "8"))
     legs = int(os.environ.get("SPARK_GRAFT_BENCH_LEGS", "3"))
@@ -239,27 +248,31 @@ def scaling():
         for c in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8").split(",")
     )
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
-    results = {}
-    all_legs: dict[int, list[float]] = {}
+    all_legs: dict[int, list[dict]] = {lo: [], hi: []}
+    warmed: set[int] = set()
     events_path = None
-    for cpus in (lo, hi):
-        spark = _session(cpus)
-        spark.sparkContext.setLogLevel("ERROR")
-        if events_path is None:
-            # one deterministic input, shared by BOTH parallelism levels
-            events_path, _ = materialize_events(spark, SF_DIR, repeat)
-        run_cdc_apply(spark, SF_DIR, events_path=events_path)  # JIT warm-up
-        # best-of-N legs: the sandbox has concurrent background activity
-        # (the round driver's own jobs); min wall time = least interference
-        runs = [
-            run_cdc_apply(spark, SF_DIR, repeat=repeat, events_path=events_path)
-            for _ in range(legs)
-        ]
-        best = min(runs, key=lambda r: r["sec"])
-        results[cpus] = best
-        all_legs[cpus] = [round(r["sec"], 2) for r in runs]
-        spark.stop()
-        time.sleep(2)
+    for _ in range(legs):
+        for cpus in (lo, hi):
+            spark = _session(cpus)
+            spark.sparkContext.setLogLevel("ERROR")
+            if events_path is None:
+                # one deterministic input, shared by BOTH parallelism levels
+                events_path, _ = materialize_events(spark, SF_DIR, repeat)
+            if cpus not in warmed:  # JIT warm-up, once per level
+                run_cdc_apply(spark, SF_DIR, events_path=events_path)
+                warmed.add(cpus)
+            all_legs[cpus].append(
+                run_cdc_apply(
+                    spark, SF_DIR, repeat=repeat, events_path=events_path
+                )
+            )
+            spark.stop()
+            time.sleep(2)
+    results = {c: min(rs, key=lambda r: r["sec"]) for c, rs in all_legs.items()}
+    pair_eff = [
+        round((h["events_per_sec"] / l["events_per_sec"]) / (hi / lo), 3)
+        for l, h in zip(all_legs[lo], all_legs[hi])
+    ]
     shutil.rmtree(os.path.dirname(events_path), ignore_errors=True)
     factor = hi / lo
     eff = (results[hi]["events_per_sec"] / results[lo]["events_per_sec"]) / factor
@@ -273,7 +286,11 @@ def scaling():
                 f"throughput_local{hi}": round(results[hi]["events_per_sec"], 1),
                 f"sec_local{lo}": round(results[lo]["sec"], 2),
                 f"sec_local{hi}": round(results[hi]["sec"], 2),
-                "legs_sec": {str(k): v for k, v in all_legs.items()},
+                "legs_sec": {
+                    str(k): [round(r["sec"], 2) for r in v]
+                    for k, v in all_legs.items()
+                },
+                "pair_eff": pair_eff,
                 "n_events": results[lo]["n_events"],
                 "repeat": repeat,
                 "sf": SF_DIR,
