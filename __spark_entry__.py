@@ -318,6 +318,41 @@ def q_cdc_gap_sessions(spark, sf):
     )
 
 
+def q_cdc_change_rates(spark, sf):
+    """Event-time windowed change rates: the watermarked tumbling-window
+    operator (streaming/windows.py — withWatermark + groupBy(window()),
+    state-store finalized in append mode) evaluated batch-wise over the
+    events table: per (hour, event_type) counts, distinct actors, decimal
+    volume. Same code path as the streaming test; the watermark is inert on
+    a batch frame so the DuckDB oracle is the exact date_trunc formulation.
+    TIMESTAMP_NTZ end-to-end and string-rendered window bounds keep the
+    comparison timezone-proof under a stock session."""
+    from mariadb_cdc_spark.streaming.windows import windowed_change_rates
+
+    ev = _ev(spark, sf).select(
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "event_type",
+        "user_id",
+        F.col("value").cast("decimal(18,2)").alias("value"),
+    )
+    agg = windowed_change_rates(
+        ev,
+        keys=("event_type",),
+        window_duration="1 hour",
+        aggs={
+            "n_users": F.count_distinct(F.col("user_id")).alias("n_users"),
+            "sum_value": F.sum("value").alias("sum_value"),
+        },
+    )
+    return agg.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        F.col("n_changes").cast("long").alias("n_changes"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("sum_value").cast("decimal(18,2)").alias("sum_value"),
+    )
+
+
 def q_cdc_typed_decode(spark, sf):
     """K1-K7 wire-type decode end-to-end: binlog events whose row images are
     HEX WIRE BYTES (NEWDECIMAL packed-BCD, DATETIME2/TIME2/TIMESTAMP2
@@ -745,6 +780,7 @@ QUERIES: dict[str, Callable] = {
     "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
     "cdc_multi_table": q_cdc_multi_table,
     "cdc_gap_sessions": q_cdc_gap_sessions,
+    "cdc_change_rates": q_cdc_change_rates,
     "cdc_typed_decode": q_cdc_typed_decode,
     "cdc_names_channel": q_cdc_names_channel,
     "cdc_type_overlap": q_cdc_type_overlap,
@@ -1015,6 +1051,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) as n_events,
                    min(event_id) as first_event, max(event_id) as last_event
             from s group by user_id, session_id
+        """,
+        "cdc_change_rates": """
+            select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                     as window_start,
+                   event_type,
+                   count(*)::BIGINT as n_changes,
+                   count(distinct user_id)::BIGINT as n_users,
+                   sum(value::DECIMAL(18,2)) as sum_value
+            from events
+            group by 1, 2
         """,
         "cdc_typed_decode": """
             with d as (select doc_id, (doc_id % 5 < 2) as upd from documents),
