@@ -386,7 +386,7 @@ _REGISTRY_SCHEMA = (
 
 def _load_registry(
     events: DataFrame, table: LakeTable
-) -> tuple[DataFrame, bool]:
+) -> tuple[DataFrame, bool, bool]:
     """One control-plane collect: the batch's TABLE_MAPs + the persisted
     registry, returned as a driver-built LOCAL relation.
 
