@@ -478,6 +478,105 @@ def q_cdc_names_channel(spark, sf):
     return table.read()
 
 
+def q_cdc_scd2_history(spark, sf):
+    """SCD2 history materialization over the generic change stream: one row
+    per state version with validity interval [valid_from_event,
+    valid_to_event) and an is_current flag — the audit/history consumer
+    pattern (engine-path variant: operators.history.scd2_history over
+    decoded binlog changes, tests/test_ivm_history.py)."""
+    ev = _ev(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("version", F.row_number().over(w).cast("long"))
+        .withColumn("valid_to_event", F.lead("event_id").over(w))
+        .select(
+            "user_id",
+            "version",
+            F.col("event_id").alias("valid_from_event"),
+            "valid_to_event",
+            F.col("valid_to_event").isNull().alias("is_current"),
+            "event_type",
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+def _split_events_by_wave(events, repo_count, max_wave_b0, n_buckets=32):
+    """Two micro-batches at a wave boundary via the gtid-embedded slot
+    (gen: slot = (wave*n_buckets + bucket)*cap + rn). Control events
+    (gtid-less) replicate into both — the registry dedupes."""
+    cap = repo_count + 2
+    slot = F.split("gtid", "-").getItem(2).cast("long")
+    wave = F.floor(slot / (n_buckets * cap))
+    b0 = events.where(F.col("gtid").isNull() | (wave <= max_wave_b0))
+    b1 = events.where(F.col("gtid").isNull() | (wave > max_wave_b0))
+    return b0, b1
+
+
+def q_cdc_time_travel(spark, sf):
+    """Snapshot isolation / time travel (Iceberg-semantics): apply wave 0
+    (pure inserts) as batch 0, the remaining waves as batch 1, then read the
+    table AS OF the batch-0 version — must equal the original repo table
+    even though batch 1 has since updated/deleted keys."""
+    from mariadb_cdc_spark.gen import MERGE_KEYS, generate_events, repo_table
+    from mariadb_cdc_spark.pipeline import CdcConfig, apply_batch
+    from mariadb_cdc_spark.sources.lake import LakeTable
+    from pyspark.sql import types as T
+
+    repo = repo_table(spark, sf)
+    events = generate_events(repo, include_audit=False)
+    b0, b1 = _split_events_by_wave(events, repo.count(), max_wave_b0=0)
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_q_tt_")
+    table = LakeTable.create(
+        spark, f"{tmp}/repo_files", schema, MERGE_KEYS, n_buckets=8
+    )
+    cfg = CdcConfig()
+    v0 = apply_batch(b0, table, cfg, stream_id="tt", batch_id=0)["version"]
+    apply_batch(b1, table, cfg, stream_id="tt", batch_id=1)
+    return table.read(version=v0).select(
+        "repo", "path", "commit", "lang", "content"
+    )
+
+
+def q_cdc_incremental_agg(spark, sf):
+    """Incremental view maintenance: a per-repo aggregate (live-row count +
+    total content chars) maintained from each batch's merge DELTA
+    (operators.ivm), never recomputed from the table. Two batches split at
+    the wave-1 boundary so the second batch's updates/deletes must retract
+    first-batch contributions; the oracle recomputes the aggregate from the
+    closed-form final state."""
+    from mariadb_cdc_spark.gen import MERGE_KEYS, generate_events, repo_table
+    from mariadb_cdc_spark.operators.ivm import AggView, read_view
+    from mariadb_cdc_spark.pipeline import CdcConfig, apply_batch
+    from mariadb_cdc_spark.sources.lake import LakeTable
+    from pyspark.sql import types as T
+
+    repo = repo_table(spark, sf)
+    events = generate_events(repo, include_audit=False)
+    b0, b1 = _split_events_by_wave(events, repo.count(), max_wave_b0=1)
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_q_ivm_")
+    table = LakeTable.create(
+        spark, f"{tmp}/repo_files", schema, MERGE_KEYS, n_buckets=8
+    )
+    view = AggView(f"{tmp}/agg", ["repo"], {"total_chars": "length(content)"})
+    cfg = CdcConfig()
+    apply_batch(b0, table, cfg, stream_id="ivm", batch_id=0, agg_views=[view])
+    apply_batch(b1, table, cfg, stream_id="ivm", batch_id=1, agg_views=[view])
+    return read_view(spark, view).select(
+        "repo",
+        F.col("n_rows").cast("long").alias("n_live"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+    )
+
+
 def q_cdc_type_overlap(spark, sf):
     """Set-op coverage: users seen in clicks INTERSECT users seen in
     purchases, minus users seen in errors (EXCEPT)."""
@@ -783,6 +882,9 @@ QUERIES: dict[str, Callable] = {
     "cdc_change_rates": q_cdc_change_rates,
     "cdc_typed_decode": q_cdc_typed_decode,
     "cdc_names_channel": q_cdc_names_channel,
+    "cdc_scd2_history": q_cdc_scd2_history,
+    "cdc_time_travel": q_cdc_time_travel,
+    "cdc_incremental_agg": q_cdc_incremental_agg,
     "cdc_type_overlap": q_cdc_type_overlap,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1101,6 +1203,65 @@ def oracle_sql() -> dict[str, str]:
                    case when doc_id % 3 = 0 then upper(lang)
                         else lang end as lang
             from documents
+        """,
+        "cdc_scd2_history": """
+            select user_id,
+                   row_number() over
+                     (partition by user_id order by ts, event_id) as version,
+                   event_id as valid_from_event,
+                   lead(event_id) over
+                     (partition by user_id order by ts, event_id)
+                     as valid_to_event,
+                   (lead(event_id) over
+                     (partition by user_id order by ts, event_id) is null)
+                     as is_current,
+                   event_type,
+                   round(value, 2) as value
+            from events
+        """,
+        "cdc_time_travel": """
+            -- State AS OF the end of wave 0 == the original repo table
+            -- (gen.generate_changes wave plan: wave 0 is the full-image
+            -- INSERT of every key; later waves mutate/delete).
+            select 'repo_' || source as repo,
+                   'src/' || lang || '/doc_' ||
+                     lpad(doc_id::VARCHAR, 8, '0') || '.txt' as path,
+                   substring(md5(text) || md5(text || '#'), 1, 40) as commit,
+                   lang,
+                   text as content
+            from documents
+        """,
+        "cdc_incremental_agg": """
+            -- Recompute the maintained per-repo aggregate from the
+            -- closed-form FINAL state (same wave-plan derivation as the
+            -- cdc_pipeline_e2e oracle); the Spark side never recomputes —
+            -- it folds per-batch merge deltas (operators.ivm).
+            with base as (
+              select 'repo_' || source as repo,
+                     'src/' || lang || '/doc_' ||
+                       lpad(doc_id::VARCHAR, 8, '0') || '.txt' as path,
+                     text as content
+              from documents),
+            keyed as (
+              select *,
+                     ('0x' || substring(
+                        md5(chr(31) || repo || chr(31) || path), 1, 15)
+                     )::BIGINT % 100 as gate
+              from base),
+            final as (
+              select repo,
+                     case when gate < 5
+                            then content || chr(10) || '// resurrected'
+                          when gate < 35
+                            then content || chr(10) || '// rev 3'
+                          when gate < 60
+                            then content || chr(10) || '// rev 2'
+                          else content end as content
+              from keyed
+              where gate < 5 or gate >= 15)
+            select repo, count(*)::BIGINT as n_live,
+                   sum(length(content))::BIGINT as total_chars
+            from final group by repo
         """,
         "cdc_type_overlap": """
             select count(*) as n_users from (

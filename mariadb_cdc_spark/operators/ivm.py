@@ -1,0 +1,191 @@
+"""Incremental view maintenance: CDC-maintained aggregate tables.
+
+The reference hands every change to user code (MariadbCdcListener.java:9-26)
+and leaves downstream aggregates to the listener; the standard consumer
+pattern is a running materialized aggregate (counts, sums per group) kept in
+step with the source table. This module maintains such views INCREMENTALLY
+from the per-batch merge delta instead of recomputing from the full table:
+
+    delta(view)  = contributions(new state of affected keys)
+                 - contributions(old state of affected keys)
+    view'        = view (+) delta
+
+Only SUM-decomposable measures qualify (count, sum; avg = sum/count at read
+time). min/max are NOT incrementally maintainable under deletes (a retracted
+max needs a rescan) — callers needing them should recompute per batch.
+
+Scale shape: `affected_keys` is the batch's folded key set (already on the
+executors from the fold), both state reads are semi-joined down to affected
+keys before aggregating, and contributions partial-aggregate map-side — the
+maintenance cost is O(batch), never O(table). The stored view is O(groups)
+and is rewritten atomically per batch with a version pointer (same
+last-pointer-wins protocol as sources.lake metadata), carrying the source
+table version it reflects so a replayed/crashed batch is idempotent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.lake import LakeTable
+
+
+@dataclass
+class AggView:
+    """A maintained aggregate: group columns + SUM-decomposable measures.
+
+    `measures`: {output_column: SQL expression over a state row}, each
+    maintained as sum(expr). A row count (`n_rows`) is always maintained.
+    """
+
+    path: str
+    group_cols: list[str]
+    measures: dict[str, str] = field(default_factory=dict)
+
+
+def contributions(state: DataFrame, view: AggView, sign: int = 1) -> DataFrame:
+    """Per-group contribution of a set of state rows (map-side combinable)."""
+    aggs = [F.sum(F.lit(sign)).alias("n_rows")] + [
+        F.sum(F.expr(expr) * sign).alias(name)
+        for name, expr in view.measures.items()
+    ]
+    return state.groupBy(*view.group_cols).agg(*aggs)
+
+
+def _meta_path(view: AggView) -> str:
+    return os.path.join(view.path, "_meta")
+
+
+def _load_meta(view: AggView) -> dict | None:
+    latest = os.path.join(_meta_path(view), "latest")
+    if not os.path.exists(latest):
+        return None
+    with open(latest) as f:
+        v = int(f.read().strip())
+    with open(os.path.join(_meta_path(view), f"v{v}.json")) as f:
+        return json.load(f)
+
+
+def _write_meta(view: AggView, meta: dict) -> None:
+    mdir = _meta_path(view)
+    os.makedirs(mdir, exist_ok=True)
+    with open(os.path.join(mdir, f"v{meta['agg_version']}.json"), "w") as f:
+        json.dump(meta, f)
+    tmp = os.path.join(mdir, f".latest.tmp.{meta['agg_version']}")
+    with open(tmp, "w") as f:
+        f.write(str(meta["agg_version"]))
+    os.replace(tmp, os.path.join(mdir, "latest"))
+
+
+def read_view(spark: SparkSession, view: AggView) -> DataFrame:
+    """Current contents of the maintained aggregate (empty if never built)."""
+    meta = _load_meta(view)
+    cols = (
+        [F.col(c).cast("string") for c in view.group_cols]
+        + [F.lit(None).cast("long").alias("n_rows")]
+        + [F.lit(None).cast("double").alias(m) for m in view.measures]
+    )
+    if meta is None:
+        return (
+            spark.range(0)
+            .select(*[F.lit(None).alias(c) for c in view.group_cols])
+            .select(*cols)
+            .where(F.lit(False))
+        )
+    return spark.read.parquet(os.path.join(view.path, meta["data"]))
+
+
+def maintain(
+    table: LakeTable,
+    view: AggView,
+    affected_keys: DataFrame,
+    pre_version: int,
+    post_version: int | None = None,
+) -> dict:
+    """Fold one batch's merge delta into the maintained aggregate.
+
+    `affected_keys`: the batch's folded merge-key rows (a SUPERSET of the
+    keys the merge actually changed is fine — an unchanged key's old and new
+    contributions cancel exactly). `pre_version` is the table version the
+    batch's merge started from; state is diffed between it and
+    `post_version` (default: current).
+
+    Idempotent per source version: if the stored view already reflects
+    `post_version`, this is a no-op — a replayed batch (exactly-once skip in
+    apply_batch) or a crash between merge and maintain cannot double-count.
+    Crash-heal: if the stored view reflects an OLDER version than
+    `pre_version` (a previous run merged, then crashed before maintaining),
+    the diff basis drops back to the stored version — correct as long as
+    `affected_keys` covers the keys changed in that gap, which holds for
+    apply_batch replays (the un-committed batch re-derives the same folded
+    key set deterministically).
+    """
+    spark = table.spark
+    if post_version is None:
+        post_version = table.metadata()["version"]
+    meta = _load_meta(view)
+    if meta is not None:
+        if meta["table_version"] >= post_version:
+            return {"skipped": True, "agg_version": meta["agg_version"]}
+        pre_version = min(pre_version, meta["table_version"])
+
+    keys = [f.name for f in affected_keys.schema.fields]
+    affected = affected_keys.distinct()
+    old = table.read(version=pre_version).join(affected, keys, "left_semi")
+    new = table.read(version=post_version).join(affected, keys, "left_semi")
+    delta = (
+        contributions(new, view, 1)
+        .unionByName(contributions(old, view, -1))
+        .groupBy(*view.group_cols)
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            *[F.sum(m).alias(m) for m in view.measures],
+        )
+    )
+
+    mcols = ["n_rows", *view.measures]
+    if meta is None:
+        merged = delta.where(F.col("n_rows") > 0)
+    else:
+        current = spark.read.parquet(os.path.join(view.path, meta["data"]))
+        merged = (
+            current.select(
+                *view.group_cols, *[F.col(m).alias(f"_l_{m}") for m in mcols]
+            )
+            .join(
+                delta.select(
+                    *view.group_cols, *[F.col(m).alias(f"_r_{m}") for m in mcols]
+                ),
+                view.group_cols,
+                "full_outer",
+            )
+            .select(
+                *view.group_cols,
+                *[
+                    (
+                        F.coalesce(F.col(f"_l_{m}"), F.lit(0))
+                        + F.coalesce(F.col(f"_r_{m}"), F.lit(0))
+                    ).alias(m)
+                    for m in mcols
+                ],
+            )
+            .where(F.col("n_rows") > 0)
+        )
+
+    agg_version = (meta["agg_version"] + 1) if meta else 1
+    data_rel = f"v{agg_version}"
+    merged.write.mode("overwrite").parquet(os.path.join(view.path, data_rel))
+    _write_meta(
+        view,
+        {
+            "agg_version": agg_version,
+            "table_version": post_version,
+            "data": data_rel,
+        },
+    )
+    return {"skipped": False, "agg_version": agg_version}

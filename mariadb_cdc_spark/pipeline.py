@@ -168,6 +168,7 @@ def apply_batch(
     stream_id: str = "default",
     batch_id: int | None = None,
     resume_from_lineage: bool = False,
+    agg_views: list | None = None,
 ) -> dict:
     """Apply one (micro-)batch of events to the lake table.
 
@@ -175,6 +176,11 @@ def apply_batch(
     metadata; resumable via the committed lineage (resume_from_lineage=True
     filters already-applied positions out of the scan — the
     FileBinlogPositionTracker resume semantics, MariadbCdc.java:96-114).
+
+    `agg_views`: optional list of operators.ivm.AggView — aggregate tables
+    maintained INCREMENTALLY from each epoch's merge delta (the batch's
+    folded keys are reused as the affected-key set, so maintenance stays
+    O(batch), never O(table); see operators.ivm).
     """
     if batch_id is not None and batch_id <= table.committed_batch(stream_id):
         return {"skipped": True}
@@ -246,6 +252,9 @@ def apply_batch(
     lo = None
     n_epochs = 0
     total = {"epochs": 0, "version": None}
+    pre_version = table.metadata()["version"]
+    affected_parts: list[DataFrame] = []
+    persisted: list[DataFrame] = []
     for i, hi in enumerate(bounds):
         epoch = changes
         if lo is not None:
@@ -259,6 +268,10 @@ def apply_batch(
         if names_cache is not None:
             epoch = enrich_column_names(epoch, names_cache)
         folded = fold_for_merge(epoch, cfg, hot_keys=hot_keys)
+        if agg_views:
+            folded = folded.persist()
+            persisted.append(folded)
+            affected_parts.append(folded.select(*cfg.keys))
         res = table.merge(
             folded,
             stream_id=stream_id,
@@ -277,6 +290,27 @@ def apply_batch(
                 for t in decide_schema_change(ddls[i]["sql"]).tables:
                     names_cache.invalidate(t.database, t.table)
             lo = hi
+
+    # Maintained aggregate views: ONE maintenance pass per batch over the
+    # union of all epochs' folded keys, diffing table state from the version
+    # the VIEW reflects (ivm.maintain picks min(pre_version, stored)) to the
+    # last merged version — so a crash anywhere between a merge commit and
+    # this point is healed on replay (the batch is not yet marked committed,
+    # the re-derived folded keys are deterministic, and per-epoch re-merges
+    # are position-gated no-ops).
+    if agg_views and affected_parts:
+        from .operators.ivm import maintain
+
+        keys_df = affected_parts[0]
+        for part in affected_parts[1:]:
+            keys_df = keys_df.unionByName(part)
+        for view in agg_views:
+            maintain(
+                table, view, keys_df, pre_version,
+                post_version=total["version"],
+            )
+    for df in persisted:
+        df.unpersist()
 
     # final commit: batch id (exactly-once) + persisted TABLE_MAP registry
     meta = table.metadata()

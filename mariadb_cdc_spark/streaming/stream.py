@@ -60,8 +60,14 @@ def start_cdc_stream(
     checkpoint_dir: str,
     stream_id: str = "cdc",
     trigger_available_now: bool = True,
+    agg_views: list | None = None,
 ):
     """Run the CDC apply as a streaming query; returns the StreamingQuery.
+
+    `agg_views` (operators.ivm.AggView) are maintained incrementally per
+    micro-batch from the merge delta; ivm's per-table-version idempotence
+    composes with the epoch replay contract (a replayed epoch's merge is
+    skipped, so its view maintenance is too).
 
     XID gating under streaming: the file source is forward-only (its
     checkpoint advances past consumed files), so events held back by the
@@ -96,6 +102,7 @@ def start_cdc_stream(
             eff_cfg,
             stream_id=stream_id,
             batch_id=epoch,
+            agg_views=agg_views,
         )
         if cfg.gate_on_xid:
             _prune_carry(carry_root, keep_from=epoch - 1)
