@@ -577,6 +577,43 @@ def q_cdc_incremental_agg(spark, sf):
     )
 
 
+def q_cdc_bootstrap(spark, sf):
+    """Snapshot-then-stream bootstrap (operators.bootstrap): seed the lake
+    from a consistent snapshot at the wave-0 position (wave 0 IS the full
+    insert of every key, so the repo table is the state as-of b0's max
+    position), then tail the WHOLE stream with resume_from_lineage — the
+    pre-snapshot prefix is pruned at the scan and, in depth, gated per key.
+    Final state must equal the full-replay closed-form oracle."""
+    from mariadb_cdc_spark.gen import MERGE_KEYS, generate_events, repo_table
+    from mariadb_cdc_spark.operators.bootstrap import bootstrap_snapshot
+    from mariadb_cdc_spark.pipeline import CdcConfig, apply_batch
+    from mariadb_cdc_spark.sources.checkpoint import batch_lineage
+    from mariadb_cdc_spark.sources.lake import LakeTable
+    from pyspark.sql import types as T
+
+    repo = repo_table(spark, sf)
+    events = generate_events(repo, include_audit=False)
+    b0, _ = _split_events_by_wave(events, repo.count(), max_wave_b0=0)
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_q_boot_")
+    table = LakeTable.create(
+        spark, f"{tmp}/repo_files", schema, MERGE_KEYS, n_buckets=8
+    )
+    # snapshot position = max position of the DATA events the snapshot
+    # reflects (b0 also carries every file's gtid-less control events from
+    # the split helper; a rotate at the log tip is not snapshot state)
+    pos = batch_lineage(b0.where(F.col("gtid").isNotNull()))
+    bootstrap_snapshot(repo, table, pos, stream_id="bs", batch_id=0)
+    apply_batch(
+        events, table, CdcConfig(), stream_id="bs", batch_id=1,
+        resume_from_lineage=True,
+    )
+    return table.read().select("repo", "path", "commit", "lang", "content")
+
+
 def q_cdc_type_overlap(spark, sf):
     """Set-op coverage: users seen in clicks INTERSECT users seen in
     purchases, minus users seen in errors (EXCEPT)."""
@@ -885,6 +922,7 @@ QUERIES: dict[str, Callable] = {
     "cdc_scd2_history": q_cdc_scd2_history,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_incremental_agg": q_cdc_incremental_agg,
+    "cdc_bootstrap": q_cdc_bootstrap,
     "cdc_type_overlap": q_cdc_type_overlap,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -997,7 +1035,7 @@ def oracle_sql() -> dict[str, str]:
     langs = sorted(stops)
     best = f"greatest({', '.join(hits[lg] for lg in langs)})"
 
-    return {
+    oracles = {
         "cdc_lww_state": """
             select user_id, event_id as last_event_id,
                    event_type as last_event_type,
@@ -1608,3 +1646,7 @@ def oracle_sql() -> dict[str, str]:
             where rank <= 5
         """,
     }
+    # Bootstrap converges to the same final state as the full replay: the
+    # snapshot is exactly the wave-0 state and the tail applies waves 1+.
+    oracles["cdc_bootstrap"] = oracles["cdc_pipeline_e2e"]
+    return oracles

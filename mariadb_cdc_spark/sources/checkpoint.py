@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.filters import position_advancing
+from ..schema import NO_POSITION_SAVE_TYPES
 
 
 class BadPositionError(Exception):
@@ -157,19 +158,30 @@ def stalled_servers(
 
 
 def events_after(events: DataFrame, lineage: dict) -> DataFrame:
-    """Keep only events strictly after each server's saved position.
+    """Keep only events strictly after each server's saved position — plus
+    ALL metadata events (FORMAT_DESCRIPTION / TABLE_MAP) regardless of
+    position.
+
+    Metadata events never advance the checkpoint (reference
+    BinaryLogEventProcessor.java:128-132) precisely because a resume must
+    not lose them: a rows event is only decodable through the most recent
+    TABLE_MAP at-or-before its position (J1), and with a scan-based source
+    there is no server to "resend" maps after reconnect the way a live
+    binlog dump does. Keeping them is O(metadata) rows — tiny, idempotent
+    control-plane data the registry coalesces anyway.
 
     The (file, pos) tuple-compare is deliberately expanded into flat
     column-vs-literal atoms — `file > f OR (file = f AND pos > p)` — instead
-    of a struct comparison: every leaf is parquet-pushable, so the whole
-    predicate lands in the scan's pushed filters and row groups of
-    fully-consumed binlog files are skipped by their min/max stats. At
-    10^10-event scale, resuming near the tip prunes almost the entire
-    history without reading it.
+    of a struct comparison: every leaf is parquet-pushable (as is the
+    metadata `event_type IN (...)` disjunct), so the whole predicate lands
+    in the scan's pushed filters and row groups of fully-consumed binlog
+    files are skipped by their min/max stats. At 10^10-event scale,
+    resuming near the tip prunes almost the entire history without reading
+    it.
     """
     if not lineage:
         return events
-    pred = F.lit(False)
+    pred = F.col("event_type").isin(*NO_POSITION_SAVE_TYPES)
     saved_servers = [int(s) for s in lineage]
     for sid, p in lineage.items():
         f, pos = F.lit(p["file"]), F.lit(int(p["pos"])).cast("long")

@@ -22,6 +22,7 @@ ENV_SCHEMA = T.StructType(
         T.StructField("server_id", T.LongType()),
         T.StructField("binlog_file", T.StringType()),
         T.StructField("binlog_pos", T.LongType()),
+        T.StructField("event_type", T.StringType()),
     ]
 )
 
@@ -29,10 +30,10 @@ ENV_SCHEMA = T.StructType(
 def _events(spark):
     return spark.createDataFrame(
         [
-            (1, "bin.000001", 100),
-            (1, "bin.000001", 200),
-            (1, "bin.000002", 50),
-            (2, "bin.000001", 400),
+            (1, "bin.000001", 100, "WRITE_ROWS"),
+            (1, "bin.000001", 200, "WRITE_ROWS"),
+            (1, "bin.000002", 50, "WRITE_ROWS"),
+            (2, "bin.000001", 400, "WRITE_ROWS"),
         ],
         ENV_SCHEMA,
     )
@@ -72,4 +73,29 @@ def test_events_after_filters_per_server(spark):
         (1, "bin.000001", 200),
         (1, "bin.000002", 50),
         (2, "bin.000001", 400),
+    ]
+
+
+def test_events_after_keeps_metadata_events(spark):
+    """FD/TABLE_MAP survive the resume filter even at-or-before the saved
+    position: they never advance the checkpoint (P5) and later rows events
+    are only decodable through their preceding TABLE_MAP (J1)."""
+    ev = spark.createDataFrame(
+        [
+            (1, "bin.000001", 4, "FORMAT_DESCRIPTION"),
+            (1, "bin.000001", 20, "TABLE_MAP"),
+            (1, "bin.000001", 100, "WRITE_ROWS"),
+            (1, "bin.000001", 200, "WRITE_ROWS"),
+        ],
+        ENV_SCHEMA,
+    )
+    lineage = {"1": {"file": "bin.000001", "pos": 150}}
+    kept = sorted(
+        (r["binlog_pos"], r["event_type"])
+        for r in events_after(ev, lineage).collect()
+    )
+    assert kept == [
+        (4, "FORMAT_DESCRIPTION"),
+        (20, "TABLE_MAP"),
+        (200, "WRITE_ROWS"),
     ]
