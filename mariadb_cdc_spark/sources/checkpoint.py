@@ -170,18 +170,23 @@ def events_after(events: DataFrame, lineage: dict) -> DataFrame:
     binlog dump does. Keeping them is O(metadata) rows — tiny, idempotent
     control-plane data the registry coalesces anyway.
 
-    The (file, pos) tuple-compare is deliberately expanded into flat
-    column-vs-literal atoms — `file > f OR (file = f AND pos > p)` — instead
-    of a struct comparison: every leaf is parquet-pushable (as is the
-    metadata `event_type IN (...)` disjunct), so the whole predicate lands
-    in the scan's pushed filters and row groups of fully-consumed binlog
-    files are skipped by their min/max stats. At 10^10-event scale,
+    The result is TWO independently-pruned scans unioned, not one OR
+    predicate. An OR defeats row-group skipping on both sides: a row group
+    of fully-consumed rows events can only be skipped if the reader also
+    disproves the `event_type IN (...)` leaf, which string min/max stats
+    straddling the IN values never do. Split, each scan pushes a clean
+    predicate — the metadata scan's IN is dictionary-prunable (row groups
+    whose event_type dictionary lacks FD/TABLE_MAP are skipped wholesale),
+    and the data scan's (file, pos) tuple-compare, expanded into flat
+    column-vs-literal atoms `file > f OR (file = f AND pos > p)`, skips
+    consumed binlog files by their min/max stats. At 10^10-event scale,
     resuming near the tip prunes almost the entire history without reading
     it.
     """
     if not lineage:
         return events
-    pred = F.col("event_type").isin(*NO_POSITION_SAVE_TYPES)
+    is_meta = F.col("event_type").isin(*NO_POSITION_SAVE_TYPES)
+    pred = F.lit(False)
     saved_servers = [int(s) for s in lineage]
     for sid, p in lineage.items():
         f, pos = F.lit(p["file"]), F.lit(int(p["pos"])).cast("long")
@@ -190,7 +195,7 @@ def events_after(events: DataFrame, lineage: dict) -> DataFrame:
         )
         pred = pred | ((F.col("server_id") == int(sid)) & after)
     pred = pred | ~F.col("server_id").isin(saved_servers)
-    return events.where(pred)
+    return events.where(is_meta).unionByName(events.where(~is_meta & pred))
 
 
 def validate_position(
