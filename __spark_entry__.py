@@ -614,6 +614,43 @@ def q_cdc_bootstrap(spark, sf):
     return table.read().select("repo", "path", "commit", "lang", "content")
 
 
+def q_cdc_point_lookup(spark, sf):
+    """Bucket-pruned point reads (LakeTable.read_keys): build the e2e final
+    state, then look up a deterministic key set (doc_id % 97 == 0 — some of
+    which the wave plan deleted) by resolving each key's bucket with the
+    writer's hash and scanning ONLY those buckets + a broadcast semi-join.
+    Oracle = the closed-form final state filtered to the same keys."""
+    from mariadb_cdc_spark.gen import MERGE_KEYS, generate_events, repo_table
+    from mariadb_cdc_spark.pipeline import CdcConfig, apply_batch
+    from mariadb_cdc_spark.sources.lake import LakeTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    repo = repo_table(spark, sf)
+    events = generate_events(repo, include_audit=False)
+    tmp = tempfile.mkdtemp(prefix="cdc_q_pt_")
+    table = LakeTable.create(
+        spark, f"{tmp}/repo_files", schema, MERGE_KEYS, n_buckets=8
+    )
+    apply_batch(events, table, CdcConfig(), stream_id="pt", batch_id=0)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    want = [
+        {"repo": r["repo"], "path": r["path"]}
+        for r in docs.where(F.col("doc_id") % 97 == 0).select(
+            F.concat(F.lit("repo_"), F.col("source")).alias("repo"),
+            F.concat(
+                F.lit("src/"), F.col("lang"), F.lit("/doc_"),
+                F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+                F.lit(".txt"),
+            ).alias("path"),
+        ).collect()
+    ]
+    return table.read_keys(want)
+
+
 def q_cdc_type_overlap(spark, sf):
     """Set-op coverage: users seen in clicks INTERSECT users seen in
     purchases, minus users seen in errors (EXCEPT)."""
@@ -923,6 +960,7 @@ QUERIES: dict[str, Callable] = {
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_incremental_agg": q_cdc_incremental_agg,
     "cdc_bootstrap": q_cdc_bootstrap,
+    "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_type_overlap": q_cdc_type_overlap,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1649,4 +1687,18 @@ def oracle_sql() -> dict[str, str]:
     # Bootstrap converges to the same final state as the full replay: the
     # snapshot is exactly the wave-0 state and the tail applies waves 1+.
     oracles["cdc_bootstrap"] = oracles["cdc_pipeline_e2e"]
+    # Point lookup = the e2e final state restricted to the lookup keys
+    # (deleted keys drop out; keys never written return nothing).
+    oracles["cdc_point_lookup"] = (
+        "with final as ("
+        + oracles["cdc_pipeline_e2e"]
+        + """)
+        select f.* from final f
+        join (select 'repo_' || source as repo,
+                     'src/' || lang || '/doc_' ||
+                       lpad(doc_id::VARCHAR, 8, '0') || '.txt' as path
+              from documents where doc_id % 97 = 0) w
+          using (repo, path)
+        """
+    )
     return oracles

@@ -200,6 +200,54 @@ class LakeTable:
             *[n for n, _ in meta["schema"]]
         )
 
+    def read_keys(
+        self, key_rows: dict | list[dict], version: int | None = None
+    ) -> DataFrame:
+        """Bucket-pruned point reads: resolve each requested key's bucket
+        with the same hash the writer used, scan ONLY those buckets, then
+        broadcast-semi-join down to the exact keys.
+
+        The Iceberg bucket-partition-pruning equivalent for this format: at
+        100 TB / 4096 buckets a single-key lookup reads 1/4096th of the
+        table (one bucket's base + deltas) instead of a full scan. The
+        bucket resolution is one O(keys) driver-side job; the semi-join
+        side is the tiny key list, broadcast.
+
+        `key_rows`: one dict (single key) or a list of dicts, each mapping
+        every merge-key column to a value.
+        """
+        meta = self.metadata(version)
+        keys, n_buckets = meta["keys"], meta["n_buckets"]
+        rows = [key_rows] if isinstance(key_rows, dict) else list(key_rows)
+        if not rows:
+            raise ValueError("read_keys needs at least one key")
+        missing = sorted(
+            {k for k in keys for r in rows if k not in r}
+        )
+        if missing:
+            raise ValueError(f"lookup rows missing key columns: {missing}")
+        types = dict(meta["schema"])
+        want = self.spark.createDataFrame(
+            [tuple(r[k] for k in keys) for r in rows],
+            T.StructType(
+                [T.StructField(k, _parse_type(types[k])) for k in keys]
+            ),
+        ).dropDuplicates(keys)
+        hit = {
+            int(r["b"])
+            for r in want.select(
+                _bucket_col(keys, n_buckets).alias("b")
+            ).distinct().collect()
+        }
+        present = {int(b) for b in meta["buckets"]} | {
+            int(b) for b, rels in meta.get("deltas", {}).items() if rels
+        }
+        df = self._read_state(meta, sorted(hit & present))
+        df = df.join(F.broadcast(want), on=keys, how="left_semi")
+        return df.where(~F.coalesce(F.col(CDC_DELETED), F.lit(False))).select(
+            *[n for n, _ in meta["schema"]]
+        )
+
     def _read_state(self, meta: dict, buckets: list[int]) -> DataFrame:
         """base ∪ deltas for `buckets` with per-key LATEST-position
         resolution — but ONLY delta-carrying buckets pay the resolution

@@ -115,3 +115,45 @@ def test_schema_evolution_through_delta(spark, tmp_path):
     rows = {r["id"]: r.asDict() for r in table.read().collect()}
     assert rows["k2"]["extra"] == "e"
     assert rows["k1"]["extra"] is None
+
+
+def test_read_keys_matches_filtered_full_scan(spark, tmp_path):
+    table = _init(spark, str(tmp_path / "t"))
+    # one delta on top so the lookup exercises the merge-on-read path too
+    table.merge(
+        _folded(spark, [("k3", "UPSERT", {"val": "v3b"}, 10_000),
+                        ("k7", "DELETE", {}, 10_001)]),
+        stream_id="init", batch_id=1,
+    )
+    want = [{"id": "k3"}, {"id": "k7"}, {"id": "k42"}, {"id": "missing"}]
+    got = sorted(
+        tuple(r) for r in table.read_keys(want).collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in table.read()
+        .where(F.col("id").isin("k3", "k7", "k42", "missing"))
+        .collect()
+    )
+    assert got == full
+    assert ("k3", "v3b") in got            # delta resolved
+    assert all(r[0] != "k7" for r in got)  # tombstone filtered
+
+
+def test_read_keys_prunes_buckets(spark, tmp_path):
+    table = _init(spark, str(tmp_path / "t"), n_buckets=8)
+    pruned = set(table.read_keys({"id": "k3"}).inputFiles())
+    full = set(table.read().inputFiles())
+    assert pruned and pruned < full
+    # one key -> exactly one bucket's files
+    assert len(pruned) <= len(full) / 4
+
+
+def test_read_keys_validates_input(spark, tmp_path):
+    table = _init(spark, str(tmp_path / "t"), n=10)
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one key"):
+        table.read_keys([])
+    with pytest.raises(ValueError, match="missing key columns"):
+        table.read_keys({"val": "x"})
