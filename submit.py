@@ -1,0 +1,122 @@
+"""Cluster job entry point: run the CDC ingest under spark-submit.
+
+The north rule's deployment shape — `spark-submit --py-files
+mariadb_cdc_spark.zip submit.py ...` on a multi-executor cluster. This
+script never sets a master or core-count: the cluster manager provides
+them; all engine configs that must hold everywhere (AQE, Arrow, UTC) are
+applied as runtime conf on whatever session spark-submit built.
+
+Two modes:
+  --events DIR        stream binlog-shaped parquet events from DIR
+                      (Structured Streaming file source; exactly-once via
+                      checkpoint + position-gated MERGE). Omit for batch
+                      mode: one apply_batch over DIR read as a static frame.
+  --generate SF_DIR   sandbox convenience: synthesize the deterministic
+                      event stream from SF_DIR's documents table and apply
+                      it as one batch (what the bench does).
+
+Example (cluster):
+  zip -r mariadb_cdc_spark.zip mariadb_cdc_spark
+  spark-submit --deploy-mode cluster --num-executors 64 \
+      --py-files mariadb_cdc_spark.zip submit.py \
+      --events s3://bucket/binlog-events --table s3://bucket/repo_files \
+      --checkpoint s3://bucket/ckpt --stream-id prod --streaming
+
+Example (sandbox smoke, exercised by tests/test_submit.py):
+  /opt/spark/bin/spark-submit --master 'local[8]' \
+      --py-files mariadb_cdc_spark.zip submit.py \
+      --generate /root/testdata/sf0.001 --table /tmp/repo_files
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+RUNTIME_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+REPO_SCHEMA = T.StructType(
+    [
+        T.StructField(c, T.StringType())
+        for c in ["repo", "path", "commit", "lang", "content"]
+    ]
+)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--events", help="dir of binlog-shaped parquet events")
+    src.add_argument("--generate", metavar="SF_DIR",
+                     help="synthesize events from SF_DIR/documents.parquet")
+    ap.add_argument("--table", required=True, help="lake table path")
+    ap.add_argument("--checkpoint", help="streaming checkpoint dir")
+    ap.add_argument("--stream-id", default="cdc")
+    ap.add_argument("--streaming", action="store_true",
+                    help="run as a Structured Streaming query (--events)")
+    ap.add_argument("--n-buckets", type=int, default=64)
+    args = ap.parse_args(argv)
+
+    from mariadb_cdc_spark.pipeline import CdcConfig, apply_batch
+    from mariadb_cdc_spark.sources.lake import LakeTable
+    from mariadb_cdc_spark.streaming.stream import (
+        read_event_stream,
+        start_cdc_stream,
+    )
+
+    spark = SparkSession.builder.appName("mariadb-cdc-spark").getOrCreate()
+    for k, v in RUNTIME_CONF.items():
+        spark.conf.set(k, v)
+
+    table = (
+        LakeTable(spark, args.table)
+        if LakeTable(spark, args.table).exists()
+        else LakeTable.create(
+            spark, args.table, REPO_SCHEMA, ["repo", "path"],
+            n_buckets=args.n_buckets,
+        )
+    )
+    cfg = CdcConfig()
+
+    if args.streaming:
+        if not (args.events and args.checkpoint):
+            ap.error("--streaming requires --events and --checkpoint")
+        events = read_event_stream(spark, args.events)
+        q = start_cdc_stream(
+            events, table, cfg,
+            checkpoint_dir=args.checkpoint, stream_id=args.stream_id,
+        )
+        q.awaitTermination()
+    else:
+        if args.generate:
+            from mariadb_cdc_spark.gen import generate_events, repo_table
+
+            events = generate_events(
+                repo_table(spark, args.generate), include_audit=False
+            )
+        else:
+            events = spark.read.parquet(args.events)
+        apply_batch(events, table, cfg, stream_id=args.stream_id, batch_id=0)
+
+    meta = table.metadata()
+    print(json.dumps({
+        "table": args.table,
+        "version": meta["version"],
+        "n_rows": meta["metrics"].get("n_rows"),
+        "lineage": table.lineage(),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
