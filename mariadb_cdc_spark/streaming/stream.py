@@ -34,6 +34,37 @@ from ..sources.checkpoint import split_on_xid
 from ..sources.lake import LakeTable
 
 
+class CdcLifecycleListener:
+    """Stream lifecycle callbacks — the BinLogLifecycleListener /
+    MariadbCdcListener.started surface (BinLogLifecycleListener.java:5-11,
+    MariadbCdcListener.java:9-15, BinLogReaderLifecycleListenerTest.java:
+    37-56). Spark mapping: `on_started` fires once the StreamingQuery is
+    live (the reader-thread onConnected+onStarted pair collapses — there is
+    no separate socket phase), `on_batch` after each committed epoch with
+    its apply metrics, `on_stopped` when the query terminates, and
+    `on_start_failed` if the query could not start at all.
+
+    Divergence kept deliberate: batch FAILURES are not swallowed (the
+    reference logs listener exceptions and advances the position,
+    BinaryLogEventProcessor.java:106-113; this engine fails the epoch and
+    replays it — exactly-once beats at-least-once-with-drops). Callbacks
+    themselves run driver-side and are invoked outside the apply, so a
+    listener bug cannot corrupt a committed batch either.
+    """
+
+    def on_started(self, query) -> None:  # pragma: no cover - default noop
+        pass
+
+    def on_batch(self, epoch: int, metrics: dict) -> None:  # pragma: no cover
+        pass
+
+    def on_stopped(self) -> None:  # pragma: no cover - default noop
+        pass
+
+    def on_start_failed(self, exc: Exception) -> None:  # pragma: no cover
+        pass
+
+
 def read_event_stream(
     spark: SparkSession,
     source_dir: str,
@@ -61,8 +92,16 @@ def start_cdc_stream(
     stream_id: str = "cdc",
     trigger_available_now: bool = True,
     agg_views: list | None = None,
+    lifecycle: CdcLifecycleListener | None = None,
 ):
     """Run the CDC apply as a streaming query; returns the StreamingQuery.
+
+    `lifecycle` (CdcLifecycleListener) mirrors the reference's listener
+    surface: on_batch fires synchronously after each applied epoch with its
+    metrics; on_started/on_stopped ride Spark's StreamingQueryListener (an
+    async driver-side delivery thread — observable shortly after the fact,
+    never blocking the stream); on_start_failed fires if the query cannot
+    start.
 
     `agg_views` (operators.ivm.AggView) are maintained incrementally per
     micro-batch from the merge delta; ivm's per-table-version idempotence
@@ -96,7 +135,7 @@ def start_cdc_stream(
             )
             # already gated here; don't re-collect the commit bound inside
             df, eff_cfg = committed, replace(cfg, gate_on_xid=False)
-        apply_batch(
+        res = apply_batch(
             df,
             table,
             eff_cfg,
@@ -106,15 +145,56 @@ def start_cdc_stream(
         )
         if cfg.gate_on_xid:
             _prune_carry(carry_root, keep_from=epoch - 1)
+        if lifecycle is not None:
+            lifecycle.on_batch(epoch, res)
 
+    query_name = f"cdc-{stream_id}"
     writer = (
         events.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    if lifecycle is not None:
+        _register_lifecycle(events.sparkSession, query_name, lifecycle)
+    try:
+        query = writer.start()
+    except Exception as e:  # startFailed (MariadbCdcListener.java:11-13)
+        if lifecycle is not None:
+            lifecycle.on_start_failed(e)
+        raise
+    return query
+
+
+def _register_lifecycle(spark, query_name: str, lifecycle) -> None:
+    """Bridge CdcLifecycleListener onto Spark's StreamingQueryListener,
+    scoped to one query by name and self-removing on termination."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Adapter(StreamingQueryListener):
+        def __init__(self):
+            self._qid = None
+
+        def onQueryStarted(self, event):
+            if event.name == query_name and self._qid is None:
+                self._qid = str(event.id)
+                lifecycle.on_started(event.id)
+
+        def onQueryProgress(self, event):
+            pass
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            # terminated events carry no name: match the id captured at start
+            if self._qid is not None and str(event.id) == self._qid:
+                lifecycle.on_stopped()
+                spark.streams.removeListener(self)
+
+    spark.streams.addListener(_Adapter())
 
 
 def _read_carry(

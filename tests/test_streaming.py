@@ -167,3 +167,53 @@ def test_stream_xid_gate_carries_uncommitted_tail(spark, sf_dir, tmp_path):
 
     assert _hashes(stream_table) == expected
     events.unpersist()
+
+
+def test_lifecycle_listener_callbacks(spark, sf_dir, tmp_path):
+    """The BinLogLifecycleListener / MariadbCdcListener.started surface
+    (BinLogReaderLifecycleListenerTest.java:37-56): started fires once the
+    query is live, on_batch per applied epoch with metrics, stopped on
+    termination. Started/stopped ride Spark's async listener bus — poll."""
+    import time
+
+    from mariadb_cdc_spark.streaming.stream import CdcLifecycleListener
+
+    class Recorder(CdcLifecycleListener):
+        def __init__(self):
+            self.started = False
+            self.stopped = False
+            self.batches = []
+
+        def on_started(self, query_id):
+            self.started = True
+
+        def on_batch(self, epoch, metrics):
+            self.batches.append((epoch, metrics))
+
+        def on_stopped(self):
+            self.stopped = True
+
+    repo = repo_table(spark, sf_dir)
+    events = generate_events(repo, include_audit=False)
+    src = tmp_path / "src"
+    events.coalesce(1).write.parquet(str(src))
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), REPO_SCHEMA, MERGE_KEYS, n_buckets=4
+    )
+    rec = Recorder()
+    q = start_cdc_stream(
+        read_event_stream(spark, str(src)),
+        table,
+        CdcConfig(),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        lifecycle=rec,
+    )
+    q.awaitTermination(120)
+    for _ in range(100):  # listener-bus delivery is async
+        if rec.started and rec.stopped:
+            break
+        time.sleep(0.1)
+    assert rec.started and rec.stopped
+    assert rec.batches and rec.batches[0][0] == 0
+    assert rec.batches[0][1].get("version") is not None
