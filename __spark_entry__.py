@@ -789,6 +789,25 @@ def q_sample_split(spark, sf):
     )
 
 
+def q_sample_pack(spark, sf):
+    """Concat-and-chunk sequence packing plan (sampling.pack_sequences):
+    which documents feed which fixed-budget training sequence, hash-sharded
+    so the plan is identical on any cluster size. Oracle recomputes the
+    per-shard exclusive running token sum in SQL."""
+    from mariadb_cdc_spark.functions.sampling import pack_sequences
+    from mariadb_cdc_spark.functions.text import token_count
+
+    docs = _docs(spark, sf).select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(
+        docs, "n_tokens", budget=4096, key_cols=["doc_id"], n_shards=8
+    )
+    return packed.select(
+        "doc_id", "n_tokens", "pack_shard", "pack_seq", "pack_offset"
+    )
+
+
 def q_text_len_quantiles(spark, sf):
     """Per-language length distribution: EXACT interpolated quantiles
     (Spark `percentile` == DuckDB `quantile_cont`), the stats pass behind
@@ -973,6 +992,7 @@ QUERIES: dict[str, Callable] = {
     "pii_redaction": q_pii_redaction,
     "sample_stratified": q_sample_stratified,
     "sample_split": q_sample_split,
+    "sample_pack": q_sample_pack,
     "text_len_quantiles": q_text_len_quantiles,
     "corpus_build": q_corpus_build,
     "ann_bruteforce": q_ann_bruteforce,
@@ -1522,6 +1542,32 @@ def oracle_sql() -> dict[str, str]:
                    sum(doc_id)::BIGINT as sum_ids
             from documents
             group by 1, 2
+        """,
+        "sample_pack": r"""
+            -- Recompute the packing plan: shard + order hashes use the
+            -- engine's canonical md5->60-bit scheme, offsets are the
+            -- per-shard EXCLUSIVE running token sum, seq = offset chunk.
+            with t as (
+              select doc_id,
+                     len(list_filter(
+                       regexp_split_to_array(trim(text), '\s+'),
+                       t -> t != ''))::BIGINT as n_tokens,
+                     (('0x' || substring(
+                        md5('pack' || chr(31) || doc_id::VARCHAR), 1, 15)
+                      )::BIGINT % 8)::INT as pack_shard,
+                     md5('pack.order' || chr(31) || doc_id::VARCHAR) as oh
+              from documents),
+            c as (
+              select doc_id, n_tokens, pack_shard,
+                     (sum(n_tokens) over (
+                        partition by pack_shard order by oh, doc_id
+                        rows unbounded preceding) - n_tokens)::BIGINT
+                       as pack_offset
+              from t)
+            select doc_id, n_tokens, pack_shard,
+                   (pack_offset // 4096)::BIGINT as pack_seq,
+                   pack_offset
+            from c
         """,
         "text_len_quantiles": """
             select lang, count(*) as n_docs,

@@ -92,3 +92,52 @@ def train_eval_split(
             F.lit("train")
         ),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    key_cols: list[str],
+    n_shards: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document to the
+    training sequence that would contain its FIRST token if the corpus were
+    concatenated and cut every `budget` tokens — the standard GPT-style
+    pretraining packing, as an assignment plan (which docs feed which
+    sequence) rather than a materialized byte stream.
+
+    Scale shape: documents are hash-sharded (same md5 scheme as the other
+    sampling ops, so the plan is reproducible on any cluster size and in
+    any SQL engine), then packed independently per shard — n_shards
+    parallel window scans, never a global sort. Within a shard the order is
+    (hash, keys): deterministic and shuffle-once. Sequence ids are globally
+    unique as (shard, seq_in_shard).
+
+    Returns the input plus `pack_shard`, `pack_seq` (sequence index within
+    the shard) and `pack_offset` (the doc's first-token offset within its
+    shard's stream) — enough for a writer to materialize sequences, and for
+    an auditor to recompute the plan from SQL (oracle: sample_pack).
+    """
+    from pyspark.sql import Window
+
+    keys = [F.col(c).cast("string") for c in key_cols]
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("\x1f", F.lit(salt), *keys)), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n_shards),
+    )
+    out = df.withColumn("pack_shard", shard.cast("int"))
+    order_h = F.md5(F.concat_ws("\x1f", F.lit(salt + ".order"), *keys))
+    w = Window.partitionBy("pack_shard").orderBy(
+        order_h, *[F.col(c) for c in key_cols]
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    offset = (cum - F.col(token_col)).cast("long")
+    return out.withColumn("pack_offset", offset).withColumn(
+        "pack_seq", F.floor(F.col("pack_offset") / F.lit(budget)).cast("long")
+    )

@@ -328,3 +328,44 @@ def test_redact_pii_counts_and_replacement(spark):
     assert (got[3]["n_emails"], got[3]["n_ips"], got[3]["n_phones"]) == (2, 1, 1)
     assert "<EMAIL>" in got[3]["text_redacted"]
     assert "a@b.com" not in got[3]["text_redacted"]
+
+
+def test_pack_sequences_plan_properties(spark):
+    """Concat-and-chunk packing: offsets are the exclusive running token sum
+    per shard, sequence ids are contiguous chunks of the shard stream, and
+    the whole plan is partitioning-independent."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from mariadb_cdc_spark.functions import sampling as sp
+
+    docs = spark.range(200).select(
+        F.col("id").cast("int").alias("doc_id"),
+        (F.pmod(F.col("id") * 37 + 11, 90) + 10).cast("long").alias("n_tok"),
+    )
+    packed = sp.pack_sequences(
+        docs, "n_tok", budget=100, key_cols=["doc_id"], n_shards=4
+    ).toPandas()
+
+    for _, g in packed.groupby("pack_shard"):
+        g = g.sort_values("pack_offset").reset_index(drop=True)
+        # exclusive cumsum reproduces the offsets exactly
+        assert (
+            g["pack_offset"] == g["n_tok"].cumsum().shift(fill_value=0)
+        ).all()
+        # seq id is the offset's chunk index, non-decreasing and gap-free
+        assert (g["pack_seq"] == g["pack_offset"] // 100).all()
+        seqs = g["pack_seq"].unique()
+        assert list(seqs) == list(range(len(seqs)))
+
+    again = (
+        sp.pack_sequences(
+            docs.repartition(13), "n_tok", budget=100,
+            key_cols=["doc_id"], n_shards=4,
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert again.equals(
+        packed.sort_values("doc_id").reset_index(drop=True)
+    )
