@@ -789,6 +789,15 @@ def q_sample_split(spark, sf):
     )
 
 
+def q_text_repetition(spark, sf):
+    """Gopher-style repetition quality signals (text.repetition_features):
+    duplicate-word fraction (pure array expression on the scan) and
+    top-bigram fraction (one doc-keyed shuffle, skew-free by construction)."""
+    from mariadb_cdc_spark.functions.text import repetition_features
+
+    return repetition_features(_docs(spark, sf))
+
+
 def q_sample_pack(spark, sf):
     """Concat-and-chunk sequence packing plan (sampling.pack_sequences):
     which documents feed which fixed-budget training sequence, hash-sharded
@@ -993,6 +1002,7 @@ QUERIES: dict[str, Callable] = {
     "sample_stratified": q_sample_stratified,
     "sample_split": q_sample_split,
     "sample_pack": q_sample_pack,
+    "text_repetition": q_text_repetition,
     "text_len_quantiles": q_text_len_quantiles,
     "corpus_build": q_corpus_build,
     "ann_bruteforce": q_ann_bruteforce,
@@ -1542,6 +1552,38 @@ def oracle_sql() -> dict[str, str]:
                    sum(doc_id)::BIGINT as sum_ids
             from documents
             group by 1, 2
+        """,
+        "text_repetition": r"""
+            with t as (
+              select doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x != '') as toks
+              from documents),
+            base as (
+              select doc_id, len(toks)::BIGINT as n_tokens,
+                     case when len(toks) = 0 then 0.0
+                          else round(1.0 - len(list_distinct(toks))
+                                     / len(toks)::DOUBLE, 6) end
+                       as dup_word_frac,
+                     toks
+              from t),
+            ex as (
+              select doc_id, unnest(toks) as tok,
+                     generate_subscripts(toks, 1) as pos
+              from base),
+            bg as (
+              select doc_id, tok || ' ' ||
+                     lead(tok) over (partition by doc_id order by pos) as b
+              from ex),
+            bgc as (select doc_id, b, count(*) as c
+                    from bg where b is not null group by 1, 2),
+            tops as (select doc_id,
+                            round(max(c) / sum(c)::DOUBLE, 6)
+                              as top_bigram_frac
+                     from bgc group by 1)
+            select b.doc_id, b.n_tokens, b.dup_word_frac,
+                   coalesce(t2.top_bigram_frac, 0.0) as top_bigram_frac
+            from base b left join tops t2 using (doc_id)
         """,
         "sample_pack": r"""
             -- Recompute the packing plan: shard + order hashes use the

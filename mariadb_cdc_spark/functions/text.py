@@ -8,7 +8,7 @@ value-for-value against an independent engine.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists (deterministic heuristic language ID).
@@ -152,4 +152,61 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.md5(norm).alias("fingerprint"),
         F.length(norm).alias("norm_len"),
+    )
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals: the quality axis length/punct/
+    stopword ratios miss — machine-generated and boilerplate text repeats
+    itself. Returns per doc:
+
+      n_tokens          whitespace tokens (same tokenizer as quality_features)
+      dup_word_frac     1 - distinct/total tokens (0 for empty docs)
+      top_bigram_frac   occurrences of the most frequent word bigram over
+                        total bigrams (0 when n_tokens < 2)
+
+    Scale shape: dup_word_frac is a pure array expression on the scan (no
+    shuffle); the bigram mode needs a count per (doc, bigram) — one shuffle
+    whose key includes the doc id, so it partitions with the corpus and has
+    no hot keys regardless of content skew.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_toks")).select(
+        id_col,
+        "_toks",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.when(F.size("_toks") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct("_toks"))
+                / F.size("_toks").cast("double"),
+                6,
+            )
+        )
+        .alias("dup_word_frac"),
+    )
+    ex = base.select(
+        id_col, "n_tokens", "dup_word_frac",
+        F.posexplode_outer("_toks").alias("_pos", "_tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    bg = (
+        ex.withColumn("_next", F.lead("_tok").over(w))
+        .where(F.col("_next").isNotNull())
+        .withColumn("_bg", F.concat_ws(" ", "_tok", "_next"))
+    )
+    counts = bg.groupBy(id_col, "n_tokens", "dup_word_frac", "_bg").count()
+    tops = counts.groupBy(id_col, "n_tokens", "dup_word_frac").agg(
+        F.round(
+            F.max("count") / F.sum("count").cast("double"), 6
+        ).alias("top_bigram_frac")
+    )
+    # docs with < 2 tokens produce no bigrams: restore them with frac 0
+    return (
+        base.select(id_col, "n_tokens", "dup_word_frac")
+        .join(tops.select(id_col, "top_bigram_frac"), id_col, "left")
+        .na.fill({"top_bigram_frac": 0.0})
     )

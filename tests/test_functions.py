@@ -369,3 +369,27 @@ def test_pack_sequences_plan_properties(spark):
     assert again.equals(
         packed.sort_values("doc_id").reset_index(drop=True)
     )
+
+
+def test_repetition_features_hand_cases(spark):
+    from mariadb_cdc_spark.functions.text import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a"),      # 5 toks, 2 distinct; bigrams: ab x2, ba x2
+            (1, "x y z"),          # all distinct; bigrams xy, yz each once
+            (2, "solo"),           # 1 token: no bigrams
+            (3, ""),               # empty
+            (4, "w w w w"),        # max repetition
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_word_frac"], r["top_bigram_frac"])
+        for r in repetition_features(docs).collect()
+    }
+    assert got[0] == (5, round(1 - 2 / 5, 6), 0.5)
+    assert got[1] == (3, 0.0, 0.5)
+    assert got[2] == (1, 0.0, 0.0)
+    assert got[3] == (0, 0.0, 0.0)
+    assert got[4] == (4, 0.75, 1.0)
