@@ -925,6 +925,45 @@ def q_media_png_stats(spark, sf):
     return png_stats(synthesize_png_media(_docs(spark, sf)))
 
 
+def q_decontaminate(spark, sf):
+    """Eval-set decontamination (functions.decontam): a deterministic 10%
+    hash split carves an eval set out of documents; every remaining train
+    doc is scored by how many of its distinct 5-gram shingles appear
+    anywhere in the eval set (broadcast n-gram inventory, one doc_id
+    shuffle). Near-dup train/eval pairs surface as contaminated=true."""
+    from mariadb_cdc_spark.functions.decontam import decontaminate
+    from mariadb_cdc_spark.functions.sampling import _hash_bp
+
+    d = _docs(spark, sf)
+    bp = _hash_bp([F.col("doc_id").cast("string")], "decon-eval")
+    ev = d.where(bp < 1000)
+    tr = d.where(bp >= 1000)
+    return decontaminate(tr, ev, n=5, min_hits=1)
+
+
+def q_emb_kmeans(spark, sf):
+    """IVF index BUILD: distributed Lloyd's k-means over the embedding
+    table (similarity.kmeans_assign) — deterministic hash seeding, rounded
+    distances/centroids so the unrolled-CTE DuckDB oracle replays the
+    exact same 2 iterations and final assignment."""
+    from mariadb_cdc_spark.functions.similarity import kmeans_assign
+
+    return kmeans_assign(_emb(spark, sf), k=8, iters=2)
+
+
+def q_sample_quota(spark, sf):
+    """Per-source quota cap (sampling.quota_sample): at most 10 docs per
+    source, chosen by deterministic 60-bit hash rank — the per-domain
+    quota pass of a corpus build, stable under repartitioning and
+    re-ingest."""
+    from mariadb_cdc_spark.functions.sampling import quota_sample
+
+    s = quota_sample(
+        _docs(spark, sf), "source", quota=10, key_cols=["doc_id"]
+    )
+    return s.select("doc_id", "source", "quota_rank")
+
+
 # --------------------------------------------------------------- analytics
 
 def q_agg_pricing(spark, sf):
@@ -1005,8 +1044,11 @@ QUERIES: dict[str, Callable] = {
     "text_repetition": q_text_repetition,
     "text_len_quantiles": q_text_len_quantiles,
     "corpus_build": q_corpus_build,
+    "decontaminate": q_decontaminate,
+    "sample_quota": q_sample_quota,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,
+    "emb_kmeans": q_emb_kmeans,
     "emb_neardup": q_emb_neardup,
     "media_audio_features": q_media_audio_features,
     "media_image_stats": q_media_image_stats,
@@ -1743,6 +1785,95 @@ def oracle_sql() -> dict[str, str]:
                    sum((x + 3 * y + 14 + doc_id) % 256)::BIGINT as sum_b
             from cells
             group by doc_id, w, h
+        """,
+        "decontaminate": r"""
+            with ids as (
+              select doc_id,
+                     ('0x' || substring(md5('decon-eval' || chr(31)
+                        || doc_id::VARCHAR), 1, 15))::BIGINT % 10000 as bp
+              from documents),
+            sh as (
+              select doc_id,
+                     unnest(case when len(toks) < 5
+                            then [array_to_string(toks, ' ')]
+                            else list_distinct(
+                              [array_to_string(toks[i:i+4], ' ')
+                               for i in range(1, len(toks) - 3)])
+                            end) as sh
+              from (select doc_id,
+                           list_filter(
+                             regexp_split_to_array(lower(trim(text)), '\s+'),
+                             t -> t != '') toks
+                    from documents)),
+            h as (select doc_id,
+                         ('0x' || substring(md5('decon' || sh), 1, 15))::BIGINT
+                           as h
+                  from sh),
+            evh as (select distinct h.h
+                    from h join ids using (doc_id) where ids.bp < 1000),
+            tr as (select h.doc_id, h.h
+                   from h join ids using (doc_id) where ids.bp >= 1000)
+            select tr.doc_id,
+                   count(*) as n_ngrams,
+                   sum(case when evh.h is not null then 1 else 0 end)::BIGINT
+                     as n_hits,
+                   round(sum(case when evh.h is not null then 1 else 0 end)
+                         / count(*), 6) as contamination,
+                   sum(case when evh.h is not null then 1 else 0 end) >= 1
+                     as contaminated
+            from tr left join evh on tr.h = evh.h
+            group by tr.doc_id
+        """,
+        "emb_kmeans": """
+            with emb as (select vec_id, embedding from embeddings),
+            flat as (
+              select vec_id, pos, embedding[pos]::DOUBLE as x from (
+                select vec_id, embedding,
+                       unnest(generate_series(1, len(embedding))) as pos
+                from emb)),
+            sd as (select vec_id,
+                          row_number() over
+                            (order by md5(vec_id::VARCHAR), vec_id) - 1 as cid
+                   from emb),
+            seeds as (select * from sd where cid < 8),
+            c0 as (select s.cid, f.pos, f.x as m
+                   from seeds s join flat f using (vec_id)),
+            d1 as (select f.vec_id, c.cid,
+                          round(sum((f.x - c.m) * (f.x - c.m)), 6) as dist
+                   from flat f join c0 c using (pos) group by 1, 2),
+            a1 as (select vec_id, cid, dist from (
+                     select *, row_number() over
+                       (partition by vec_id order by dist, cid) rn from d1)
+                   where rn = 1),
+            c1 as (select a.cid, f.pos, round(avg(f.x), 6) as m
+                   from a1 a join flat f using (vec_id) group by 1, 2),
+            d2 as (select f.vec_id, c.cid,
+                          round(sum((f.x - c.m) * (f.x - c.m)), 6) as dist
+                   from flat f join c1 c using (pos) group by 1, 2),
+            a2 as (select vec_id, cid, dist from (
+                     select *, row_number() over
+                       (partition by vec_id order by dist, cid) rn from d2)
+                   where rn = 1),
+            c2 as (select a.cid, f.pos, round(avg(f.x), 6) as m
+                   from a2 a join flat f using (vec_id) group by 1, 2),
+            d3 as (select f.vec_id, c.cid,
+                          round(sum((f.x - c.m) * (f.x - c.m)), 6) as dist
+                   from flat f join c2 c using (pos) group by 1, 2),
+            a3 as (select vec_id, cid, dist from (
+                     select *, row_number() over
+                       (partition by vec_id order by dist, cid) rn from d3)
+                   where rn = 1)
+            select vec_id, cid::INT as cluster, dist from a3
+        """,
+        "sample_quota": """
+            select doc_id, source, quota_rank::INT as quota_rank from (
+              select doc_id, source,
+                     row_number() over (partition by source
+                       order by ('0x' || substring(md5('quota' || chr(31)
+                                 || doc_id::VARCHAR), 1, 15))::BIGINT,
+                                doc_id) as quota_rank
+              from documents)
+            where quota_rank <= 10
         """,
         "agg_pricing": """
             select l_returnflag, l_linestatus,

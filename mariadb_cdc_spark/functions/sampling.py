@@ -141,3 +141,54 @@ def pack_sequences(
     return out.withColumn("pack_offset", offset).withColumn(
         "pack_seq", F.floor(F.col("pack_offset") / F.lit(budget)).cast("long")
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    strata_col: str,
+    quota: int,
+    key_cols: list[str],
+    salt: str = "quota",
+    prefilter_bp: int | None = None,
+) -> DataFrame:
+    """Cap each stratum at `quota` rows, chosen by deterministic hash rank.
+
+    The per-domain / per-source quota pass of a corpus build ("at most N
+    pages per domain"): within each stratum, rows are ranked by their
+    60-bit key hash (the engine's canonical md5->60-bit scheme, numeric
+    order, key tiebreak) and the first `quota` survive. Membership
+    depends only on the stratum's row SET — stable across partitioning,
+    cluster size, and re-ingests that only add rows ranked below the cut.
+
+    Scale shape: one shuffle on the stratum key for the ranking window.
+    A pathological stratum (one domain = 10% of the corpus) would make
+    that a single hot task; `prefilter_bp` bounds it — a shuffle-FREE
+    RANGE filter on the SAME hash (h60 < prefilter_bp/10000 of the hash
+    space) thins every stratum to ~prefilter_bp/10000 of its rows BEFORE
+    the window. Because the kept set is a prefix of the rank order, the
+    final top-`quota` set is IDENTICAL to the unfiltered run whenever the
+    stratum's post-filter count >= quota (check: survivors-per-stratum
+    >= quota, else raise prefilter_bp).
+    """
+    from pyspark.sql import Window
+
+    keys = [F.col(c).cast("string") for c in key_cols]
+    h60 = F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", F.lit(salt), *keys)), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    src = df.withColumn("_h60", h60)
+    if prefilter_bp is not None:
+        # prefix-of-order range filter: h60 is uniform on [0, 2^60)
+        src = src.where(
+            F.col("_h60") < F.lit((1 << 60) * prefilter_bp // BP_SCALE)
+        )
+    w = Window.partitionBy(strata_col).orderBy(
+        "_h60", *[F.col(c) for c in key_cols]
+    )
+    return (
+        src.withColumn("quota_rank", F.row_number().over(w))
+        .where(F.col("quota_rank") <= quota)
+        .drop("_h60")
+    )

@@ -167,3 +167,100 @@ def embedding_near_duplicates(
         )
         .where(F.col("sim") >= threshold)
     )
+
+
+# ------------------------------------------------------------- IVF build
+
+def kmeans_assign(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Distributed Lloyd's k-means: the index-BUILD step behind ivf_topk.
+
+    ivf_topk probes a cluster id; this produces that id from raw vectors.
+    Fully deterministic and engine-portable so a SQL oracle can replay it
+    bit-for-bit:
+
+      - seeding: the k vectors with the smallest (md5(id), id) — a
+        uniform-but-deterministic draw, no RNG;
+      - assignment: argmin over squared L2 distance ROUNDED to `round_to`
+        decimals with cluster-id tiebreak (rounding re-synchronizes
+        engines whose float summation orders differ);
+      - update: element-wise mean, also rounded, so every iteration
+        starts from identical centroids on any engine.
+
+    Plan shape at scale (N vectors, dim d, k clusters):
+      - centroids are O(k*d) — always BROADCAST; the N-row side never
+        shuffles for the assignment step (narrow crossJoin + per-row
+        argmin via min_by, no window);
+      - the update step shuffles (cluster, pos) pairs — N*d rows but only
+        k*d groups, map-side combined by partial avg, so the exchange
+        carries O(partitions * k * d) bytes, not O(N*d);
+      - `iters` is a fixed small constant (IVF needs rough Voronoi cells,
+        not convergence). Driver work per iteration is one k-row collect.
+
+    Returns (vec_id, cluster, dist) — dist is the final squared L2 to the
+    assigned centroid, rounded.
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    seeds = (
+        vecs.withColumn("hk", F.md5(F.col("vid").cast("string")))
+        .orderBy("hk", "vid")
+        .limit(k)
+        .collect()
+    )
+    # centroids live driver-side between iterations: O(k*d) control-plane
+    # state, re-broadcast each round (same pattern as the TABLE_MAP
+    # registry's local relation).
+    cents = [(i, list(r["v"])) for i, r in enumerate(sorted(seeds, key=lambda r: (r["hk"], r["vid"])))]
+
+    spark = corpus.sparkSession
+
+    def _assign(cent_rows):
+        cdf = spark.createDataFrame(cent_rows, "cluster int, c array<double>")
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            round_to,
+        )
+        scored = vecs.crossJoin(F.broadcast(cdf)).select(
+            "vid", "v", "cluster", d2.alias("dist")
+        )
+        best = F.struct(F.col("dist"), F.col("cluster"))
+        return scored.groupBy("vid", "v").agg(
+            F.min_by("cluster", best).alias("cluster"),
+            F.min("dist").alias("dist"),
+        )
+
+    asg = None
+    for _ in range(iters):
+        asg = _assign(cents)
+        upd = (
+            asg.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("x"), round_to).alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c")
+            )
+            .collect()
+        )
+        cents = sorted((r["cluster"], list(r["c"])) for r in upd)
+
+    final = _assign(cents)
+    return final.select(
+        F.col("vid").alias(id_col), "cluster", "dist"
+    )

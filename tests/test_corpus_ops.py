@@ -1,0 +1,150 @@
+"""Corpus-build operators added in round 2: eval-set decontamination,
+k-means IVF index build, per-stratum quota sampling. Value-exact parity
+vs DuckDB runs via tools/parity.py (decontaminate / emb_kmeans /
+sample_quota); these tests pin the semantic invariants."""
+
+from pyspark.sql import functions as F
+
+from mariadb_cdc_spark.functions.decontam import decontaminate
+from mariadb_cdc_spark.functions.sampling import quota_sample
+from mariadb_cdc_spark.functions.similarity import kmeans_assign
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+# ----------------------------------------------------------- decontaminate
+
+def test_decontaminate_flags_quoted_eval_text(spark):
+    ev = _df(
+        spark,
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    tr = _df(
+        spark,
+        [
+            # quotes a full eval 5-gram window
+            (1, "he said the quick brown fox jumps and left"),
+            # shares words but no 5-gram
+            (2, "a quick dog and a lazy fox sat quietly nearby today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(tr, ev, n=5).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hits"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    # contamination is hits over the doc's own distinct 5-grams
+    assert abs(out[1]["contamination"] - 1 / out[1]["n_ngrams"]) < 1e-9
+
+
+def test_decontaminate_short_doc_whole_text_fallback(spark):
+    # an eval doc shorter than n tokens is still caught when a train doc
+    # IS that text (both sides fall back to the whole-text shingle)
+    ev = _df(spark, [(1, "secret eval answer")], "doc_id long, text string")
+    tr = _df(
+        spark,
+        [(2, "secret eval answer"), (3, "another tiny doc")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(tr, ev, n=5).collect()}
+    assert out[2]["contaminated"]
+    assert not out[3]["contaminated"]
+
+
+# ------------------------------------------------------------ quota_sample
+
+def _srcdocs(spark, per_source=25, sources=4):
+    rows = [
+        (s * 1000 + i, f"src{s}")
+        for s in range(sources)
+        for i in range(per_source)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_quota_sample_caps_each_stratum(spark):
+    d = _srcdocs(spark)
+    out = quota_sample(d, "source", quota=10, key_cols=["doc_id"])
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {f"src{s}": 10 for s in range(4)}
+    assert out.where(F.col("quota_rank") > 10).count() == 0
+
+
+def test_quota_sample_membership_is_partitioning_invariant(spark):
+    d = _srcdocs(spark)
+    a = set(
+        r["doc_id"]
+        for r in quota_sample(d, "source", 10, ["doc_id"]).collect()
+    )
+    b = set(
+        r["doc_id"]
+        for r in quota_sample(
+            d.repartition(13, "doc_id"), "source", 10, ["doc_id"]
+        ).collect()
+    )
+    assert a == b
+
+
+def test_quota_sample_prefilter_is_exact_when_enough_survive(spark):
+    # prefilter keeps a prefix of the hash order, so with enough survivors
+    # the top-quota set is IDENTICAL to the unfiltered run
+    d = _srcdocs(spark, per_source=50)
+    full = {
+        (r["doc_id"], r["quota_rank"])
+        for r in quota_sample(d, "source", 5, ["doc_id"]).collect()
+    }
+    pre = {
+        (r["doc_id"], r["quota_rank"])
+        for r in quota_sample(
+            d, "source", 5, ["doc_id"], prefilter_bp=6000
+        ).collect()
+    }
+    assert full == pre
+
+
+# ----------------------------------------------------------- kmeans_assign
+
+def _blobs(spark, n_per=20, dim=8):
+    # two tight, well-separated blobs: one near 0, one near 100
+    rows = []
+    for i in range(n_per):
+        rows.append((i, [float((i * 7 + d) % 3) for d in range(dim)]))
+        rows.append((100 + i, [100.0 + float((i * 5 + d) % 3) for d in range(dim)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    out = kmeans_assign(_blobs(spark), k=2, iters=3).collect()
+    by_blob = {}
+    for r in out:
+        by_blob.setdefault(r["vec_id"] >= 100, set()).add(r["cluster"])
+    # each blob maps to exactly one cluster, and they differ
+    assert all(len(c) == 1 for c in by_blob.values())
+    assert by_blob[True] != by_blob[False]
+    assert all(r["dist"] >= 0 for r in out)
+
+
+def test_kmeans_deterministic_under_repartition(spark):
+    d = _blobs(spark)
+    a = sorted(
+        (r["vec_id"], r["cluster"], r["dist"])
+        for r in kmeans_assign(d, k=3, iters=2).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cluster"], r["dist"])
+        for r in kmeans_assign(d.repartition(7), k=3, iters=2).collect()
+    )
+    assert a == b
+
+
+def test_kmeans_assigns_every_vector_once(spark):
+    d = _blobs(spark)
+    out = kmeans_assign(d, k=4, iters=2)
+    assert out.count() == d.count()
+    assert out.select("vec_id").distinct().count() == d.count()
+    assert out.where(~F.col("cluster").between(0, 3)).count() == 0
