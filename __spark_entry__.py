@@ -542,6 +542,40 @@ def q_cdc_time_travel(spark, sf):
     )
 
 
+def q_cdc_changelog(spark, sf):
+    """Incremental changelog read (LakeTable.changes — the Iceberg
+    changelog-scan equivalent): net row-level changes between committed
+    snapshots, scanning ONLY buckets touched between the versions. Two
+    hops: creation -> wave-0 (every key an insert) and wave-0 -> final
+    (updates, deletes, and delete+resurrect collapsing to a net update).
+    The oracle derives both hops in closed form from the wave plan."""
+    from mariadb_cdc_spark.gen import MERGE_KEYS, generate_events, repo_table
+    from mariadb_cdc_spark.pipeline import CdcConfig, apply_batch
+    from mariadb_cdc_spark.sources.lake import LakeTable
+    from pyspark.sql import types as T
+
+    repo = repo_table(spark, sf)
+    events = generate_events(repo, include_audit=False)
+    b0, b1 = _split_events_by_wave(events, repo.count(), max_wave_b0=0)
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_q_chlog_")
+    table = LakeTable.create(
+        spark, f"{tmp}/repo_files", schema, MERGE_KEYS, n_buckets=8
+    )
+    cfg = CdcConfig()
+    v1 = apply_batch(b0, table, cfg, stream_id="cl", batch_id=0)["version"]
+    v2 = apply_batch(b1, table, cfg, stream_id="cl", batch_id=1)["version"]
+    return (
+        table.changes(0, v1).withColumn("seg", F.lit(0))
+        .unionByName(table.changes(v1, v2).withColumn("seg", F.lit(1)))
+        .select("seg", "change_type", "repo", "path", "commit", "lang",
+                "content")
+    )
+
+
 def q_cdc_incremental_agg(spark, sf):
     """Incremental view maintenance: a per-repo aggregate (live-row count +
     total content chars) maintained from each batch's merge DELTA
@@ -1026,6 +1060,7 @@ QUERIES: dict[str, Callable] = {
     "cdc_scd2_history": q_cdc_scd2_history,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_incremental_agg": q_cdc_incremental_agg,
+    "cdc_changelog": q_cdc_changelog,
     "cdc_bootstrap": q_cdc_bootstrap,
     "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_type_overlap": q_cdc_type_overlap,
@@ -1366,6 +1401,51 @@ def oracle_sql() -> dict[str, str]:
                    event_type,
                    round(value, 2) as value
             from events
+        """,
+        "cdc_changelog": """
+            -- Two changelog hops in closed form from the wave plan:
+            -- seg 0 (create -> wave 0): every key inserted with original
+            -- values; seg 1 (wave 0 -> final): gate<5 delete+resurrect
+            -- nets to an update, [5,15) deletes, [15,60) updates,
+            -- >=60 silent.
+            with base as (
+              select 'repo_' || source as repo,
+                     'src/' || lang || '/doc_' ||
+                       lpad(doc_id::VARCHAR, 8, '0') || '.txt' as path,
+                     substring(md5(text) || md5(text || '#'), 1, 40)
+                       as commit0,
+                     lang,
+                     text as content
+              from documents),
+            keyed as (
+              select *,
+                     ('0x' || substring(
+                        md5(chr(31) || repo || chr(31) || path), 1, 15)
+                     )::BIGINT % 100 as gate
+              from base)
+            select 0::INT as seg, 'insert' as change_type,
+                   repo, path, commit0 as commit, lang, content
+            from keyed
+            union all
+            select 1::INT, 'update_before',
+                   repo, path, commit0, lang, content
+            from keyed
+            where gate < 5 or (gate >= 15 and gate < 60)
+            union all
+            select 1::INT, 'update_after', repo, path,
+                   case when gate < 5 then commit0
+                        else substring(md5(commit0) || commit0, 1, 40) end,
+                   lang,
+                   content || chr(10) ||
+                     case when gate < 5 then '// resurrected'
+                          when gate < 35 then '// rev 3'
+                          else '// rev 2' end
+            from keyed
+            where gate < 5 or (gate >= 15 and gate < 60)
+            union all
+            select 1::INT, 'delete', repo, path, commit0, lang, content
+            from keyed
+            where gate >= 5 and gate < 15
         """,
         "cdc_time_travel": """
             -- State AS OF the end of wave 0 == the original repo table

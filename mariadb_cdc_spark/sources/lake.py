@@ -248,6 +248,105 @@ class LakeTable:
             *[n for n, _ in meta["schema"]]
         )
 
+    def changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Iceberg-changelog-style incremental read: the NET row-level
+        changes between two committed snapshots, as
+        (change_type, <logical columns>) with change_type in
+        {'insert', 'update_before', 'update_after', 'delete'} — an update
+        emits a before and an after row (the Spark/Delta CDF + Flink
+        retract convention), so downstream aggregates can be maintained
+        by subtraction (the same contract operators/ivm.py consumes from
+        live merges).
+
+        Scale shape: only buckets whose base file or delta list CHANGED
+        between the two versions are read, on both sides — the snapshot
+        diff never scans untouched data, so reading the changes of a
+        1%-of-buckets batch at 100 TB costs ~2 x 1% of the table, not
+        2 x 100 TB. The classification join is keyed on the merge keys
+        within touched buckets only.
+
+        Rows are aligned to the TO version's schema (columns added in
+        between read as null on the before-side; a rename shows up as the
+        new name, null before the rename batch touched the key).
+        """
+        m0 = self.metadata(from_version)
+        m1 = self.metadata(to_version)
+        if m1["version"] < m0["version"]:
+            raise ValueError(
+                f"to_version {m1['version']} precedes from_version "
+                f"{m0['version']}"
+            )
+        keys = m1["keys"]
+        logical = m1["schema"]
+        cols = [n for n, _ in logical]
+        vals = [c for c in cols if c not in keys]
+
+        def _sig(meta, b):
+            return (
+                meta["buckets"].get(str(b)),
+                tuple(meta.get("deltas", {}).get(str(b), [])),
+            )
+
+        every = (
+            {int(b) for b in m0["buckets"]}
+            | {int(b) for b in m1["buckets"]}
+            | {int(b) for b, r in m0.get("deltas", {}).items() if r}
+            | {int(b) for b, r in m1.get("deltas", {}).items() if r}
+        )
+        touched = sorted(b for b in every if _sig(m0, b) != _sig(m1, b))
+
+        def _live(meta):
+            present = {int(b) for b in meta["buckets"]} | {
+                int(b) for b, r in meta.get("deltas", {}).items() if r
+            }
+            df = self._read_state(meta, sorted(set(touched) & present))
+            df = df.where(~F.coalesce(F.col(CDC_DELETED), F.lit(False)))
+            return df.select(
+                *[
+                    (
+                        F.col(n).cast(_parse_type(s))
+                        if n in df.columns
+                        else F.lit(None).cast(_parse_type(s))
+                    ).alias(n)
+                    for n, s in logical
+                ]
+            )
+
+        old = _live(m0).select(
+            *keys,
+            *[F.col(c).alias(f"_o_{c}") for c in vals],
+            F.lit(True).alias("_o_present"),
+        )
+        new = _live(m1).select(
+            *keys,
+            *[F.col(c).alias(f"_n_{c}") for c in vals],
+            F.lit(True).alias("_n_present"),
+        )
+        j = old.join(new, keys, "full_outer")
+        differs = F.lit(False)
+        for c in vals:
+            differs = differs | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+
+        def _emit(pred, side, ctype):
+            return j.where(pred).select(
+                F.lit(ctype).alias("change_type"),
+                *keys,
+                *[F.col(f"_{side}_{c}").alias(c) for c in vals],
+            )
+
+        only_new = F.col("_n_present") & F.col("_o_present").isNull()
+        only_old = F.col("_o_present") & F.col("_n_present").isNull()
+        both_diff = F.col("_o_present") & F.col("_n_present") & differs
+        out = (
+            _emit(only_new, "n", "insert")
+            .unionByName(_emit(both_diff, "o", "update_before"))
+            .unionByName(_emit(both_diff, "n", "update_after"))
+            .unionByName(_emit(only_old, "o", "delete"))
+        )
+        return out.select("change_type", *cols)
+
     def _read_state(self, meta: dict, buckets: list[int]) -> DataFrame:
         """base ∪ deltas for `buckets` with per-key LATEST-position
         resolution — but ONLY delta-carrying buckets pay the resolution
