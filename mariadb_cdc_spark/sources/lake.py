@@ -170,8 +170,60 @@ class LakeTable:
         if version is None:
             with open(os.path.join(mdir, self.LATEST)) as f:
                 version = int(f.read().strip())
-        with open(os.path.join(mdir, f"v{version}.json")) as f:
-            return json.load(f)
+        try:
+            with open(os.path.join(mdir, f"v{version}.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"version {version} not found (expired or never committed)"
+            ) from None
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg `expire_snapshots` equivalent: drop time-travel history
+        older than the newest `keep_last` versions and delete data dirs no
+        RETAINED version references.
+
+        Reference-counted, not age-based deletion: a merge-on-read chain's
+        current version still points at the base files of much older
+        commits (meta['buckets'] values) plus its delta files, so those
+        survive however old their commit is — only commit dirs every
+        retained version has superseded are removed. Pure driver-side
+        metadata work (O(versions) json reads + one rmtree per orphaned
+        commit dir); no Spark job, no data read — the same shape Iceberg
+        uses, which is what keeps maintenance viable on a 100 TB table
+        with thousands of commits. Reads of expired versions fail with a
+        clear error; reads of retained versions (and LATEST) are
+        untouched.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        mdir = os.path.join(self.path, self.METADATA_DIR)
+        latest = self.metadata()["version"]
+        versions = sorted(
+            int(f[1:-5])
+            for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        cutoff = latest - keep_last + 1
+        kept = [v for v in versions if v >= cutoff]
+        expired = [v for v in versions if v < cutoff]
+        retained: set[str] = set()
+        for v in kept:
+            m = self.metadata(v)
+            retained.update(m["buckets"].values())
+            for rels in m.get("deltas", {}).values():
+                retained.update(rels)
+        removed = []
+        droot = os.path.join(self.path, "data")
+        if os.path.isdir(droot):
+            for d in sorted(os.listdir(droot)):
+                rel = f"data/{d}"
+                if rel not in retained:
+                    shutil.rmtree(os.path.join(droot, d))
+                    removed.append(rel)
+        for v in expired:
+            os.remove(os.path.join(mdir, f"v{v}.json"))
+        return {"expired": expired, "removed_dirs": removed, "kept": kept}
 
     @property
     def schema(self) -> T.StructType:

@@ -1,0 +1,91 @@
+"""Snapshot retention GC (LakeTable.expire_snapshots): reference-counted
+data-dir deletion + time-travel history trimming."""
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from mariadb_cdc_spark.sources.lake import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("val", T.StringType()),
+    ]
+)
+
+
+def _folded(spark, rows):
+    return spark.createDataFrame(
+        [
+            (rid, op, img, "bin.000001", pos, 0, 1)
+            for rid, op, img, pos in rows
+        ],
+        "id string, final_op string, image map<string,string>,"
+        " last_file string, last_pos long, last_row_idx int, n_changes long",
+    )
+
+
+def _init(spark, path, n=60):
+    t = LakeTable.create(spark, path, SCHEMA, ["id"], n_buckets=4)
+    t.merge(
+        _folded(
+            spark,
+            [(f"k{i}", "UPSERT", {"id": f"k{i}", "val": f"v{i}"}, 100 + i)
+             for i in range(n)],
+        ),
+        stream_id="s",
+        batch_id=0,
+    )
+    return t
+
+
+def test_expire_keeps_mor_chain_bases(spark, tmp_path):
+    # delta merges still reference the old base: refcounting must keep it
+    t = _init(spark, str(tmp_path / "t"))
+    t.merge(_folded(spark, [("k1", "UPSERT", {"val": "x"}, 9_000)]),
+            stream_id="s", batch_id=1)
+    t.merge(_folded(spark, [("k2", "UPSERT", {"val": "y"}, 9_001)]),
+            stream_id="s", batch_id=2)
+    before = {r["id"]: r["val"] for r in t.read().collect()}
+    res = t.expire_snapshots(keep_last=1)
+    assert res["expired"] == [0, 1, 2]
+    assert res["removed_dirs"] == []  # base v1 + deltas all still referenced
+    after = {r["id"]: r["val"] for r in t.read().collect()}
+    assert after == before
+    with pytest.raises(ValueError):
+        t.read(version=1)
+
+
+def test_expire_removes_superseded_cow_bases(spark, tmp_path):
+    t = _init(spark, str(tmp_path / "t2"))
+    # full-table COW rewrite supersedes every v1 bucket
+    t.merge(
+        _folded(
+            spark,
+            [(f"k{i}", "UPSERT", {"val": f"w{i}"}, 20_000 + i)
+             for i in range(60)],
+        ),
+        stream_id="s",
+        batch_id=1,
+    )
+    assert os.path.isdir(str(tmp_path / "t2" / "data" / "v1"))
+    res = t.expire_snapshots(keep_last=1)
+    assert "data/v1" in res["removed_dirs"]
+    assert not os.path.isdir(str(tmp_path / "t2" / "data" / "v1"))
+    rows = {r["id"]: r["val"] for r in t.read().collect()}
+    assert rows["k5"] == "w5" and len(rows) == 60
+
+
+def test_expire_retains_time_travel_within_window(spark, tmp_path):
+    t = _init(spark, str(tmp_path / "t3"))
+    v1 = t.metadata()["version"]
+    t.merge(_folded(spark, [("k1", "UPSERT", {"val": "z"}, 9_000)]),
+            stream_id="s", batch_id=1)
+    t.expire_snapshots(keep_last=2)  # keeps v1 and v2
+    assert {r["val"] for r in t.read(version=v1).where("id='k1'").collect()} \
+        == {"v1"}
+    assert t.changes(v1).count() == 2  # update_before + update_after
+    with pytest.raises(ValueError):
+        t.expire_snapshots(keep_last=0)
