@@ -959,6 +959,15 @@ def q_media_png_stats(spark, sf):
     return png_stats(synthesize_png_media(_docs(spark, sf)))
 
 
+def q_text_vocab(spark, sf):
+    """Corpus-wide top-k token frequencies (text.vocab_topk): the
+    vocabulary / heavy-hitters pass — map-side-combined count per token,
+    distributed TakeOrderedAndProject top-k, never a global sort."""
+    from mariadb_cdc_spark.functions.text import vocab_topk
+
+    return vocab_topk(_docs(spark, sf), k=50)
+
+
 def q_decontaminate(spark, sf):
     """Eval-set decontamination (functions.decontam): a deterministic 10%
     hash split carves an eval set out of documents; every remaining train
@@ -983,6 +992,15 @@ def q_emb_kmeans(spark, sf):
     from mariadb_cdc_spark.functions.similarity import kmeans_assign
 
     return kmeans_assign(_emb(spark, sf), k=8, iters=2)
+
+
+def q_emb_quantize(spark, sf):
+    """Per-vector int8 quantization stats (similarity.quantize_embeddings):
+    the float32->int8 storage cut for ANN corpora, verified value-level
+    (scale, checksum, max |q|, reconstruction MSE) against the oracle."""
+    from mariadb_cdc_spark.functions.similarity import quantize_embeddings
+
+    return quantize_embeddings(_emb(spark, sf))
 
 
 def q_sample_quota(spark, sf):
@@ -1079,11 +1097,13 @@ QUERIES: dict[str, Callable] = {
     "text_repetition": q_text_repetition,
     "text_len_quantiles": q_text_len_quantiles,
     "corpus_build": q_corpus_build,
+    "text_vocab": q_text_vocab,
     "decontaminate": q_decontaminate,
     "sample_quota": q_sample_quota,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,
     "emb_kmeans": q_emb_kmeans,
+    "emb_quantize": q_emb_quantize,
     "emb_neardup": q_emb_neardup,
     "media_audio_features": q_media_audio_features,
     "media_image_stats": q_media_image_stats,
@@ -1866,6 +1886,20 @@ def oracle_sql() -> dict[str, str]:
             from cells
             group by doc_id, w, h
         """,
+        "text_vocab": r"""
+            with toks as (
+              select unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\s+'),
+                       t -> t != '')) as token
+              from documents),
+            c as (select token, count(*) as n from toks group by token)
+            select rank, token, n from (
+              select row_number() over (order by n desc, token asc)::INT
+                       as rank,
+                     token, n
+              from c)
+            where rank <= 50
+        """,
         "decontaminate": r"""
             with ids as (
               select doc_id,
@@ -1944,6 +1978,27 @@ def oracle_sql() -> dict[str, str]:
                        (partition by vec_id order by dist, cid) rn from d3)
                    where rn = 1)
             select vec_id, cid::INT as cluster, dist from a3
+        """,
+        "emb_quantize": """
+            with flat as (
+              select vec_id, pos, embedding[pos]::DOUBLE as x from (
+                select vec_id, embedding,
+                       unnest(generate_series(1, len(embedding))) as pos
+                from embeddings)),
+            s as (select vec_id, max(abs(x)) / 127 as scale
+                  from flat group by vec_id),
+            q as (select f.vec_id, f.x, s.scale,
+                         case when s.scale = 0 then 0.0
+                              else round(f.x / s.scale) end as qv
+                  from flat f join s using (vec_id))
+            select vec_id,
+                   count(*)::INT as n_dims,
+                   round(scale, 6) as scale,
+                   sum(qv)::BIGINT as sum_q,
+                   max(abs(qv))::INT as max_abs_q,
+                   round(sum((x - qv * scale) * (x - qv * scale))
+                         / count(*), 8) as recon_mse
+            from q group by vec_id, scale
         """,
         "sample_quota": """
             select doc_id, source, quota_rank::INT as quota_rank from (

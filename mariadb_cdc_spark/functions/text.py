@@ -210,3 +210,31 @@ def repetition_features(
         .join(tops.select(id_col, "top_bigram_frac"), id_col, "left")
         .na.fill({"top_bigram_frac": 0.0})
     )
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", k: int = 100
+) -> DataFrame:
+    """Corpus-wide top-k token frequency table (the vocabulary/heavy-hitters
+    pass of a tokenizer-training or corpus-stats pipeline).
+
+    Plan shape at 100 TB: explode to (token) -> ONE groupBy(token) shuffle
+    whose exchange carries partial counts (hash-aggregate map-side combine
+    collapses each partition's duplicates first — the shuffled rows are
+    O(distinct tokens per partition), not O(corpus tokens)); the final
+    top-k is a TakeOrderedAndProject over the aggregated (distinct-token)
+    set, never a global sort of the corpus. Ties break on the token string
+    so the ranking is total and engine-portable.
+    """
+    toks = df.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # orderBy+limit compiles to TakeOrderedAndProject — a distributed
+    # per-partition heap + k-row driver merge, NOT a global sort (the
+    # single-task Window.orderBy(lit) shape is banned in this repo).
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "token", "n"
+    )

@@ -747,6 +747,24 @@ class LakeTable:
         meta["version"] += 1
         self._write_metadata(meta)
 
+    def drop_column(self, name: str) -> None:
+        """Metadata-only DROP COLUMN (Iceberg semantics): the column leaves
+        the logical schema immediately — reads, changes() and merges no
+        longer see it — while the bytes stay in existing files until each
+        bucket's next COW rewrite/compaction reclaims them (the aligned
+        scan simply stops selecting the column). Dropping a merge-key
+        column is refused. Re-adding the same name later starts from null
+        for rows not rewritten since (documented Iceberg caveat of
+        name-based mapping on plain parquet)."""
+        meta = self.metadata()
+        if name in meta["keys"]:
+            raise ValueError(f"cannot drop merge key column {name!r}")
+        if not any(n == name for n, _ in meta["schema"]):
+            return
+        meta["schema"] = [[n, s] for n, s in meta["schema"] if n != name]
+        meta["version"] += 1
+        self._write_metadata(meta)
+
     def widen_column(self, name: str, new_type: str) -> None:
         """Type widen (int->long, float->double, decimal scale-up): metadata
         change; read path casts old files up."""

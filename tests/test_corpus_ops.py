@@ -148,3 +148,49 @@ def test_kmeans_assigns_every_vector_once(spark):
     assert out.count() == d.count()
     assert out.select("vec_id").distinct().count() == d.count()
     assert out.where(~F.col("cluster").between(0, 3)).count() == 0
+
+
+# ------------------------------------------------------------- vocab_topk
+
+def test_vocab_topk_counts_and_tiebreak(spark):
+    from mariadb_cdc_spark.functions.text import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(1, "b a a"), (2, "B c a"), (3, "c")],
+        "doc_id long, text string",
+    )
+    rows = [(r["rank"], r["token"], r["n"])
+            for r in vocab_topk(docs, k=2).collect()]
+    # a:3, b:2, c:2 -> top2 = a then b (count desc, token asc tiebreak)
+    assert rows == [(1, "a", 3), (2, "b", 2)]
+
+
+def test_vocab_topk_plan_has_no_global_sort(spark):
+    from mariadb_cdc_spark.functions.text import vocab_topk
+
+    docs = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    plan = vocab_topk(docs, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+# ----------------------------------------------------- quantize_embeddings
+
+def test_quantize_embeddings_stats(spark):
+    from mariadb_cdc_spark.functions.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 0.5, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector -> scale 0, q all 0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    r1 = out[1]
+    # scale = 2/127; q = [64(round 63.5 half-up), -127, 32(round 31.75), 0]
+    assert r1["n_dims"] == 4 and r1["max_abs_q"] == 127
+    assert r1["sum_q"] == 64 - 127 + 32 + 0
+    assert abs(r1["scale"] - round(2.0 / 127, 6)) < 1e-9
+    assert r1["recon_mse"] >= 0
+    r2 = out[2]
+    assert r2["sum_q"] == 0 and r2["max_abs_q"] == 0 and r2["recon_mse"] == 0

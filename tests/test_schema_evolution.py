@@ -115,3 +115,37 @@ def test_ddl_for_other_table_ignored(spark, tmp_table_path):
     assert [n for n, _ in table.metadata()["schema"]] == [
         "repo", "path", "content",
     ]
+
+
+def test_drop_column_metadata_only(spark, tmp_table_path):
+    import pytest
+
+    table = LakeTable.create(
+        spark, tmp_table_path, BASE_SCHEMA, ["repo", "path"], n_buckets=2
+    )
+    rows = [
+        _base(10, "TABLE_MAP", table_id=7, database="codehub",
+              table="repo_files", column_types=[15, 15, 15],
+              column_names=["repo", "path", "content"]),
+        _base(20, "WRITE_ROWS", table_id=7,
+              rows_after=[{"repo": "r", "path": "a", "content": "one"}]),
+    ]
+    apply_batch(_events(spark, rows), table, CdcConfig(), stream_id="s",
+                batch_id=0)
+    v_before = table.metadata()["version"]
+
+    table.drop_column("content")
+    assert [n for n, _ in table.metadata()["schema"]] == ["repo", "path"]
+    assert "content" not in table.read().columns
+    # metadata-only: no new data dir was written for the drop
+    import os
+    assert not os.path.isdir(
+        os.path.join(tmp_table_path, "data", f"v{v_before + 1}")
+    )
+    # merge keys are protected; dropping a missing column is a no-op
+    with pytest.raises(ValueError):
+        table.drop_column("repo")
+    table.drop_column("content")  # idempotent
+    # changes() across the drop uses the to-version schema (no content col)
+    ch = table.changes(v_before)
+    assert "content" not in ch.columns
