@@ -994,6 +994,21 @@ def q_emb_kmeans(spark, sf):
     return kmeans_assign(_emb(spark, sf), k=8, iters=2)
 
 
+def q_ann_ivf_kmeans(spark, sf):
+    """IVF end-to-end: BUILD the index with distributed k-means
+    (similarity.kmeans_assign), then PROBE it (similarity.ivf_topk) — the
+    full learned-clusters ANN path, not the precomputed-label shortcut.
+    The oracle replays the k-means and the probe in one SQL pipeline."""
+    from mariadb_cdc_spark.functions.similarity import ivf_topk, kmeans_assign
+
+    emb = _emb(spark, sf)
+    asg = kmeans_assign(emb, k=8, iters=2).select("vec_id", "cluster")
+    corpus = emb.join(asg, "vec_id")
+    return ivf_topk(
+        corpus, corpus.where(F.col("vec_id") < 5), k=10, cluster_col="cluster"
+    )
+
+
 def q_emb_quantize(spark, sf):
     """Per-vector int8 quantization stats (similarity.quantize_embeddings):
     the float32->int8 storage cut for ANN corpora, verified value-level
@@ -1102,6 +1117,7 @@ QUERIES: dict[str, Callable] = {
     "sample_quota": q_sample_quota,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "emb_kmeans": q_emb_kmeans,
     "emb_quantize": q_emb_quantize,
     "emb_neardup": q_emb_neardup,
@@ -2038,6 +2054,28 @@ def oracle_sql() -> dict[str, str]:
             where rank <= 5
         """,
     }
+    # IVF end-to-end: the probe stage re-runs over the k-means oracle's
+    # final assignment (emb_kmeans SQL embedded as the cluster source).
+    oracles["ann_ivf_kmeans"] = f"""
+        with asg as (select vec_id, cluster
+                     from ({oracles['emb_kmeans']})),
+        e as (select emb.vec_id, emb.embedding::DOUBLE[] v, a.cluster
+              from embeddings emb join asg a using (vec_id)),
+        q as (select vec_id as query_id, cluster, v as qv
+              from e where vec_id < 5),
+        scored as (
+          select q.query_id, e.vec_id as neighbor_id,
+                 round(list_dot_product(q.qv, e.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(e.v, e.v))), 4) as sim
+          from e join q on e.cluster = q.cluster
+          where e.vec_id <> q.query_id)
+        select query_id, rank, neighbor_id, sim from (
+          select *, row_number() over
+            (partition by query_id order by sim desc, neighbor_id asc) rank
+          from scored)
+        where rank <= 10
+    """
     # Bootstrap converges to the same final state as the full replay: the
     # snapshot is exactly the wave-0 state and the tail applies waves 1+.
     oracles["cdc_bootstrap"] = oracles["cdc_pipeline_e2e"]
