@@ -194,6 +194,13 @@ class LakeTable:
         with thousands of commits. Reads of expired versions fail with a
         clear error; reads of retained versions (and LATEST) are
         untouched.
+
+        Doubles as orphan GC: a data dir written by a commit that crashed
+        before its metadata swap is unreferenced by every version and gets
+        removed. Corollary: run this from the (single) writer between
+        commits — like every mutation on this table format it assumes the
+        single-writer model, and an expire racing an in-flight commit
+        could collect the commit's just-written files.
         """
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")

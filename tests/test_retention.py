@@ -89,3 +89,16 @@ def test_expire_retains_time_travel_within_window(spark, tmp_path):
     assert t.changes(v1).count() == 2  # update_before + update_after
     with pytest.raises(ValueError):
         t.expire_snapshots(keep_last=0)
+
+
+def test_expire_collects_orphans_from_crashed_commits(spark, tmp_path):
+    t = _init(spark, str(tmp_path / "t4"), n=20)
+    # simulate a commit that died after writing data, before the metadata
+    # swap: its dir is referenced by no version
+    orphan = tmp_path / "t4" / "data" / "v99"
+    os.makedirs(orphan)
+    (orphan / "part-crashed.parquet").write_text("x")
+    res = t.expire_snapshots(keep_last=10)  # nothing expires, orphan still GC'd
+    assert "data/v99" in res["removed_dirs"]
+    assert not orphan.exists()
+    assert t.read().count() == 20
