@@ -1009,6 +1009,26 @@ def q_ann_ivf_kmeans(spark, sf):
     )
 
 
+def q_ann_ivf_probe(spark, sf):
+    """Multi-probe IVF (similarity.ivf_probe_topk): queries rank the
+    fitted k-means centroids (kmeans_centroids) and scan their n_probe=2
+    nearest clusters' inverted lists — the recall knob of a real IVF
+    index. Oracle replays k-means fit, centroid ranking and probe."""
+    from mariadb_cdc_spark.functions.similarity import (
+        ivf_probe_topk,
+        kmeans_assign,
+        kmeans_centroids,
+    )
+
+    emb = _emb(spark, sf)
+    asg = kmeans_assign(emb, k=8, iters=2).select("vec_id", "cluster")
+    cents = kmeans_centroids(emb, k=8, iters=2)
+    corpus = emb.join(asg, "vec_id")
+    return ivf_probe_topk(
+        corpus, emb.where(F.col("vec_id") < 5), cents, k=10, n_probe=2
+    )
+
+
 def q_emb_quantize(spark, sf):
     """Per-vector int8 quantization stats (similarity.quantize_embeddings):
     the float32->int8 storage cut for ANN corpora, verified value-level
@@ -1118,6 +1138,7 @@ QUERIES: dict[str, Callable] = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
+    "ann_ivf_probe": q_ann_ivf_probe,
     "emb_kmeans": q_emb_kmeans,
     "emb_quantize": q_emb_quantize,
     "emb_neardup": q_emb_neardup,
@@ -1137,6 +1158,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKS = r"list_filter(regexp_split_to_array(trim({c}), '\s+'), t -> t != '')"
 _LTOKS = r"list_filter(regexp_split_to_array(lower(trim({c})), '\s+'), t -> t != '')"
+
+# Two Lloyd iterations + final assignment, the oracle mirror of
+# similarity._kmeans_fit(k=8, iters=2): seeds -> assign(c0) -> c1 ->
+# assign(c1) -> c2 -> final assignment a3 (vs c2). Shared by emb_kmeans,
+# ann_ivf_kmeans and ann_ivf_probe.
+_KMEANS_PRELUDE = """
+            with emb as (select vec_id, embedding from embeddings),
+            flat as (
+              select vec_id, pos, embedding[pos]::DOUBLE as x from (
+                select vec_id, embedding,
+                       unnest(generate_series(1, len(embedding))) as pos
+                from emb)),
+            sd as (select vec_id,
+                          row_number() over
+                            (order by md5(vec_id::VARCHAR), vec_id) - 1 as cid
+                   from emb),
+            seeds as (select * from sd where cid < 8),
+            c0 as (select s.cid, f.pos, f.x as m
+                   from seeds s join flat f using (vec_id)),
+            d1 as (select f.vec_id, c.cid,
+                          round(sum((f.x - c.m) * (f.x - c.m)), 6) as dist
+                   from flat f join c0 c using (pos) group by 1, 2),
+            a1 as (select vec_id, cid, dist from (
+                     select *, row_number() over
+                       (partition by vec_id order by dist, cid) rn from d1)
+                   where rn = 1),
+            c1 as (select a.cid, f.pos, round(avg(f.x), 6) as m
+                   from a1 a join flat f using (vec_id) group by 1, 2),
+            d2 as (select f.vec_id, c.cid,
+                          round(sum((f.x - c.m) * (f.x - c.m)), 6) as dist
+                   from flat f join c1 c using (pos) group by 1, 2),
+            a2 as (select vec_id, cid, dist from (
+                     select *, row_number() over
+                       (partition by vec_id order by dist, cid) rn from d2)
+                   where rn = 1),
+            c2 as (select a.cid, f.pos, round(avg(f.x), 6) as m
+                   from a2 a join flat f using (vec_id) group by 1, 2),
+            d3 as (select f.vec_id, c.cid,
+                          round(sum((f.x - c.m) * (f.x - c.m)), 6) as dist
+                   from flat f join c2 c using (pos) group by 1, 2),
+            a3 as (select vec_id, cid, dist from (
+                     select *, row_number() over
+                       (partition by vec_id order by dist, cid) rn from d3)
+                   where rn = 1)
+"""
 
 _SHINGLES = r"""
         (select doc_id,
@@ -1954,45 +2020,7 @@ def oracle_sql() -> dict[str, str]:
             from tr left join evh on tr.h = evh.h
             group by tr.doc_id
         """,
-        "emb_kmeans": """
-            with emb as (select vec_id, embedding from embeddings),
-            flat as (
-              select vec_id, pos, embedding[pos]::DOUBLE as x from (
-                select vec_id, embedding,
-                       unnest(generate_series(1, len(embedding))) as pos
-                from emb)),
-            sd as (select vec_id,
-                          row_number() over
-                            (order by md5(vec_id::VARCHAR), vec_id) - 1 as cid
-                   from emb),
-            seeds as (select * from sd where cid < 8),
-            c0 as (select s.cid, f.pos, f.x as m
-                   from seeds s join flat f using (vec_id)),
-            d1 as (select f.vec_id, c.cid,
-                          round(sum((f.x - c.m) * (f.x - c.m)), 6) as dist
-                   from flat f join c0 c using (pos) group by 1, 2),
-            a1 as (select vec_id, cid, dist from (
-                     select *, row_number() over
-                       (partition by vec_id order by dist, cid) rn from d1)
-                   where rn = 1),
-            c1 as (select a.cid, f.pos, round(avg(f.x), 6) as m
-                   from a1 a join flat f using (vec_id) group by 1, 2),
-            d2 as (select f.vec_id, c.cid,
-                          round(sum((f.x - c.m) * (f.x - c.m)), 6) as dist
-                   from flat f join c1 c using (pos) group by 1, 2),
-            a2 as (select vec_id, cid, dist from (
-                     select *, row_number() over
-                       (partition by vec_id order by dist, cid) rn from d2)
-                   where rn = 1),
-            c2 as (select a.cid, f.pos, round(avg(f.x), 6) as m
-                   from a2 a join flat f using (vec_id) group by 1, 2),
-            d3 as (select f.vec_id, c.cid,
-                          round(sum((f.x - c.m) * (f.x - c.m)), 6) as dist
-                   from flat f join c2 c using (pos) group by 1, 2),
-            a3 as (select vec_id, cid, dist from (
-                     select *, row_number() over
-                       (partition by vec_id order by dist, cid) rn from d3)
-                   where rn = 1)
+        "emb_kmeans": _KMEANS_PRELUDE + """
             select vec_id, cid::INT as cluster, dist from a3
         """,
         "emb_quantize": """
@@ -2076,6 +2104,42 @@ def oracle_sql() -> dict[str, str]:
           from scored)
         where rank <= 10
     """
+    # Multi-probe IVF: rank the FINAL centroids (c2) per query, probe the 2
+    # nearest clusters, then cosine top-k within the probed inverted lists.
+    oracles["ann_ivf_probe"] = (
+        _KMEANS_PRELUDE
+        + """
+            , qc as (select f.vec_id as query_id, c.cid,
+                            round(sum((f.x - c.m) * (f.x - c.m)), 6) as cdist
+                     from flat f join c2 c using (pos)
+                     where f.vec_id < 5
+                     group by 1, 2),
+            probes as (select query_id, cid from (
+                         select *, row_number() over
+                           (partition by query_id order by cdist, cid) pr
+                         from qc)
+                       where pr <= 2),
+            e as (select emb.vec_id, emb.embedding::DOUBLE[] v, a.cid
+                  from embeddings emb join a3 a using (vec_id)),
+            qv as (select vec_id as query_id, embedding::DOUBLE[] qvec
+                   from embeddings where vec_id < 5),
+            scored as (
+              select p.query_id, e.vec_id as neighbor_id,
+                     round(list_dot_product(q.qvec, e.v) /
+                       (sqrt(list_dot_product(q.qvec, q.qvec)) *
+                        sqrt(list_dot_product(e.v, e.v))), 4) as sim
+              from probes p
+              join e on e.cid = p.cid
+              join qv q on q.query_id = p.query_id
+              where e.vec_id <> p.query_id)
+            select query_id, rank, neighbor_id, sim from (
+              select *, row_number() over
+                (partition by query_id order by sim desc, neighbor_id asc)
+                  rank
+              from scored)
+            where rank <= 10
+        """
+    )
     # Bootstrap converges to the same final state as the full replay: the
     # snapshot is exactly the wave-0 state and the tail applies waves 1+.
     oracles["cdc_bootstrap"] = oracles["cdc_pipeline_e2e"]

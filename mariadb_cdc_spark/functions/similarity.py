@@ -206,6 +206,30 @@ def kmeans_assign(
     Returns (vec_id, cluster, dist) — dist is the final squared L2 to the
     assigned centroid, rounded.
     """
+    cents, _, assign = _kmeans_fit(corpus, k, iters, id_col, vec_col, round_to)
+    return assign(cents).select(F.col("vid").alias(id_col), "cluster", "dist")
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """The fitted centroid table (cluster, centroid) from the same Lloyd
+    loop as kmeans_assign — the O(k*d) index artifact ivf_probe_topk
+    broadcasts. Same seeding/rounding, so assign+centroids from the same
+    (corpus, k, iters) are mutually consistent."""
+    cents, _, _ = _kmeans_fit(corpus, k, iters, id_col, vec_col, round_to)
+    return corpus.sparkSession.createDataFrame(
+        cents, "cluster int, centroid array<double>"
+    )
+
+
+def _kmeans_fit(corpus, k, iters, id_col, vec_col, round_to):
+    """Shared Lloyd loop: returns (centroids, vecs, assign_fn)."""
     vecs = corpus.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -219,7 +243,10 @@ def kmeans_assign(
     # centroids live driver-side between iterations: O(k*d) control-plane
     # state, re-broadcast each round (same pattern as the TABLE_MAP
     # registry's local relation).
-    cents = [(i, list(r["v"])) for i, r in enumerate(sorted(seeds, key=lambda r: (r["hk"], r["vid"])))]
+    cents = [
+        (i, list(r["v"]))
+        for i, r in enumerate(sorted(seeds, key=lambda r: (r["hk"], r["vid"])))
+    ]
 
     spark = corpus.sparkSession
 
@@ -242,7 +269,6 @@ def kmeans_assign(
             F.min("dist").alias("dist"),
         )
 
-    asg = None
     for _ in range(iters):
         asg = _assign(cents)
         upd = (
@@ -260,10 +286,7 @@ def kmeans_assign(
         )
         cents = sorted((r["cluster"], list(r["c"])) for r in upd)
 
-    final = _assign(cents)
-    return final.select(
-        F.col("vid").alias(id_col), "cluster", "dist"
-    )
+    return cents, vecs, _assign
 
 
 # ----------------------------------------------------- storage quantization
@@ -305,4 +328,86 @@ def quantize_embeddings(
             F.aggregate(err, F.lit(0.0), lambda acc, v: acc + v) / F.size(x),
             8,
         ).alias("recon_mse"),
+    )
+
+
+def ivf_probe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    round_to: int = 4,
+) -> DataFrame:
+    """True multi-probe IVF: each query scans its `n_probe` NEAREST
+    centroids' inverted lists — the recall knob of a real IVF index
+    (n_probe = n_clusters degrades gracefully to exact brute force).
+
+    Unlike ivf_topk (which assumes the query already carries a cluster
+    id), this takes the k-means `centroids` table (cluster, centroid
+    array — kmeans_assign's driver-side state materialized, O(k*d) and
+    always broadcast) and ranks clusters per query by squared L2, rounded
+    with cluster-id tiebreak so the probe set is engine-deterministic.
+
+    Plan shape: queries x centroids is a broadcast cross join of
+    |Q| x k rows (both tiny); the corpus side joins on cluster id only —
+    the N-row side still never shuffles on anything but its own id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = centroids.select(
+        F.col(cluster_col).alias("cluster"),
+        F.transform(F.col("centroid"), lambda x: x.cast("double")).alias("cv"),
+    )
+    qd = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.transform(F.col("q_vec"), lambda x: x.cast("double")),
+                F.col("cv"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cdist").asc(), F.col("cluster").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(c))
+        .select("query_id", "q_vec", "cluster", qd.alias("cdist"))
+        .withColumn("probe_rank", F.row_number().over(w))
+        .where(F.col("probe_rank") <= n_probe)
+        .select("query_id", "q_vec", "cluster")
+    )
+    corp = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(cluster_col).alias("cluster"),
+    )
+    scored = (
+        corp.join(F.broadcast(probes), "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_to).alias(
+                "sim"
+            ),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
     )

@@ -194,3 +194,55 @@ def test_quantize_embeddings_stats(spark):
     assert r1["recon_mse"] >= 0
     r2 = out[2]
     assert r2["sum_q"] == 0 and r2["max_abs_q"] == 0 and r2["recon_mse"] == 0
+
+
+# ---------------------------------------------------------- ivf_probe_topk
+
+def test_ivf_probe_full_probe_equals_brute_force(spark):
+    from mariadb_cdc_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_probe_topk,
+        kmeans_assign,
+        kmeans_centroids,
+    )
+
+    d = _blobs(spark)
+    asg = kmeans_assign(d, k=3, iters=2).select("vec_id", "cluster")
+    cents = kmeans_centroids(d, k=3, iters=2)
+    corpus = d.join(asg, "vec_id")
+    q = d.where("vec_id < 3")
+    # probing EVERY cluster degrades gracefully to the exact result
+    full = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_probe_topk(corpus, q, cents, k=5, n_probe=3).collect()
+    )
+    exact = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in brute_force_topk(d, q, k=5).collect()
+    )
+    assert full == exact
+
+
+def test_kmeans_centroids_consistent_with_assignment(spark):
+    from mariadb_cdc_spark.functions.similarity import (
+        ivf_probe_topk,
+        kmeans_assign,
+        kmeans_centroids,
+    )
+
+    d = _blobs(spark)
+    asg = {r["vec_id"]: r["cluster"]
+           for r in kmeans_assign(d, k=2, iters=3).collect()}
+    cents = kmeans_centroids(d, k=2, iters=3)
+    corpus = d.join(
+        kmeans_assign(d, k=2, iters=3).select("vec_id", "cluster"), "vec_id"
+    )
+    # n_probe=1: each corpus vector used as a query probes ITS OWN nearest
+    # centroid — which must be the cluster kmeans_assign gave it, so the
+    # top neighbor list is nonempty for every query in a 2-blob corpus
+    out = ivf_probe_topk(corpus, d, cents, k=1, n_probe=1).collect()
+    assert len(out) == d.count()
+    for r in out:
+        # nearest neighbor of a blob member is a member of the same blob
+        assert (r["query_id"] >= 100) == (r["neighbor_id"] >= 100)
+        assert asg[r["query_id"]] == asg[r["neighbor_id"]]
