@@ -181,3 +181,42 @@ def test_changes_sees_schema_evolution_as_null_before(spark, tmp_path):
     }
     assert rows["update_before"]["extra"] is None
     assert rows["update_after"]["extra"] == "E"
+
+
+def test_changes_matches_brute_diff_on_random_sequences(spark, tmp_path):
+    """Property: for EVERY version pair (i <= j) of a randomized merge
+    history (upserts, patches, deletes, delete-on-absent no-ops), the
+    incremental changelog equals the brute-force snapshot diff.
+    Deterministic seed, same style as test_fold_property."""
+    import random
+
+    rng = random.Random(7)
+    t = LakeTable.create(
+        spark, str(tmp_path / "tp"), SCHEMA, ["id"], n_buckets=4
+    )
+    keys = [f"k{i}" for i in range(40)]
+    versions = [t.metadata()["version"]]
+    pos = 100
+    for b in range(3):
+        rows = []
+        for key in rng.sample(keys, rng.randint(5, 25)):
+            op = rng.choice(["UPSERT", "UPSERT", "DELETE"])
+            pos += 1
+            img = (
+                {}
+                if op == "DELETE"
+                else {"id": key, "val": f"v{b}-{rng.randint(0, 5)}"}
+            )
+            rows.append((key, op, img, pos))
+        t.merge(_folded(spark, rows), stream_id="s", batch_id=b)
+        versions.append(t.metadata()["version"])
+    for i in range(len(versions)):
+        for j in range(i, len(versions)):
+            got = {
+                (r["change_type"], r["id"], r["val"])
+                for r in t.changes(versions[i], versions[j]).collect()
+            }
+            assert got == _brute_diff(t, versions[i], versions[j]), (
+                versions[i],
+                versions[j],
+            )
