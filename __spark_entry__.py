@@ -542,6 +542,35 @@ def q_cdc_time_travel(spark, sf):
     )
 
 
+def q_cdc_multi_server(spark, sf):
+    """Sharded upstream: two servers emit disjoint key ranges (the
+    realistic multi-master/sharded-primary layout), ONE pipeline applies
+    the unioned streams — per-key ordering needs only its own server's
+    (file, pos) axis, and lineage is tracked per server_id (the north
+    rule's per-partition lineage). Final state == the single-server e2e
+    closed form because the shards partition the key space."""
+    from mariadb_cdc_spark.gen import MERGE_KEYS, generate_events, repo_table
+    from mariadb_cdc_spark.pipeline import CdcConfig, apply_batch
+    from mariadb_cdc_spark.sources.lake import LakeTable
+    from pyspark.sql import types as T
+
+    repo = repo_table(spark, sf)
+    shard = F.pmod(F.xxhash64("repo", "path"), F.lit(2))
+    ev = generate_events(repo.where(shard == 0), server_id=1).unionByName(
+        generate_events(repo.where(shard == 1), server_id=2)
+    )
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_q_msrv_")
+    table = LakeTable.create(
+        spark, f"{tmp}/repo_files", schema, MERGE_KEYS, n_buckets=8
+    )
+    apply_batch(ev, table, CdcConfig(), stream_id="qm", batch_id=0)
+    return table.read()
+
+
 def q_cdc_changelog(spark, sf):
     """Incremental changelog read (LakeTable.changes — the Iceberg
     changelog-scan equivalent): net row-level changes between committed
@@ -1114,6 +1143,7 @@ QUERIES: dict[str, Callable] = {
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_incremental_agg": q_cdc_incremental_agg,
     "cdc_changelog": q_cdc_changelog,
+    "cdc_multi_server": q_cdc_multi_server,
     "cdc_bootstrap": q_cdc_bootstrap,
     "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_type_overlap": q_cdc_type_overlap,
@@ -2143,6 +2173,9 @@ def oracle_sql() -> dict[str, str]:
     # Bootstrap converges to the same final state as the full replay: the
     # snapshot is exactly the wave-0 state and the tail applies waves 1+.
     oracles["cdc_bootstrap"] = oracles["cdc_pipeline_e2e"]
+    # Two sharded servers partition the key space, so their union's final
+    # state is exactly the single-server closed form.
+    oracles["cdc_multi_server"] = oracles["cdc_pipeline_e2e"]
     # Point lookup = the e2e final state restricted to the lookup keys
     # (deleted keys drop out; keys never written return nothing).
     oracles["cdc_point_lookup"] = (

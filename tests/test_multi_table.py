@@ -109,3 +109,55 @@ def test_multi_table_matches_single_table_apply(spark, sf_dir, tmp_path):
 
     assert h(solo) == h(main)
     events.unpersist()
+
+
+def test_multi_server_lineage_tracked_per_server(spark, tmp_path):
+    """Sharded upstream (two server_ids, disjoint key ranges) through ONE
+    apply: lineage must record each server's own max position, and
+    resuming each server independently via events_after must keep only
+    its yet-unseen suffix (the per-partition lineage of the north rule)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from mariadb_cdc_spark.gen import MERGE_KEYS, generate_events, repo_table
+    from mariadb_cdc_spark.pipeline import CdcConfig, apply_batch
+    from mariadb_cdc_spark.sources.checkpoint import events_after
+    from mariadb_cdc_spark.sources.lake import LakeTable
+
+    repo = repo_table(spark, "/root/testdata/sf0.001")
+    shard = F.pmod(F.xxhash64("repo", "path"), F.lit(2))
+    ev1 = generate_events(repo.where(shard == 0), server_id=1)
+    ev2 = generate_events(repo.where(shard == 1), server_id=2)
+    ev = ev1.unionByName(ev2)
+
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, MERGE_KEYS, n_buckets=4
+    )
+    apply_batch(ev, table, CdcConfig(), stream_id="ms", batch_id=0)
+
+    lin = table.lineage()
+    assert set(lin) == {"1", "2"}
+    for sid, src in (("1", ev1), ("2", ev2)):
+        mx = src.agg(
+            F.max(F.struct("binlog_file", "binlog_pos")).alias("m")
+        ).collect()[0]["m"]
+        assert (lin[sid]["file"], lin[sid]["pos"]) == (mx[0], mx[1])
+    # per-server resume: every position-advancing (data) event is filtered
+    # out; events_after deliberately keeps metadata events (FD/TABLE_MAP)
+    # because a rows event is only decodable through its preceding map
+    from mariadb_cdc_spark.operators.filters import position_advancing
+
+    kept = events_after(ev, lin)
+    assert position_advancing(kept).count() == 0
+    assert kept.count() > 0  # the metadata prefix is preserved
+    # a new event past server 1's position survives the filter alone
+    tail = ev1.where(F.col("event_type") == "WRITE_ROWS").limit(1).withColumn(
+        "binlog_pos", F.col("binlog_pos") + F.lit(10_000_000)
+    ).withColumn("binlog_file", F.lit("bin.999999"))
+    assert position_advancing(
+        events_after(ev.unionByName(tail), lin)
+    ).count() == 1
