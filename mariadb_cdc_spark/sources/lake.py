@@ -754,6 +754,25 @@ class LakeTable:
         meta["version"] += 1
         self._write_metadata(meta)
 
+    def compact(self) -> dict:
+        """Full compaction (Iceberg rewrite_data_files equivalent): one COW
+        rewrite folding every bucket's delta files into a fresh base —
+        read amplification back to 1 scan/bucket. Tombstones are
+        deliberately PRESERVED: they carry the delete's position, which
+        the MERGE gate needs to reject stale replays of pre-delete
+        events (retiring them safely needs a replay-horizon watermark,
+        not a compaction). Incremental
+        per-bucket compaction already happens automatically inside merge()
+        when a bucket crosses MAX_DELTA_FILES / delta-byte thresholds;
+        this is the explicit maintenance hook for quiet hours."""
+        before = self.metadata()
+        n_deltas = sum(len(r) for r in before.get("deltas", {}).values())
+        self._rewrite(lambda df: df)
+        return {
+            "version": self.metadata()["version"],
+            "deltas_folded": n_deltas,
+        }
+
     def drop_column(self, name: str) -> None:
         """Metadata-only DROP COLUMN (Iceberg semantics): the column leaves
         the logical schema immediately — reads, changes() and merges no

@@ -157,3 +157,38 @@ def test_read_keys_validates_input(spark, tmp_path):
         table.read_keys([])
     with pytest.raises(ValueError, match="missing key columns"):
         table.read_keys({"val": "x"})
+
+
+def test_explicit_compact_folds_all_deltas(spark, tmp_path):
+    table = _init(spark, str(tmp_path / "tc"), n=100, n_buckets=4)
+    table.merge(_folded(spark, [("k1", "UPSERT", {"val": "x"}, 9_000),
+                                ("k2", "DELETE", {}, 9_001)]),
+                stream_id="init", batch_id=1)
+    assert any(table.metadata()["deltas"].values())
+    res = table.compact()
+    assert res["deltas_folded"] >= 1
+    meta = table.metadata()
+    assert not any(meta.get("deltas", {}).values())
+    rows = {r["id"]: r["val"] for r in table.read().collect()}
+    assert rows["k1"] == "x" and "k2" not in rows and len(rows) == 99
+    # the delete's position gate SURVIVES compaction: a stale pre-delete
+    # replay must not resurrect k2
+    table.merge(_folded(spark, [("k2", "UPSERT", {"id": "k2", "val": "old"},
+                                 5)]),
+                stream_id="init", batch_id=2)
+    assert "k2" not in {r["id"] for r in table.read().collect()}
+
+
+def test_snapshot_isolation_reader_pinned_across_commit(spark, tmp_path):
+    # a reader that planned against v1 still collects v1's state after a
+    # later commit rewrote the table (COW never mutates old files)
+    table = _init(spark, str(tmp_path / "ts"), n=50)
+    pinned = table.read()  # lazy plan against current (v1) files
+    table.merge(
+        _folded(spark,
+                [(f"k{i}", "UPSERT", {"val": "NEW"}, 20_000 + i)
+                 for i in range(50)]),
+        stream_id="init", batch_id=1)
+    assert {r["val"] for r in table.read().collect()} == {"NEW"}
+    vals = {r["val"] for r in pinned.collect()}
+    assert "NEW" not in vals and len(vals) == 50
