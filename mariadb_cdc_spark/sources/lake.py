@@ -754,20 +754,43 @@ class LakeTable:
         meta["version"] += 1
         self._write_metadata(meta)
 
-    def compact(self) -> dict:
+    def compact(
+        self, retire_tombstones_before: tuple[str, int] | None = None
+    ) -> dict:
         """Full compaction (Iceberg rewrite_data_files equivalent): one COW
         rewrite folding every bucket's delta files into a fresh base —
         read amplification back to 1 scan/bucket. Tombstones are
-        deliberately PRESERVED: they carry the delete's position, which
-        the MERGE gate needs to reject stale replays of pre-delete
-        events (retiring them safely needs a replay-horizon watermark,
-        not a compaction). Incremental
-        per-bucket compaction already happens automatically inside merge()
-        when a bucket crosses MAX_DELTA_FILES / delta-byte thresholds;
-        this is the explicit maintenance hook for quiet hours."""
+        PRESERVED by default: they carry the delete's position, which the
+        MERGE gate needs to reject stale replays of pre-delete events.
+
+        `retire_tombstones_before=(file, pos)` physically drops tombstones
+        older than that position during the rewrite — pass the REPLAY
+        HORIZON (a position every producer has durably committed past,
+        e.g. the min over streams of their checkpointed lineage), because
+        a replayed pre-delete event older than a retired tombstone would
+        re-insert the dead key. With the horizon chosen that way the
+        retirement is safe and keeps delete-heavy tables from accreting
+        tombstones forever (the DEL-row GC that Iceberg gets from
+        snapshot expiry + rewrite).
+
+        Incremental per-bucket compaction already happens automatically
+        inside merge() when a bucket crosses MAX_DELTA_FILES / delta-byte
+        thresholds; this is the explicit maintenance hook for quiet
+        hours."""
         before = self.metadata()
         n_deltas = sum(len(r) for r in before.get("deltas", {}).values())
-        self._rewrite(lambda df: df)
+
+        def fn(df):
+            if retire_tombstones_before is None:
+                return df
+            f, p = retire_tombstones_before
+            stale_tomb = F.coalesce(F.col(CDC_DELETED), F.lit(False)) & (
+                F.struct(F.col(CDC_FILE), F.col(CDC_POS))
+                < F.struct(F.lit(f).alias(CDC_FILE), F.lit(p).alias(CDC_POS))
+            )
+            return df.where(~stale_tomb)
+
+        self._rewrite(fn)
         return {
             "version": self.metadata()["version"],
             "deltas_folded": n_deltas,

@@ -192,3 +192,29 @@ def test_snapshot_isolation_reader_pinned_across_commit(spark, tmp_path):
     assert {r["val"] for r in table.read().collect()} == {"NEW"}
     vals = {r["val"] for r in pinned.collect()}
     assert "NEW" not in vals and len(vals) == 50
+
+
+def test_compact_retires_tombstones_behind_replay_horizon(spark, tmp_path):
+    table = _init(spark, str(tmp_path / "tr"), n=20)
+    table.merge(_folded(spark, [("k2", "DELETE", {}, 9_001),
+                                ("k3", "DELETE", {}, 12_000)]),
+                stream_id="init", batch_id=1)
+    table.compact(retire_tombstones_before=("bin.000001", 10_000))
+    # live state unchanged
+    ids = {r["id"] for r in table.read().collect()}
+    assert "k2" not in ids and "k3" not in ids and len(ids) == 18
+    # k2's tombstone (pos 9001 < horizon) is physically gone; k3's
+    # (pos 12000 >= horizon) survives and still gates stale replays
+    from mariadb_cdc_spark.sources.lake import CDC_DELETED
+    meta = table.metadata()
+    tombs = {
+        r["id"]
+        for r in table._read_state(
+            meta, sorted(int(b) for b in meta["buckets"])
+        ).where(CDC_DELETED).collect()
+    }
+    assert tombs == {"k3"}
+    table.merge(_folded(spark, [("k3", "UPSERT", {"id": "k3", "val": "old"},
+                                 11_999)]),
+                stream_id="init", batch_id=2)
+    assert "k3" not in {r["id"] for r in table.read().collect()}
