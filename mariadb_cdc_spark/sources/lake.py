@@ -178,6 +178,32 @@ class LakeTable:
                 f"version {version} not found (expired or never committed)"
             ) from None
 
+    def history(self) -> list[dict]:
+        """Commit history (the Iceberg snapshots-metadata-table
+        equivalent), one entry per RETAINED version: version, commit
+        timestamp, cumulative row estimate, per-stream committed batch
+        ids and the server_ids with checkpointed lineage. Pure driver-side
+        metadata reads — O(retained versions), no Spark job."""
+        mdir = os.path.join(self.path, self.METADATA_DIR)
+        versions = sorted(
+            int(f[1:-5])
+            for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        out = []
+        for v in versions:
+            m = self.metadata(v)
+            out.append(
+                {
+                    "version": v,
+                    "ts": m.get("ts"),
+                    "n_rows": m.get("metrics", {}).get("n_rows"),
+                    "committed": dict(m.get("committed", {})),
+                    "servers": sorted(m.get("lineage", {})),
+                }
+            )
+        return out
+
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Iceberg `expire_snapshots` equivalent: drop time-travel history
         older than the newest `keep_last` versions and delete data dirs no

@@ -102,3 +102,17 @@ def test_expire_collects_orphans_from_crashed_commits(spark, tmp_path):
     assert "data/v99" in res["removed_dirs"]
     assert not orphan.exists()
     assert t.read().count() == 20
+
+
+def test_history_lists_retained_versions(spark, tmp_path):
+    t = _init(spark, str(tmp_path / "th"), n=20)
+    t.merge(_folded(spark, [("k1", "UPSERT", {"val": "x"}, 9_000)]),
+            stream_id="s", batch_id=1)
+    h = t.history()
+    assert [e["version"] for e in h] == [0, 1, 2]
+    assert h[0]["n_rows"] == 0 and h[1]["n_rows"] == 20
+    assert h[2]["committed"] == {"s": 1}
+    assert h[2]["servers"] == []  # no lineage passed in these merges
+    assert h[0]["ts"] <= h[1]["ts"] <= h[2]["ts"]
+    t.expire_snapshots(keep_last=1)
+    assert [e["version"] for e in t.history()] == [2]
