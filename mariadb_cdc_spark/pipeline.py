@@ -83,6 +83,11 @@ class CdcConfig:
     # JdbcColumnNamesGetter + ColumnNameCache pair). DDL epochs invalidate
     # affected entries (operators.names).
     column_names_getter: object | None = None
+    # In-line snapshot retention: after each committed batch, expire all
+    # but the newest N versions (LakeTable.expire_snapshots — floored at 2
+    # inside apply_batch so a replayed batch's IVM diff never reaches an
+    # expired snapshot). None = keep full history.
+    retain_versions: int | None = None
 
 
 def decoded_changes(
@@ -321,6 +326,14 @@ def apply_batch(
         meta["liveness"] = liveness
     meta["version"] += 1
     table._write_metadata(meta)
+
+    # In-line retention: maintenance wired into the ingest loop so a
+    # 10^10-event stream never accretes unbounded snapshot history. Runs
+    # strictly AFTER the exactly-once commit (a crash before this point
+    # replays with full history intact); floor of 2 keeps the pre-batch
+    # version alive for any replayed IVM diff.
+    if cfg.retain_versions:
+        table.expire_snapshots(keep_last=max(2, cfg.retain_versions))
 
     total["epochs"] = n_epochs
     total["lineage"] = lineage

@@ -116,3 +116,51 @@ def test_history_lists_retained_versions(spark, tmp_path):
     assert h[0]["ts"] <= h[1]["ts"] <= h[2]["ts"]
     t.expire_snapshots(keep_last=1)
     assert [e["version"] for e in t.history()] == [2]
+
+
+def test_apply_batch_inline_retention(spark, tmp_path):
+    """CdcConfig(retain_versions=N): maintenance wired into the ingest
+    loop — after each committed batch only the newest snapshots survive,
+    and the stream keeps applying correctly."""
+    from pyspark.sql import types as T
+
+    from mariadb_cdc_spark.pipeline import CdcConfig, apply_batch
+    from mariadb_cdc_spark.schema import EVENT_SCHEMA
+
+    def _events(rows):
+        full = []
+        for r in rows:
+            d = {f.name: None for f in EVENT_SCHEMA.fields}
+            d.update(r)
+            full.append(tuple(d[f.name] for f in EVENT_SCHEMA.fields))
+        return spark.createDataFrame(full, EVENT_SCHEMA)
+
+    def _base(pos, etype, **kw):
+        return {"server_id": 1, "binlog_file": "bin.000001",
+                "binlog_pos": pos, "event_type": etype, **kw}
+
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in ["repo", "path", "content"]]
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "tir"), schema, ["repo", "path"], n_buckets=2
+    )
+    cfg = CdcConfig(retain_versions=2)
+    for b in range(3):
+        rows = [
+            _base(10 + 100 * b, "TABLE_MAP", table_id=7, database="codehub",
+                  table="repo_files", column_types=[15, 15, 15],
+                  column_names=["repo", "path", "content"]),
+            _base(20 + 100 * b, "WRITE_ROWS", table_id=7,
+                  rows_after=[{"repo": "r", "path": f"p{b}",
+                               "content": f"c{b}"}]),
+        ]
+        apply_batch(_events(rows), table, cfg, stream_id="ir", batch_id=b)
+        assert len(table.history()) <= 2
+    assert table.read().count() == 3
+    # replaying the last committed epoch is still an exactly-once no-op
+    res = apply_batch(
+        _events(rows), table, cfg, stream_id="ir", batch_id=2
+    )
+    assert res.get("skipped") or res.get("epochs") == 0
+    assert table.read().count() == 3
