@@ -1082,6 +1082,51 @@ def q_sample_quota(spark, sf):
 
 # --------------------------------------------------------------- analytics
 
+def q_events_cohort_retention(spark, sf):
+    """Cohort retention matrix over the change-event stream: users
+    grouped by first-seen day x activity-day offset — one first-seen
+    aggregation (map-side combined) + one broadcast-sized join back, then
+    a (cohort, offset) count-distinct. The standard warehouse retention
+    query, expressed Catalyst-only."""
+    ev = _ev(spark, sf)
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    j = ev.join(F.broadcast(first), "user_id")
+    return (
+        j.select(
+            F.date_format(F.col("first_ts").cast("date"), "yyyy-MM-dd")
+            .alias("cohort_day"),
+            F.datediff(
+                F.col("ts").cast("date"), F.col("first_ts").cast("date")
+            ).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def q_events_funnel(spark, sf):
+    """Ordered 3-step funnel (view -> click -> purchase) by first-event
+    ordering per user: one groupBy(user) with conditional-min aggregates,
+    then a single global tally — no self-joins, no window."""
+    ev = _ev(spark, sf)
+    per = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("tv"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("tc"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "tp"
+        ),
+    )
+    s2 = F.col("tv").isNotNull() & (F.col("tv") < F.col("tc"))
+    return per.agg(
+        F.sum(F.col("tv").isNotNull().cast("long")).alias("n_view"),
+        F.sum(s2.cast("long")).alias("n_view_click"),
+        F.sum((s2 & (F.col("tc") < F.col("tp"))).cast("long")).alias(
+            "n_full_funnel"
+        ),
+    )
+
+
 def q_agg_pricing(spark, sf):
     """TPC-H Q1 shape: the scan+groupBy baseline the bench tracks."""
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
@@ -1175,6 +1220,8 @@ QUERIES: dict[str, Callable] = {
     "media_audio_features": q_media_audio_features,
     "media_image_stats": q_media_image_stats,
     "media_png_stats": q_media_png_stats,
+    "events_cohort_retention": q_events_cohort_retention,
+    "events_funnel": q_events_funnel,
     "agg_pricing": q_agg_pricing,
     "join_revenue": q_join_revenue,
 }
@@ -2083,6 +2130,31 @@ def oracle_sql() -> dict[str, str]:
                                 doc_id) as quota_rank
               from documents)
             where quota_rank <= 10
+        """,
+        "events_cohort_retention": """
+            with f as (select user_id, min(ts) as first_ts
+                       from events group by user_id)
+            select strftime(f.first_ts::DATE, '%Y-%m-%d') as cohort_day,
+                   datediff('day', f.first_ts::DATE, e.ts::DATE)::INT
+                     as day_offset,
+                   count(distinct e.user_id) as n_users
+            from events e join f using (user_id)
+            group by 1, 2
+        """,
+        "events_funnel": """
+            with per as (
+              select user_id,
+                     min(case when event_type = 'view' then ts end) tv,
+                     min(case when event_type = 'click' then ts end) tc,
+                     min(case when event_type = 'purchase' then ts end) tp
+              from events group by user_id)
+            select sum(case when tv is not null then 1 else 0 end)::BIGINT
+                     as n_view,
+                   sum(case when tv is not null and tv < tc
+                            then 1 else 0 end)::BIGINT as n_view_click,
+                   sum(case when tv is not null and tv < tc and tc < tp
+                            then 1 else 0 end)::BIGINT as n_full_funnel
+            from per
         """,
         "agg_pricing": """
             select l_returnflag, l_linestatus,
