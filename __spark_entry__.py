@@ -988,6 +988,15 @@ def q_media_png_stats(spark, sf):
     return png_stats(synthesize_png_media(_docs(spark, sf)))
 
 
+def q_text_unigram_lm(spark, sf):
+    """Unigram-LM bits/token per document (text.unigram_logprob): the
+    CCNet-style perplexity-proxy quality signal — corpus unigram counts
+    (map-side combined) broadcast back over the exploded token stream."""
+    from mariadb_cdc_spark.functions.text import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf))
+
+
 def q_text_vocab(spark, sf):
     """Corpus-wide top-k token frequencies (text.vocab_topk): the
     vocabulary / heavy-hitters pass — map-side-combined count per token,
@@ -1208,6 +1217,7 @@ QUERIES: dict[str, Callable] = {
     "text_len_quantiles": q_text_len_quantiles,
     "corpus_build": q_corpus_build,
     "text_vocab": q_text_vocab,
+    "text_unigram_lm": q_text_unigram_lm,
     "decontaminate": q_decontaminate,
     "sample_quota": q_sample_quota,
     "ann_bruteforce": q_ann_bruteforce,
@@ -2044,6 +2054,21 @@ def oracle_sql() -> dict[str, str]:
                    sum((x + 3 * y + 14 + doc_id) % 256)::BIGINT as sum_b
             from cells
             group by doc_id, w, h
+        """,
+        "text_unigram_lm": r"""
+            with toks as (
+              select doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\s+'),
+                       t -> t != '')) as token
+              from documents),
+            c as (select token, count(*) as n from toks group by token),
+            t as (select sum(n) as tt from c)
+            select toks.doc_id,
+                   count(*) as n_tokens,
+                   round(avg(-log2(c.n / t.tt)), 6) as bits_per_token
+            from toks join c using (token) cross join t
+            group by toks.doc_id
         """,
         "text_vocab": r"""
             with toks as (

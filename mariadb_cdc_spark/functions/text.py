@@ -238,3 +238,45 @@ def vocab_topk(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "token", "n"
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Self-trained unigram-LM score per document: mean -log2 P(token)
+    under the corpus's own unigram distribution — the cheap stand-in for
+    the perplexity-based quality filters of CCNet-style pipelines (docs
+    whose tokens are uniformly rare or boilerplate-repetitive separate
+    cleanly on bits/token).
+
+    Two passes over the tokens, both shuffle-lean:
+      1. corpus unigram counts — groupBy(token) with map-side combine
+         (exchange carries distinct tokens per partition, not the corpus);
+      2. per-doc mean -log2(count/total) — the exploded (doc, token) side
+         joins the count table and re-aggregates on doc_id. The count
+         table is BROADCAST here (vocab of a web corpus is ~1e7-1e8 rows,
+         at the edge; for a bigger-than-memory vocab swap to a shuffle
+         join — AQE's skew handling splits the hot-token partitions).
+
+    OOV is impossible by construction (the vocabulary is the corpus
+    itself), so the score is total. Returns (doc_id, n_tokens,
+    bits_per_token) with the mean rounded for engine parity.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("t"))
+    scored = toks.join(F.broadcast(counts), "token").crossJoin(
+        F.broadcast(total)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log2(F.col("n") / F.col("t"))), 6
+            ).alias("bits_per_token"),
+        )
+    )

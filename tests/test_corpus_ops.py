@@ -246,3 +246,22 @@ def test_kmeans_centroids_consistent_with_assignment(spark):
         # nearest neighbor of a blob member is a member of the same blob
         assert (r["query_id"] >= 100) == (r["neighbor_id"] >= 100)
         assert asg[r["query_id"]] == asg[r["neighbor_id"]]
+
+
+# ---------------------------------------------------------- unigram LM
+
+def test_unigram_logprob_hand_case(spark):
+    import math
+
+    from mariadb_cdc_spark.functions.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    # counts: a=3, b=1, total=4
+    assert out[1]["n_tokens"] == 3
+    assert abs(out[1]["bits_per_token"] - (-math.log2(3 / 4))) < 1e-6
+    assert abs(out[2]["bits_per_token"] - 2.0) < 1e-6
+    # rare-token docs carry more bits/token than common-token docs
+    assert out[2]["bits_per_token"] > out[1]["bits_per_token"]
