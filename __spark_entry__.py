@@ -383,6 +383,23 @@ def q_cdc_typed_decode(spark, sf):
     return table.read()
 
 
+def q_cdc_typed_agg(spark, sf):
+    """Analytics straight over the wire-decoded typed table: per-status
+    decimal sums, temporal maxima and SET-membership counts computed from
+    values that arrived as binlog wire bytes — the decode->lake->query
+    loop closed (the oracle aggregates its own closed-form typed state)."""
+    typed = q_cdc_typed_decode(spark, sf)
+    return typed.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price").alias("sum_price"),
+        F.round(F.avg("ratio"), 6).alias("avg_ratio"),
+        F.max("updated_at").alias("last_updated"),
+        F.sum(
+            F.when(F.col("tags").rlike("(^|,)write(,|$)"), 1).otherwise(0)
+        ).cast("long").alias("n_writable"),
+    )
+
+
 def q_cdc_names_channel(spark, sf):
     """J2 end-to-end over the ENGINE: a pre-10.5 stream (TABLE_MAP without
     column names) flows nameless images through positional col<i> fallback
@@ -1192,6 +1209,7 @@ QUERIES: dict[str, Callable] = {
     "cdc_gap_sessions": q_cdc_gap_sessions,
     "cdc_change_rates": q_cdc_change_rates,
     "cdc_typed_decode": q_cdc_typed_decode,
+    "cdc_typed_agg": q_cdc_typed_agg,
     "cdc_names_channel": q_cdc_names_channel,
     "cdc_scd2_history": q_cdc_scd2_history,
     "cdc_time_travel": q_cdc_time_travel,
@@ -2230,6 +2248,19 @@ def oracle_sql() -> dict[str, str]:
             (partition by query_id order by sim desc, neighbor_id asc) rank
           from scored)
         where rank <= 10
+    """
+    # Typed analytics close the decode loop: aggregate the closed-form
+    # typed state the decode oracle derives.
+    oracles["cdc_typed_agg"] = f"""
+        with typed as ({oracles['cdc_typed_decode']})
+        select status,
+               count(*) as n_rows,
+               sum(price) as sum_price,
+               round(avg(ratio), 6) as avg_ratio,
+               max(updated_at) as last_updated,
+               sum(case when regexp_matches(tags, '(^|,)write(,|$)')
+                        then 1 else 0 end)::BIGINT as n_writable
+        from typed group by status
     """
     # Multi-probe IVF: rank the FINAL centroids (c2) per query, probe the 2
     # nearest clusters, then cosine top-k within the probed inverted lists.
