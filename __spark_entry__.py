@@ -783,6 +783,28 @@ def q_dedup_groups(spark, sf):
     return duplicate_components(pairs)
 
 
+def q_dedup_keep_best(spark, sf):
+    """Keep-BEST survivor per transitive duplicate group
+    (dedup.keep_best_duplicates): the production policy — keep the
+    longest member (token count, id tiebreak), not the smallest id."""
+    from mariadb_cdc_spark.functions.dedup import (
+        duplicate_components,
+        keep_best_duplicates,
+        minhash_dedup_pairs,
+    )
+    from mariadb_cdc_spark.functions.text import token_count
+
+    d = _docs(spark, sf)
+    pairs = minhash_dedup_pairs(
+        d, n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    comp = duplicate_components(pairs)
+    quality = d.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return keep_best_duplicates(comp, quality)
+
+
 def q_dedup_simhash(spark, sf):
     from mariadb_cdc_spark.functions.dedup import simhash
 
@@ -1223,6 +1245,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_groups": q_dedup_groups,
+    "dedup_keep_best": q_dedup_keep_best,
     "dedup_simhash": q_dedup_simhash,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -2248,6 +2271,22 @@ def oracle_sql() -> dict[str, str]:
             (partition by query_id order by sim desc, neighbor_id asc) rank
           from scored)
         where rank <= 10
+    """
+    # Keep-best survivor selection over the recursive-CTE duplicate groups.
+    toks_sql = _TOKS.format(c="text")
+    oracles["dedup_keep_best"] = f"""
+        with comp as ({oracles['dedup_groups']}),
+        q as (select doc_id, len({toks_sql})::BIGINT as n_tokens
+              from documents),
+        best as (select canonical_id, doc_id as keep_id from (
+                   select c.canonical_id, c.doc_id,
+                          row_number() over (partition by c.canonical_id
+                            order by q.n_tokens desc, c.doc_id asc) rn
+                   from comp c join q using (doc_id))
+                 where rn = 1)
+        select c.doc_id, c.canonical_id, b.keep_id,
+               c.doc_id = b.keep_id as kept
+        from comp c join best b using (canonical_id)
     """
     # Typed analytics close the decode loop: aggregate the closed-form
     # typed state the decode oracle derives.

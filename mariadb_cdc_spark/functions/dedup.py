@@ -393,3 +393,37 @@ def duplicate_components(
     labels.unpersist()
     edges.unpersist()
     return out
+
+
+def keep_best_duplicates(
+    components: DataFrame,
+    quality: DataFrame,
+    metric_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-BEST canonical selection over duplicate groups.
+
+    Production dedup keeps the highest-quality member of each transitive
+    duplicate group (longest, cleanest, newest — whatever `metric_col`
+    encodes), not the smallest id. Input: `components` from
+    duplicate_components (doc_id, canonical_id) and a `quality` frame
+    carrying (id_col, metric_col). Output adds per row the group's
+    `keep_id` and a `kept` flag.
+
+    Plan shape: one join on the doc id (both sides corpus-partitioned) +
+    one groupBy(canonical_id) whose max_by aggregate is map-side
+    combinable — group size never materializes anywhere. Ties on the
+    metric break to the SMALLER doc id (deterministic, engine-portable).
+    """
+    j = components.join(quality.select(id_col, metric_col), id_col)
+    best = j.groupBy("canonical_id").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col(metric_col), (-F.col(id_col)).alias("neg")),
+        ).alias("keep_id")
+    )
+    return (
+        components.join(best, "canonical_id")
+        .withColumn("kept", F.col(id_col) == F.col("keep_id"))
+        .select(id_col, "canonical_id", "keep_id", "kept")
+    )

@@ -265,3 +265,26 @@ def test_unigram_logprob_hand_case(spark):
     assert abs(out[2]["bits_per_token"] - 2.0) < 1e-6
     # rare-token docs carry more bits/token than common-token docs
     assert out[2]["bits_per_token"] > out[1]["bits_per_token"]
+
+
+# ------------------------------------------------------ keep_best_duplicates
+
+def test_keep_best_keeps_highest_metric_with_id_tiebreak(spark):
+    from mariadb_cdc_spark.functions.dedup import keep_best_duplicates
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, canonical_id long",
+    )
+    q = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 4)],
+        "doc_id long, n_tokens long",
+    )
+    out = {r["doc_id"]: r for r in keep_best_duplicates(comp, q).collect()}
+    # group 1: docs 2 and 3 tie on 9 tokens -> smaller id (2) wins
+    assert out[1]["keep_id"] == 2 and not out[1]["kept"]
+    assert out[2]["kept"] and out[3]["keep_id"] == 2
+    # group 10: tie -> smaller id
+    assert out[10]["kept"] and out[11]["keep_id"] == 10
+    # exactly one survivor per group
+    assert sum(1 for r in out.values() if r["kept"]) == 2
