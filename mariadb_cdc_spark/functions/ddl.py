@@ -145,3 +145,25 @@ def parse_alter_actions(sql: str) -> list[AlterAction]:
             AlterAction("modify", m.group(2), lake_type=mysql_type_to_lake(m.group(3)))
         )
     return actions
+
+
+_TRUNCATE = re.compile(
+    r"^\s*truncate\s+(?:table\s+)?(?:`?([^`\s.]+)`?\.)?`?([^`\s.;]+)`?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def decide_data_reset(sql: str) -> SchemaChangedTable | None:
+    """TRUNCATE TABLE classifier — deliberately SEPARATE from
+    decide_schema_change: the reference's QueryDecider does not flag
+    TRUNCATE as a schema change (its golden set covers alter/rename/drop
+    only, QueryDeciderTest.java:9-88), and this engine keeps that parity.
+    But a CDC consumer that ignores a TRUNCATE in the stream diverges
+    from the source permanently, so the pipeline treats it as a
+    DATA-RESET epoch boundary: merge pre-truncate events, clear the
+    table (LakeTable.truncate with the statement's position as the new
+    position floor), continue with post-truncate events."""
+    m = _TRUNCATE.match(sql or "")
+    if not m:
+        return None
+    return SchemaChangedTable(m.group(1), m.group(2))

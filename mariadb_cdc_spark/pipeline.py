@@ -26,7 +26,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .functions.ddl import decide_schema_change, parse_alter_actions
+from .functions.ddl import (
+    decide_data_reset,
+    decide_schema_change,
+    parse_alter_actions,
+)
 from .operators.decode import (
     apply_column_bitmaps,
     decode_rows_events,
@@ -216,25 +220,39 @@ def apply_batch(
     # (control plane), so the collect is O(tables), not O(events).
     table_maps, has_wire, all_named = _load_registry(ctrl, table)
 
-    # ---- control plane: DDL epochs (rare; driver-side by design)
+    # ---- control plane: DDL + data-reset epochs (rare; driver-side by
+    # design). Each entry is (row, kind): kind "ddl" evolves the schema at
+    # the boundary, kind "truncate" clears the table and installs the
+    # statement's position as the merge floor (functions.ddl.
+    # decide_data_reset — TRUNCATE is deliberately NOT a schema change,
+    # matching the reference's QueryDecider).
     ddls = []
     if cfg.apply_ddl:
-        ddls = sorted(
+        stmts = sorted(
             ctrl.where(F.col("event_type") == EVT_QUERY)
             .where(F.col("sql").isNotNull())
             .select("binlog_file", "binlog_pos", "sql")
             .collect(),
             key=lambda r: (r["binlog_file"], r["binlog_pos"]),
         )
-        ddls = [
-            r
-            for r in ddls
-            if any(
-                t.table == cfg.table
-                and (t.database is None or t.database == cfg.database)
-                for t in decide_schema_change(r["sql"]).tables
+        def _mine(t):
+            return t is not None and t.table == cfg.table and (
+                t.database is None or t.database == cfg.database
             )
-        ]
+        for r in stmts:
+            if any(_mine(t) for t in decide_schema_change(r["sql"]).tables):
+                ddls.append((r, "ddl"))
+            elif _mine(decide_data_reset(r["sql"])):
+                ddls.append((r, "truncate"))
+
+    if agg_views and any(kind == "truncate" for _, kind in ddls):
+        # IVM maintenance diffs only the batch's FOLDED keys; a truncate
+        # removes every key, so the views would go silently stale. Fail
+        # loudly until truncate-aware view reset is implemented.
+        raise NotImplementedError(
+            "agg_views cannot be maintained across a TRUNCATE epoch; "
+            "rebuild the views from the post-truncate table instead"
+        )
 
     changes = decoded_changes(
         events,
@@ -253,7 +271,7 @@ def apply_batch(
     if names_cache is not None and not isinstance(names_cache, ColumnNameCache):
         names_cache = ColumnNameCache(names_cache)
 
-    bounds = [(r["binlog_file"], r["binlog_pos"]) for r in ddls] + [None]
+    bounds = [(r["binlog_file"], r["binlog_pos"]) for r, _ in ddls] + [None]
     lo = None
     n_epochs = 0
     total = {"epochs": 0, "version": None}
@@ -288,12 +306,22 @@ def apply_batch(
         n_epochs += 1
 
         if hi is not None:
-            _apply_ddl(table, ddls[i]["sql"])
-            if names_cache is not None:
-                # SchemaChangedListener flow: DDL invalidates the cache so
-                # the next epoch re-fetches (ColumnNameCache.java:31-42)
-                for t in decide_schema_change(ddls[i]["sql"]).tables:
-                    names_cache.invalidate(t.database, t.table)
+            row, kind = ddls[i]
+            if kind == "truncate":
+                # data-reset boundary: clear the table, install the
+                # statement's position as the merge floor so replayed
+                # pre-truncate events cannot resurrect removed rows
+                table.truncate(
+                    position_floor=(row["binlog_file"], row["binlog_pos"])
+                )
+                total["version"] = table.metadata()["version"]
+            else:
+                _apply_ddl(table, row["sql"])
+                if names_cache is not None:
+                    # SchemaChangedListener flow: DDL invalidates the cache
+                    # so the next epoch re-fetches (ColumnNameCache.java:31-42)
+                    for t in decide_schema_change(row["sql"]).tables:
+                        names_cache.invalidate(t.database, t.table)
             lo = hi
 
     # Maintained aggregate views: ONE maintenance pass per batch over the

@@ -493,6 +493,17 @@ class LakeTable:
                 return {"skipped": True, "version": meta["version"]}
 
         version = meta["version"] + 1
+        floor = meta.get("position_floor")
+        if floor:
+            # Data-reset floor (TRUNCATE): changes at or below the
+            # truncating statement's position are replays of removed data.
+            folded = folded.where(
+                F.struct("last_file", "last_pos")
+                > F.struct(
+                    F.lit(floor["file"]).alias("last_file"),
+                    F.lit(int(floor["pos"])).alias("last_pos"),
+                )
+            )
         u = folded.withColumn("_bucket", _bucket_col(keys, n_buckets)).persist()
 
         # One pass over the (small, one-row-per-key) folded set collects both
@@ -779,6 +790,33 @@ class LakeTable:
         ]
         meta["version"] += 1
         self._write_metadata(meta)
+
+    def truncate(
+        self, position_floor: tuple[str, int] | None = None
+    ) -> dict:
+        """TRUNCATE TABLE, Iceberg-style: a metadata-only commit with an
+        empty bucket map — old data files stay on disk for time travel
+        (expire_snapshots reclaims them later). `position_floor` records
+        the truncating statement's binlog position; merge() drops any
+        folded change at or below it, so an at-least-once REPLAY of
+        pre-truncate events cannot resurrect rows the truncate removed
+        (the per-key position gate can't help here — the target rows no
+        longer exist to gate against)."""
+        meta = self.metadata()
+        meta["version"] += 1
+        meta["buckets"] = {}
+        meta["deltas"] = {}
+        meta["delta_bytes"] = {}
+        meta["hot_keys"] = []
+        meta["metrics"]["n_rows"] = 0
+        if position_floor is not None:
+            meta["position_floor"] = {
+                "file": position_floor[0],
+                "pos": int(position_floor[1]),
+            }
+        meta["ts"] = time.time()
+        self._write_metadata(meta)
+        return {"version": meta["version"]}
 
     def compact(
         self, retire_tombstones_before: tuple[str, int] | None = None

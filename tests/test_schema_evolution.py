@@ -149,3 +149,68 @@ def test_drop_column_metadata_only(spark, tmp_table_path):
     # changes() across the drop uses the to-version schema (no content col)
     ch = table.changes(v_before)
     assert "content" not in ch.columns
+
+
+def test_truncate_epoch_clears_table_and_floors_replays(spark, tmp_table_path):
+    """TRUNCATE in the stream (data-reset epoch, functions.ddl.
+    decide_data_reset): pre-truncate rows merged then cleared, post-
+    truncate rows survive, and a replayed pre-truncate event in a LATER
+    batch is dropped by the position floor instead of resurrecting."""
+    table = LakeTable.create(
+        spark, tmp_table_path, BASE_SCHEMA, ["repo", "path"], n_buckets=2
+    )
+    rows = [
+        _base(10, "TABLE_MAP", table_id=7, database="codehub",
+              table="repo_files", column_types=[15, 15, 15],
+              column_names=["repo", "path", "content"]),
+        _base(20, "WRITE_ROWS", table_id=7,
+              rows_after=[{"repo": "r", "path": "a", "content": "one"}]),
+        _base(30, "WRITE_ROWS", table_id=7,
+              rows_after=[{"repo": "r", "path": "b", "content": "two"}]),
+        _base(40, "QUERY", sql="truncate table codehub.repo_files"),
+        _base(50, "TABLE_MAP", table_id=7, database="codehub",
+              table="repo_files", column_types=[15, 15, 15],
+              column_names=["repo", "path", "content"]),
+        _base(60, "WRITE_ROWS", table_id=7,
+              rows_after=[{"repo": "r", "path": "c", "content": "three"}]),
+    ]
+    res = apply_batch(_events(spark, rows), table, CdcConfig(),
+                      stream_id="s", batch_id=0)
+    assert res["epochs"] == 2
+    assert {r["path"]: r["content"] for r in table.read().collect()} \
+        == {"c": "three"}
+    # time travel: the pre-truncate state is still readable
+    pre = table.read(version=1)
+    assert {r["path"] for r in pre.collect()} == {"a", "b"}
+
+    # a later batch replaying a PRE-truncate event must not resurrect it
+    replay = [
+        _base(10, "TABLE_MAP", table_id=7, database="codehub",
+              table="repo_files", column_types=[15, 15, 15],
+              column_names=["repo", "path", "content"]),
+        _base(20, "WRITE_ROWS", table_id=7,
+              rows_after=[{"repo": "r", "path": "a", "content": "one"}]),
+        _base(70, "WRITE_ROWS", table_id=7,
+              rows_after=[{"repo": "r", "path": "d", "content": "four"}]),
+    ]
+    apply_batch(_events(spark, replay), table, CdcConfig(),
+                stream_id="s", batch_id=1)
+    assert {r["path"] for r in table.read().collect()} == {"c", "d"}
+
+
+def test_truncate_other_table_ignored(spark, tmp_table_path):
+    table = LakeTable.create(
+        spark, tmp_table_path, BASE_SCHEMA, ["repo", "path"], n_buckets=2
+    )
+    rows = [
+        _base(10, "TABLE_MAP", table_id=7, database="codehub",
+              table="repo_files", column_types=[15, 15, 15],
+              column_names=["repo", "path", "content"]),
+        _base(20, "WRITE_ROWS", table_id=7,
+              rows_after=[{"repo": "r", "path": "a", "content": "one"}]),
+        _base(30, "QUERY", sql="truncate table otherdb.other"),
+    ]
+    res = apply_batch(_events(spark, rows), table, CdcConfig(),
+                      stream_id="s", batch_id=0)
+    assert res["epochs"] == 1
+    assert table.read().count() == 1
