@@ -495,6 +495,100 @@ def q_cdc_names_channel(spark, sf):
     return table.read()
 
 
+def q_cdc_truncate(spark, sf):
+    """TRUNCATE mid-stream as a data-reset epoch (ddl.decide_data_reset +
+    LakeTable.truncate): every doc inserted, the table truncated, then a
+    third of the docs re-inserted with changed values — the final state
+    must contain ONLY the post-truncate rows (position floor guards
+    replays; reference QueryDecider deliberately does not flag TRUNCATE,
+    so this path is engine-added data-integrity beyond the listener)."""
+    from mariadb_cdc_spark.gen import _pad_envelope
+    from mariadb_cdc_spark.pipeline import CdcConfig, apply_batch
+    from mariadb_cdc_spark.sources.lake import LakeTable
+    from pyspark.sql import types as T
+
+    docs = _docs(spark, sf).select("doc_id", "lang")
+    base = [
+        F.lit(1).cast("long").alias("server_id"),
+        F.timestamp_seconds(F.lit(1704067200)).alias("ts"),
+        F.lit(None).cast("string").alias("gtid"),
+    ]
+    tmap = _pad_envelope(
+        spark.range(1).select(
+            *base,
+            F.lit("bin.000001").alias("binlog_file"),
+            F.lit(2).cast("long").alias("binlog_pos"),
+            F.lit("TABLE_MAP").alias("event_type"),
+        ),
+        {
+            "table_id": F.lit(7).cast("long"),
+            "database": F.lit("test"),
+            "table": F.lit("docs"),
+            "column_types": F.array(F.lit(15), F.lit(15)),
+            "column_names": F.array(F.lit("id"), F.lit("lang")),
+        },
+    )
+    ins = _pad_envelope(
+        docs.select(
+            *base,
+            F.lit("bin.000001").alias("binlog_file"),
+            (F.col("doc_id").cast("long") * 16 + 100).alias("binlog_pos"),
+            F.lit("WRITE_ROWS").alias("event_type"),
+            "doc_id",
+            "lang",
+        ).withColumn(
+            "rows_after",
+            F.array(
+                F.create_map(
+                    F.lit("id"), F.col("doc_id").cast("string"),
+                    F.lit("lang"), F.col("lang"),
+                )
+            ),
+        ),
+        {"table_id": F.lit(7).cast("long")},
+    )
+    trunc = _pad_envelope(
+        spark.range(1).select(
+            *base,
+            F.lit("bin.000002").alias("binlog_file"),
+            F.lit(2).cast("long").alias("binlog_pos"),
+            F.lit("QUERY").alias("event_type"),
+        ),
+        {"sql": F.lit("truncate table test.docs")},
+    )
+    ins2 = _pad_envelope(
+        docs.where(F.pmod("doc_id", F.lit(3)) == 0)
+        .select(
+            *base,
+            F.lit("bin.000002").alias("binlog_file"),
+            (F.col("doc_id").cast("long") * 16 + 100).alias("binlog_pos"),
+            F.lit("WRITE_ROWS").alias("event_type"),
+            "doc_id",
+            "lang",
+        )
+        .withColumn(
+            "rows_after",
+            F.array(
+                F.create_map(
+                    F.lit("id"), F.col("doc_id").cast("string"),
+                    F.lit("lang"), F.upper(F.col("lang")),
+                )
+            ),
+        ),
+        {"table_id": F.lit(7).cast("long")},
+    )
+    events = tmap.unionByName(ins).unionByName(trunc).unionByName(ins2)
+
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in ["id", "lang"]]
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_q_trunc_")
+    table = LakeTable.create(spark, f"{tmp}/docs", schema, ["id"], n_buckets=8)
+    cfg = CdcConfig(database="test", table="docs", keys=["id"])
+    apply_batch(events, table, cfg, stream_id="trunc", batch_id=0)
+    return table.read()
+
+
 def q_cdc_scd2_history(spark, sf):
     """SCD2 history materialization over the generic change stream: one row
     per state version with validity interval [valid_from_event,
@@ -1233,6 +1327,7 @@ QUERIES: dict[str, Callable] = {
     "cdc_typed_decode": q_cdc_typed_decode,
     "cdc_typed_agg": q_cdc_typed_agg,
     "cdc_names_channel": q_cdc_names_channel,
+    "cdc_truncate": q_cdc_truncate,
     "cdc_scd2_history": q_cdc_scd2_history,
     "cdc_time_travel": q_cdc_time_travel,
     "cdc_incremental_agg": q_cdc_incremental_agg,
@@ -1610,6 +1705,11 @@ def oracle_sql() -> dict[str, str]:
                    lower(hex('p' || doc_id::VARCHAR)) as payload,
                    '{"k":' || doc_id || '}' as attrs
             from v
+        """,
+        "cdc_truncate": """
+            -- only the post-truncate re-inserts survive the data reset
+            select doc_id::VARCHAR as id, upper(lang) as lang
+            from documents where doc_id % 3 = 0
         """,
         "cdc_names_channel": """
             select doc_id::VARCHAR as id,
