@@ -65,6 +65,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--streaming", action="store_true",
                     help="run as a Structured Streaming query (--events)")
     ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--retain-versions", type=int, default=None,
+                    help="expire all but the newest N snapshots after each "
+                         "committed batch (in-line maintenance; default: "
+                         "keep full history)")
     args = ap.parse_args(argv)
 
     from mariadb_cdc_spark.pipeline import CdcConfig, apply_batch
@@ -86,7 +90,7 @@ def main(argv: list[str] | None = None) -> int:
             n_buckets=args.n_buckets,
         )
     )
-    cfg = CdcConfig()
+    cfg = CdcConfig(retain_versions=args.retain_versions)
 
     if args.streaming:
         if not (args.events and args.checkpoint):
