@@ -194,9 +194,10 @@ def kmeans_assign(
         starts from identical centroids on any engine.
 
     Plan shape at scale (N vectors, dim d, k clusters):
-      - centroids are O(k*d) — always BROADCAST; the N-row side never
-        shuffles for the assignment step (narrow crossJoin + per-row
-        argmin via min_by, no window);
+      - centroids are O(k*d) driver-side state inlined as an array
+        LITERAL, so assignment is a pure projection (distances + argmin
+        inside whole-stage codegen) — ZERO shuffle, zero row blowup on
+        the N side;
       - the update step shuffles (cluster, pos) pairs — N*d rows but only
         k*d groups, map-side combined by partial avg, so the exchange
         carries O(partitions * k * d) bytes, not O(N*d);
@@ -248,25 +249,46 @@ def _kmeans_fit(corpus, k, iters, id_col, vec_col, round_to):
         for i, r in enumerate(sorted(seeds, key=lambda r: (r["hk"], r["vid"])))
     ]
 
-    spark = corpus.sparkSession
-
     def _assign(cent_rows):
-        cdf = spark.createDataFrame(cent_rows, "cluster int, c array<double>")
-        d2 = F.round(
-            F.aggregate(
-                F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+        # Assignment is a PURE PROJECTION, not a join: the centroids are
+        # O(k*d) driver-side state, so they inline as an array literal and
+        # each row computes its k distances + argmin inside whole-stage
+        # codegen — zero shuffle, zero row blowup (the crossJoin+groupBy
+        # formulation costs a k-fold explode plus an N-row hash aggregate
+        # for the same answer). Ties break to the smaller cluster id
+        # (array_position returns the FIRST minimum), matching the
+        # (dist, cid) ordering the SQL oracle uses. Plans stay reasonable
+        # to k*d ~ tens of thousands of literals; beyond that a broadcast
+        # join variant would take over.
+        cents_lit = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in c])
+                for _, c in sorted(cent_rows)
+            ]
+        )
+        d2 = F.transform(
+            cents_lit,
+            lambda c: F.round(
+                F.aggregate(
+                    F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                round_to,
             ),
-            round_to,
         )
-        scored = vecs.crossJoin(F.broadcast(cdf)).select(
-            "vid", "v", "cluster", d2.alias("dist")
-        )
-        best = F.struct(F.col("dist"), F.col("cluster"))
-        return scored.groupBy("vid", "v").agg(
-            F.min_by("cluster", best).alias("cluster"),
-            F.min("dist").alias("dist"),
+        # cluster ids are dense 0..len-1 after the sorted() above, but may
+        # be a SUBSET of 0..k-1 when a cluster emptied — map positions back
+        # to the surviving ids.
+        ids_lit = F.array(*[F.lit(int(i)) for i, _ in sorted(cent_rows)])
+        return vecs.select(
+            "vid",
+            "v",
+            F.element_at(
+                ids_lit,
+                F.array_position(d2, F.array_min(d2)).cast("int"),
+            ).alias("cluster"),
+            F.array_min(d2).alias("dist"),
         )
 
     for _ in range(iters):
