@@ -117,3 +117,27 @@ def test_type_mapping():
     assert mysql_type_to_lake("DECIMAL(10,2)") == "decimal(10,2)"
     assert mysql_type_to_lake("datetime") == "timestamp_ntz"
     assert mysql_type_to_lake("bigint") == "bigint"
+
+
+def test_classifiers_total_on_arbitrary_input():
+    """The DDL and data-reset classifiers must be TOTAL functions of any
+    SQL-ish string (a malformed QUERY event must never kill the batch):
+    hypothesis fuzz for no-crash + stable return types."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mariadb_cdc_spark.functions.ddl import (
+        decide_data_reset,
+        decide_schema_change,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=120))
+    def _run(sql):
+        d = decide_schema_change(sql)
+        assert isinstance(d.is_schema_change, bool)
+        assert isinstance(d.tables, tuple)
+        r = decide_data_reset(sql)
+        assert r is None or r.table
+
+    _run()
