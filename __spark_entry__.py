@@ -1200,6 +1200,44 @@ def q_ann_ivf_probe(spark, sf):
     )
 
 
+def q_ann_recall(spark, sf):
+    """Self-measuring IVF quality: recall@10 of the multi-probe search
+    (n_probe=2 of 8 learned clusters) against exact brute force, per
+    query — the accuracy side of the IVF speed/recall trade quantified
+    inside the engine itself."""
+    from mariadb_cdc_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_probe_topk,
+        kmeans_assign,
+        kmeans_centroids,
+    )
+
+    emb = _emb(spark, sf)
+    q = emb.where(F.col("vec_id") < 5)
+    bf = brute_force_topk(emb, q, k=10).select(
+        "query_id", F.col("neighbor_id").alias("nb")
+    )
+    asg = kmeans_assign(emb, k=8, iters=2).select("vec_id", "cluster")
+    pr = ivf_probe_topk(
+        emb.join(asg, "vec_id"), q, kmeans_centroids(emb, k=8, iters=2),
+        k=10, n_probe=2,
+    ).select("query_id", F.col("neighbor_id").alias("nb"))
+    hits = bf.join(pr, ["query_id", "nb"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        bf.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(10.0), 4
+            ).alias("recall_at_10"),
+        )
+    )
+
+
 def q_emb_quantize(spark, sf):
     """Per-vector int8 quantization stats (similarity.quantize_embeddings):
     the float32->int8 storage cut for ANN corpora, verified value-level
@@ -1360,6 +1398,7 @@ QUERIES: dict[str, Callable] = {
     "ann_ivf": q_ann_ivf,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "ann_ivf_probe": q_ann_ivf_probe,
+    "ann_recall": q_ann_recall,
     "emb_kmeans": q_emb_kmeans,
     "emb_quantize": q_emb_quantize,
     "emb_neardup": q_emb_neardup,
@@ -2437,6 +2476,22 @@ def oracle_sql() -> dict[str, str]:
             where rank <= 10
         """
     )
+    # IVF recall@10: intersect the probe oracle's top-10 with the exact
+    # brute-force oracle's top-10 per query.
+    oracles["ann_recall"] = f"""
+        with bf as (select query_id, neighbor_id
+                    from ({oracles['ann_bruteforce']})),
+        pr as (select query_id, neighbor_id
+               from ({oracles['ann_ivf_probe']})),
+        hits as (select bf.query_id, count(*) as n_hits
+                 from bf join pr using (query_id, neighbor_id)
+                 group by bf.query_id)
+        select q.query_id,
+               coalesce(h.n_hits, 0)::BIGINT as n_hits,
+               round(coalesce(h.n_hits, 0) / 10.0, 4) as recall_at_10
+        from (select distinct query_id from bf) q
+        left join hits h using (query_id)
+    """
     # Bootstrap converges to the same final state as the full replay: the
     # snapshot is exactly the wave-0 state and the tail applies waves 1+.
     oracles["cdc_bootstrap"] = oracles["cdc_pipeline_e2e"]
