@@ -131,6 +131,10 @@ def decode_datetime2(buf: bytes, fsp: int = 0) -> dt.datetime | None:
     if month == 0 or day == 0:
         return None
     micros = 0
+    if fsp < 0 or fsp > 6:
+        # corrupt metadata; ValueError is the contained error class the
+        # engine's per-value fallback degrades to raw hex
+        raise ValueError(f"fsp out of range: {fsp}")
     nb = (fsp + 1) // 2
     if nb:
         frac = int.from_bytes(buf[5 : 5 + nb], "big")
@@ -238,6 +242,10 @@ def encode_time2(value: dt.time, fsp: int = 0) -> bytes:
 def _decode_fsp_bytes(frac_buf: bytes, fsp: int) -> int:
     """Fractional-second bytes -> microseconds (readFsp semantics:
     1 byte = centiseconds*? stored as value*10^(6-2*nbytes))."""
+    if fsp < 0 or fsp > 6:
+        # corrupt metadata: keep the failure inside the contained error
+        # set (10**negative would silently go float -> TypeError)
+        raise ValueError(f"fsp out of range: {fsp}")
     nb = (fsp + 1) // 2
     if nb == 0:
         return 0

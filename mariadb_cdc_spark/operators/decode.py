@@ -13,6 +13,8 @@ posexplode + arrays_zip keep the stage inside whole-stage codegen.
 
 from __future__ import annotations
 
+import struct
+
 import pandas as pd  # noqa: F401 (pandas_udf type-hint resolution)
 
 from pyspark.sql import DataFrame
@@ -214,8 +216,18 @@ def decode_wire_images(resolved: DataFrame) -> DataFrame:
                     out[k] = td.decode_wire_value(
                         int(code), int(meta or 0), bytes.fromhex(v), labels
                     )
-                except (ValueError, IndexError):
-                    out[k] = v  # not wire-encoded after all: keep raw
+                except (
+                    ValueError,      # non-hex, out-of-range temporal fields
+                    IndexError,      # short buffer for the declared layout
+                    OverflowError,   # timestamp past the epoch range
+                    OSError,         # platform fromtimestamp limits
+                    struct.error,    # FLOAT/DOUBLE buffer width mismatch
+                ):
+                    # poison-pill containment: a corrupt value must not
+                    # kill the batch (which would crash-loop the stream) —
+                    # keep the raw hex so the row lands inspectable and
+                    # the rest of the stream proceeds
+                    out[k] = v
             return out
 
         return pd.Series(

@@ -258,3 +258,31 @@ def test_wire_dispatch_string_blob_family():
         td.decode_wire_value(255, 4, td.encode_blob(b"\x00\x01WKB", 4))
         == b"\x00\x01WKB".hex()
     )
+
+
+def test_wire_kernels_raise_only_contained_error_types():
+    """Poison-pill contract: whatever garbage bytes a corrupt event
+    carries, every wire kernel either decodes or raises one of the error
+    types decode_wire_images contains (ValueError / IndexError /
+    OverflowError / OSError / struct.error) — anything else would escape
+    the per-value fallback and kill the batch. Seeded fuzz."""
+    import random
+    import struct as _struct
+
+    from mariadb_cdc_spark.functions import typedec as td
+
+    contained = (ValueError, IndexError, OverflowError, OSError, _struct.error)
+    rng = random.Random(42)
+    bufs = [b"", b"\x00", b"\xff" * 3, b"\xff" * 8, b"\xff" * 64] + [
+        bytes(rng.randrange(256) for _ in range(n))
+        for n in (1, 2, 5, 7, 9, 16, 33)
+        for _ in range(6)
+    ]
+    metas = [0, 1, 2, 3, 0x0C04, 0xFEFF, 65535]
+    for code in sorted(td.WIRE_TYPES):
+        for buf in bufs:
+            for meta in metas:
+                try:
+                    td.decode_wire_value(code, meta, buf, ["a", "b"])
+                except contained:
+                    pass  # the engine path degrades these to raw hex
