@@ -212,6 +212,22 @@ def resize_ppm(pixels: "np.ndarray", factor: int = 2) -> "np.ndarray":
 
 import zlib
 
+# Poison-pill containment for the media feature extractors: a corrupt or
+# truncated payload emits a null-feature row (media_id kept, so the bad
+# input stays inspectable downstream) instead of failing the Arrow task
+# and crash-looping the job. Same contract as the wire decoders
+# (operators/decode.py decode_wire_images).
+_DECODE_ERRORS = (
+    ValueError,            # bad magic/header/CRC/filter
+    NotImplementedError,   # valid-but-unsupported variant (e.g. PCM24)
+    IndexError,            # truncated buffer
+    OverflowError,
+    TypeError,             # null payload
+    AttributeError,
+    struct.error,
+    zlib.error,            # corrupt deflate stream
+)
+
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -378,13 +394,18 @@ PNG_STATS_SCHEMA = (
 
 def png_stats(media: DataFrame) -> DataFrame:
     """Decode PNG payloads -> dimensions + EXACT integer per-channel pixel
-    sums (no float comparisons in the oracle gate)."""
+    sums (no float comparisons in the oracle gate). Corrupt payloads emit
+    a null-feature row (see _DECODE_ERRORS) instead of failing the task."""
 
     def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = decode_png(payload).astype(np.int64)
+                try:
+                    px = decode_png(payload).astype(np.int64)
+                except _DECODE_ERRORS:
+                    rows.append((int(mid),) + (None,) * 6)
+                    continue
                 hh, ww, _ = px.shape
                 sums = px.reshape(-1, 3).sum(axis=0)
                 rows.append(
@@ -462,7 +483,11 @@ def audio_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                f = decode_wav(payload)
+                try:
+                    f = decode_wav(payload)
+                except _DECODE_ERRORS:
+                    rows.append((int(mid),) + (None,) * 5)
+                    continue
                 rows.append(
                     (int(mid), f["sample_rate"], f["n_samples"],
                      f["duration_ms"], round(f["peak"], 6), round(f["rms"], 6))
@@ -486,8 +511,12 @@ def image_stats(media: DataFrame, thumb_factor: int = 2) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = decode_ppm(payload)
-                th = resize_ppm(px, thumb_factor)
+                try:
+                    px = decode_ppm(payload)
+                    th = resize_ppm(px, thumb_factor)
+                except _DECODE_ERRORS:
+                    rows.append((int(mid),) + (None,) * 8)
+                    continue
                 h, w, _ = px.shape
                 means = px.reshape(-1, 3).mean(axis=0)
                 rows.append(

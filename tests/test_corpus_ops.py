@@ -288,3 +288,38 @@ def test_keep_best_keeps_highest_metric_with_id_tiebreak(spark):
     assert out[10]["kept"] and out[11]["keep_id"] == 10
     # exactly one survivor per group
     assert sum(1 for r in out.values() if r["kept"]) == 2
+
+
+# ----------------------------------------------- media poison containment
+
+def test_corrupt_media_payloads_emit_null_rows_not_task_failure(spark):
+    from mariadb_cdc_spark.functions.multimodal import (
+        audio_features,
+        encode_ppm,
+        encode_wav,
+        image_stats,
+        png_stats,
+    )
+    import numpy as np
+
+    good_wav = encode_wav(np.array([100, -100, 100, -100]), 8000)
+    good_ppm = encode_ppm(np.zeros((4, 4, 3), dtype=np.uint8))
+    media = spark.createDataFrame(
+        [
+            (1, "audio", "audio/wav", bytearray(good_wav)),
+            (2, "audio", "audio/wav", bytearray(b"RIFFgarbage")),
+            (3, "image", "image/x-portable-pixmap", bytearray(good_ppm)),
+            (4, "image", "image/x-portable-pixmap", bytearray(b"P6 bad")),
+            (5, "image", "image/png", bytearray(b"\x89PNG\r\n\x1a\nnope")),
+        ],
+        "media_id long, kind string, mime string, payload binary",
+    )
+    au = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert au[1]["sample_rate"] == 8000
+    assert au[2]["sample_rate"] is None and au[2]["rms"] is None
+    im = {r["media_id"]: r for r in image_stats(media).collect()}
+    assert im[3]["n_pixels"] == 16
+    assert im[4]["width"] is None
+    pg = {r["media_id"]: r for r in
+          png_stats(media.where("media_id = 5")).collect()}
+    assert pg[5]["sum_r"] is None
