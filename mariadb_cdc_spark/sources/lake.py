@@ -535,6 +535,27 @@ class LakeTable:
         deltas = meta.setdefault("deltas", {})
         dbytes = meta.setdefault("delta_bytes", {})
 
+        if n_upserts == 0:
+            # Empty epoch (idle stream / heartbeat-only batch): commit the
+            # exactly-once marker and lineage METADATA-ONLY — no empty data
+            # dir per idle trigger interval, which at a 1s trigger would
+            # otherwise mint 86k junk commits a day for retention to chase.
+            u.unpersist()
+            meta["version"] = version
+            if batch_id is not None:
+                meta["committed"][stream_id] = batch_id
+            if lineage:
+                for sid, posinfo in lineage.items():
+                    cur = meta["lineage"].get(str(sid))
+                    if cur is None or (posinfo["file"], posinfo["pos"]) >= (
+                        cur["file"],
+                        cur["pos"],
+                    ):
+                        meta["lineage"][str(sid)] = posinfo
+            meta["ts"] = time.time()
+            self._write_metadata(meta)
+            return {"skipped": False, "version": version, "buckets": 0}
+
         # schema evolution: image keys not yet in the schema become new
         # string columns (metadata-only; DDL-driven typed evolution goes
         # through add_column/rename_column/widen_column).

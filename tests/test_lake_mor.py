@@ -218,3 +218,24 @@ def test_compact_retires_tombstones_behind_replay_horizon(spark, tmp_path):
                                  11_999)]),
                 stream_id="init", batch_id=2)
     assert "k3" not in {r["id"] for r in table.read().collect()}
+
+
+def test_empty_merge_is_metadata_only(spark, tmp_path):
+    import os
+
+    table = _init(spark, str(tmp_path / "te"), n=10)
+    v1 = table.metadata()["version"]
+    empty = _folded(spark, []).limit(0)
+    res = table.merge(
+        empty, stream_id="init", batch_id=1,
+        lineage={"1": {"file": "bin.000009", "pos": 42}},
+    )
+    assert res["buckets"] == 0 and res["version"] == v1 + 1
+    # exactly-once marker + lineage advanced, but NO new data dir
+    meta = table.metadata()
+    assert meta["committed"]["init"] == 1
+    assert meta["lineage"]["1"]["pos"] == 42
+    assert not os.path.isdir(
+        os.path.join(str(tmp_path / "te"), "data", f"v{v1 + 1}")
+    )
+    assert table.read().count() == 10
