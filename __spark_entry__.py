@@ -1307,6 +1307,52 @@ def q_events_funnel(spark, sf):
     )
 
 
+def q_events_asof_enrich(spark, sf):
+    """General as-of join (operators/asof.py): every click event enriched
+    with the user's most recent purchase at-or-before it — pandas
+    merge_asof / DuckDB ASOF JOIN semantics as a single-shuffle Spark
+    operator (union + per-key running last, no range explosion). Right-side
+    right_ts ties resolve by greatest event_id (right_order), matching the
+    oracle's per-(user, ts) max_by dedup."""
+    from mariadb_cdc_spark.operators.asof import asof_join
+
+    ev = _ev(spark, sf)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_event_id"),
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        right_order=["purchase_event_id"],
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "purchase_event_id",
+        F.unix_micros(F.col("p_ts").cast("timestamp")).alias(
+            "purchase_ts_us"
+        ),
+    )
+
+
+def q_text_bm25(spark, sf):
+    """BM25 retrieval over the corpus for a fixed bag-of-words query —
+    lexical corpus carving (functions/text.bm25_scores): per-term tf as
+    scan expressions, one 1-row stats agg broadcast back, top-k via
+    TakeOrderedAndProject."""
+    from mariadb_cdc_spark.functions.text import bm25_scores
+
+    return bm25_scores(_docs(spark, sf), ["hash", "join", "merge"])
+
+
 def q_agg_pricing(spark, sf):
     """TPC-H Q1 shape: the scan+groupBy baseline the bench tracks."""
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
@@ -1407,6 +1453,8 @@ QUERIES: dict[str, Callable] = {
     "media_png_stats": q_media_png_stats,
     "events_cohort_retention": q_events_cohort_retention,
     "events_funnel": q_events_funnel,
+    "events_asof_enrich": q_events_asof_enrich,
+    "text_bm25": q_text_bm25,
     "agg_pricing": q_agg_pricing,
     "join_revenue": q_join_revenue,
 }
@@ -2512,4 +2560,51 @@ def oracle_sql() -> dict[str, str]:
           using (repo, path)
         """
     )
+    # General as-of join vs DuckDB's native ASOF JOIN. The oracle dedupes
+    # right-ts ties with max(event_id) — exactly the operator's
+    # right_order=[event_id] greatest-wins tiebreak.
+    oracles["events_asof_enrich"] = """
+        with r as (select user_id, ts as p_ts,
+                          max(event_id) as purchase_event_id
+                   from events where event_type = 'purchase'
+                   group by user_id, ts),
+        l as (select user_id, event_id, ts from events
+              where event_type = 'click')
+        select l.user_id, l.event_id, r.purchase_event_id,
+               epoch_us(r.p_ts) as purchase_ts_us
+        from l asof left join r
+          on l.user_id = r.user_id and l.ts >= r.p_ts
+    """
+    # BM25 (k1=1.2, b=0.75, +1-inside-log idf) for query {hash, join, merge};
+    # expression shapes and operation order mirror functions/text.bm25_scores
+    # so the rounded doubles agree bit-for-bit.
+    bm_terms = ["hash", "join", "merge"]
+    bm_toks = _LTOKS.format(c="text")
+    bm_tf = ",\n               ".join(
+        f"len(list_filter(toks, t -> t = '{w}')) as tf_{i}"
+        for i, w in enumerate(bm_terms)
+    )
+    bm_df = ", ".join(
+        f"sum(case when tf_{i} > 0 then 1 else 0 end) as df_{i}"
+        for i in range(len(bm_terms))
+    )
+    bm_score = " + ".join(
+        f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i} * 2.2 / (tf_{i} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+        for i in range(len(bm_terms))
+    )
+    oracles["text_bm25"] = f"""
+        with base as (
+          select doc_id, len(toks) as dl,
+               {bm_tf}
+          from (select doc_id, {bm_toks} as toks from documents)),
+        stats as (select count(*) as n_docs, avg(dl) as avgdl, {bm_df}
+                  from base)
+        select doc_id, bm25 from (
+          select doc_id, round({bm_score}, 4) as bm25
+          from base cross join stats)
+        where bm25 > 0
+        order by bm25 desc, doc_id asc
+        limit 20
+    """
     return oracles

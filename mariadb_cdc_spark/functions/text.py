@@ -280,3 +280,71 @@ def unigram_logprob(
             ).alias("bits_per_token"),
         )
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 relevance of every document to a bag-of-words query — the
+    classic retrieval scorer (Robertson/Sparck Jones), used in training-data
+    pipelines for targeted corpus carving (pull the docs most relevant to a
+    topic) and as the lexical leg of hybrid lexical+ANN search next to
+    `similarity.brute_force_topk`.
+
+    Scale shape: per-term tf is a pure scan expression (size(filter(tokens)))
+    — no explode, no shuffle on the corpus; the corpus-level stats (N, avgdl,
+    per-term df) reduce to ONE map-side-combined row broadcast back via
+    crossJoin; the final top-k is orderBy+limit = TakeOrderedAndProject
+    (per-partition heaps + driver merge of top_k rows, never a global sort).
+    At 100 TB: one scan + one 1-row agg + one top-k.
+
+    idf uses the +1-inside-the-log BM25 variant (always positive, no
+    negative-idf clamp needed): ln(1 + (N - df + 0.5) / (df + 0.5)).
+    Deterministic output: score rounded to 4 decimals, ties broken by id.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def _tf(word):
+        # NB: the lambda must be unary — F.filter passes the element INDEX
+        # as a second argument to two-parameter lambdas.
+        return F.size(F.filter(toks, lambda t: t == F.lit(word)))
+
+    tf_cols = [
+        _tf(w).alias(f"tf_{i}") for i, w in enumerate(query_terms)
+    ]
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.size(toks).alias("dl"), *tf_cols
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(query_terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        tf = F.col(f"tf_{i}").cast("double")
+        term = idf * tf * F.lit(k1 + 1.0) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+        score = term if score is None else score + term
+    return (
+        scored.select("doc_id", F.round(score, 4).alias("bm25"))
+        .where(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(top_k)
+    )

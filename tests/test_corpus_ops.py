@@ -323,3 +323,37 @@ def test_corrupt_media_payloads_emit_null_rows_not_task_failure(spark):
     pg = {r["media_id"]: r for r in
           png_stats(media.where("media_id = 5")).collect()}
     assert pg[5]["sum_r"] is None
+
+
+def test_bm25_hand_case(spark):
+    """BM25 against hand-computed scores (k1=1.2, b=0.75,
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)))."""
+    import math
+
+    from mariadb_cdc_spark.functions.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog cat"),
+            (2, "dog dog dog dog"),
+            (3, "bird"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.bm25 for r in bm25_scores(docs, ["cat"]).collect()}
+    # N=3, df(cat)=1, avgdl=(3+4+1)/3
+    idf = math.log(1 + (3 - 1 + 0.5) / (1 + 0.5))
+    dl, avgdl, tf = 3, 8 / 3, 2
+    expect = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert out == {1: round(expect, 4)}  # docs without the term filtered
+
+
+def test_bm25_topk_and_tiebreak(spark):
+    from mariadb_cdc_spark.functions.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(i, "same text here") for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = bm25_scores(docs, ["same"], top_k=3).collect()
+    assert [r.doc_id for r in out] == [0, 1, 2]  # equal scores: id asc
