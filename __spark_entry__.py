@@ -291,6 +291,34 @@ def q_cdc_multi_table(spark, sf):
     return a.unionByName(b)
 
 
+def q_cdc_annotate(spark, sf):
+    """ANNOTATE_ROWS statement attachment (operators/annotate.py): the
+    binlog_annotate_row_events=ON stream is enriched with each rows event's
+    originating SQL statement via the two-level distributed prefix scan,
+    then changes are counted per statement. The oracle replays the wave
+    plan's (gate, bucket) closed form — if any rows event attached to the
+    wrong statement, some statement's row count would shift."""
+    from mariadb_cdc_spark.gen import MAIN_TABLE_ID, generate_events, repo_table
+    from mariadb_cdc_spark.operators.annotate import attach_statements
+    from mariadb_cdc_spark.schema import ROWS_EVENT_TYPES
+
+    events = generate_events(
+        repo_table(spark, sf), include_audit=False, include_annotate=True
+    )
+    # small chunks force the multi-chunk carry path, not just within-chunk
+    att = attach_statements(events, chunk_bytes=1 << 14)
+    return (
+        att.where(F.col("event_type").isin(*ROWS_EVENT_TYPES))
+        .where(F.col("table_id") == MAIN_TABLE_ID)
+        .groupBy("statement")
+        .agg(
+            F.sum(
+                F.size(F.coalesce(F.col("rows_after"), F.col("rows_before")))
+            ).alias("n_rows")
+        )
+    )
+
+
 def q_cdc_gap_sessions(spark, sf):
     """S8 liveness / sessionization: lag + cumulative gap count per key
     (the streaming session_window shape, expressed batch-wise)."""
@@ -1406,6 +1434,7 @@ QUERIES: dict[str, Callable] = {
     "cdc_epoch_split": q_cdc_epoch_split,
     "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
     "cdc_multi_table": q_cdc_multi_table,
+    "cdc_annotate": q_cdc_annotate,
     "cdc_gap_sessions": q_cdc_gap_sessions,
     "cdc_change_rates": q_cdc_change_rates,
     "cdc_typed_decode": q_cdc_typed_decode,
@@ -2560,6 +2589,27 @@ def oracle_sql() -> dict[str, str]:
           using (repo, path)
         """
     )
+    # ANNOTATE_ROWS attach: the wave plan's (gate, bucket) closed form gives
+    # each statement's exact affected-row count (one statement per
+    # (wave, bucket) group; gen.generate_events include_annotate).
+    oracles["cdc_annotate"] = """
+        with keyed as (
+          select ('0x' || substring(md5(
+                    chr(31) || 'repo_' || source || chr(31) ||
+                    'src/' || lang || '/doc_' ||
+                    lpad(doc_id::VARCHAR, 8, '0') || '.txt'), 1, 15)
+                 )::BIGINT as kh
+          from documents),
+        g as (select kh % 100 as gate, kh % 32 as bucket from keyed),
+        waves(wave, op, cut) as (
+          values (0, 'INSERT', 100), (1, 'UPDATE', 60), (2, 'UPDATE', 35),
+                 (3, 'DELETE', 15), (4, 'INSERT', 5))
+        select w.op || ' codehub.repo_files /* wave=' || w.wave ||
+               ' bucket=' || g.bucket || ' */' as statement,
+               count(*)::BIGINT as n_rows
+        from g join waves w on g.gate < w.cut
+        group by 1
+    """
     # General as-of join vs DuckDB's native ASOF JOIN. The oracle dedupes
     # right-ts ties with max(event_id) — exactly the operator's
     # right_order=[event_id] greatest-wins tiebreak.

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from .schema import (
     EVENT_SCHEMA,
+    EVT_ANNOTATE,
     EVT_FORMAT_DESCRIPTION,
     EVT_HEARTBEAT,
     EVT_ROTATE,
@@ -180,6 +181,7 @@ def generate_events(
     rows_per_event: int = 1,
     include_audit: bool = True,
     include_stop: bool = False,
+    include_annotate: bool = False,
     extra_events: DataFrame | None = None,
 ) -> DataFrame:
     """Build the full binlog-shaped event table (EVENT_SCHEMA).
@@ -360,6 +362,39 @@ def generate_events(
     )
 
     parts = [rows_events, xids, hbs, fd, rot, tmap_main]
+
+    if include_annotate:
+        # ANNOTATE_ROWS (binlog_annotate_row_events=ON): one statement per
+        # (wave, bucket) change group, placed strictly before the group's
+        # first rows event (pos - 13 sits between the previous event at
+        # pos - 256 and the rows event at pos). Slots order groups
+        # contiguously, so every rows event's nearest preceding annotate is
+        # its own group's — the closed form cdc_annotate's oracle replays.
+        ann = grouped.groupBy("wave", "bucket", "op").agg(
+            F.min("slot").alias("slot")
+        )
+        afile = F.floor(F.col("slot") / F.lit(events_per_file))
+        apos = (F.pmod(F.col("slot"), F.lit(events_per_file)) + 1) * 256 - 13
+        ann = ann.select(
+            F.lit(server_id).cast("long").alias("server_id"),
+            F.concat(
+                F.lit("bin."), F.lpad((afile + 1).cast("string"), 6, "0")
+            ).alias("binlog_file"),
+            apos.cast("long").alias("binlog_pos"),
+            F.lit(EVT_ANNOTATE).alias("event_type"),
+            F.timestamp_seconds(F.lit(BASE_EPOCH) + F.col("slot")).alias("ts"),
+            F.lit(None).cast("string").alias("gtid"),
+            F.concat(
+                F.col("op"),
+                F.lit(f" {MAIN_DATABASE}.{MAIN_TABLE} /* wave="),
+                F.col("wave").cast("string"),
+                F.lit(" bucket="),
+                F.col("bucket").cast("string"),
+                F.lit(" */"),
+            ).alias("stmt"),
+        )
+        ann = _pad_envelope(ann, {"sql": F.col("stmt")}).drop("stmt")
+        parts.append(ann)
 
     if include_stop:
         # STOP: written on clean server shutdown (BinlogEventType.java);

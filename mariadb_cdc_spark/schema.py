@@ -24,6 +24,10 @@ EVT_QUERY = "QUERY"
 EVT_XID = "XID"
 EVT_HEARTBEAT = "HEARTBEAT"
 EVT_STOP = "STOP"
+# ANNOTATE_ROWS (BinlogEventType.java:20, MariaDB binlog_annotate_row_events):
+# carries the SQL statement text that produced the FOLLOWING rows events,
+# until the next annotate. Payload rides the `sql` envelope column.
+EVT_ANNOTATE = "ANNOTATE_ROWS"
 
 ROWS_EVENT_TYPES = (EVT_WRITE_ROWS, EVT_UPDATE_ROWS, EVT_DELETE_ROWS)
 
