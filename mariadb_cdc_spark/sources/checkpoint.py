@@ -198,6 +198,83 @@ def events_after(events: DataFrame, lineage: dict) -> DataFrame:
     return events.where(is_meta).unionByName(events.where(~is_meta & pred))
 
 
+def _gtid_parts() -> tuple[F.Column, F.Column, F.Column]:
+    """MariaDB GTID 'domain-server-seq' split into typed parts."""
+    p = F.split(F.col("gtid"), "-")
+    return (
+        p[0].cast("int").alias("gtid_domain"),
+        p[1].cast("long").alias("gtid_server"),
+        p[2].cast("long").alias("gtid_seq"),
+    )
+
+
+def gtid_lineage(events: DataFrame) -> dict:
+    """Per-(domain, server) max GTID sequence among position-advancing
+    events — the engine's `gtid_current_pos` equivalent. MariaDB GTID is
+    `domain-server-seq`; the reference recognizes GTID_EVENT/GTID_LIST_EVENT
+    (BinlogEventType.java:19-20) but resumes by file/pos only — GTID resume
+    is the modern replication upgrade (CHANGE MASTER ... master_use_gtid).
+
+    Returns {"domain-server": max_seq}. One distributed agg (partial max per
+    scan partition); GTID-less events (heartbeats, control) don't
+    participate, exactly as they don't in a server's gtid_current_pos.
+    """
+    rows = (
+        position_advancing(events)
+        .where(F.col("gtid").isNotNull())
+        .select(*_gtid_parts())
+        .groupBy("gtid_domain", "gtid_server")
+        .agg(F.max("gtid_seq").alias("seq"))
+        .collect()
+    )
+    return {
+        f"{r['gtid_domain']}-{r['gtid_server']}": int(r["seq"]) for r in rows
+    }
+
+
+def resume_after_gtid(events: DataFrame, gtid_pos: dict) -> DataFrame:
+    """Resume strictly after a saved GTID position ({"domain-server": seq}).
+
+    Two-step, like a real server honoring master_use_gtid: (1) TRANSLATE the
+    GTID position to per-server (binlog_file, binlog_pos) — one bounded
+    control-plane aggregate over gtid-carrying events at-or-below the saved
+    seqs (start-time-only cost, the analog of the server scanning its index
+    to locate the slave's GTID); (2) delegate to `events_after`, whose flat
+    (file, pos) atoms push down to the parquet scan — so steady-state
+    pruning is identical to file/pos resume, and GTID is only the durable,
+    server-independent NAME of the position.
+
+    Domains/servers absent from `gtid_pos` replay from the beginning (same
+    as an empty lineage in events_after).
+    """
+    if not gtid_pos:
+        return events
+    covered = F.lit(False)
+    for ds, seq in gtid_pos.items():
+        domain, server = (int(x) for x in ds.split("-"))
+        covered = covered | (
+            (F.col("gtid_domain") == domain)
+            & (F.col("gtid_server") == server)
+            & (F.col("gtid_seq") <= int(seq))
+        )
+    consumed = (
+        events.where(F.col("gtid").isNotNull())
+        .select("server_id", "binlog_file", "binlog_pos", *_gtid_parts())
+        .where(covered)
+        .groupBy("server_id")
+        .agg(F.max(F.struct("binlog_file", "binlog_pos")).alias("p"))
+        .collect()
+    )
+    lineage = {
+        str(r["server_id"]): {
+            "file": r["p"]["binlog_file"],
+            "pos": int(r["p"]["binlog_pos"]),
+        }
+        for r in consumed
+    }
+    return events_after(events, lineage)
+
+
 def validate_position(
     events: DataFrame,
     saved: BinlogPosition | None,

@@ -99,3 +99,75 @@ def test_events_after_keeps_metadata_events(spark):
         (20, "TABLE_MAP"),
         (200, "WRITE_ROWS"),
     ]
+
+
+def test_gtid_lineage_tracks_max_seq_per_domain_server(spark):
+    from pyspark.sql import functions as F
+
+    from mariadb_cdc_spark.gen import generate_events, repo_table
+    from mariadb_cdc_spark.sources.checkpoint import gtid_lineage
+
+    events = generate_events(
+        repo_table(spark, "/root/testdata/sf0.001"), include_audit=False
+    )
+    lin = gtid_lineage(events)
+    expect = (
+        events.where(F.col("gtid").isNotNull())
+        .select(F.max(F.split("gtid", "-")[2].cast("long")))
+        .collect()[0][0]
+    )
+    assert lin == {"0-1": int(expect)}
+
+
+def test_resume_after_gtid_replays_exactly_the_suffix(spark):
+    """Cut the stream at a GTID, resume from the prefix's gtid_lineage:
+    the result holds every gtid event past the cut, none at/below it, and
+    all metadata events (a rows event is only decodable through its map)."""
+    from pyspark.sql import functions as F
+
+    from mariadb_cdc_spark.gen import generate_events, repo_table
+    from mariadb_cdc_spark.schema import NO_POSITION_SAVE_TYPES
+    from mariadb_cdc_spark.sources.checkpoint import (
+        gtid_lineage,
+        resume_after_gtid,
+    )
+
+    events = generate_events(
+        repo_table(spark, "/root/testdata/sf0.001"), include_audit=False
+    )
+    seq = F.split("gtid", "-")[2].cast("long")
+    cut = int(
+        events.where(F.col("gtid").isNotNull())
+        .select(F.percentile_approx(seq, 0.5))
+        .collect()[0][0]
+    )
+    prefix = events.where(F.col("gtid").isNull() | (seq <= cut))
+    resumed = resume_after_gtid(events, gtid_lineage(prefix))
+
+    # no consumed gtid event replays
+    assert resumed.where(seq <= cut).count() == 0
+    # every post-cut gtid event is present
+    n_suffix = events.where(seq > cut).count()
+    assert resumed.where(seq > cut).count() == n_suffix
+    # metadata events all survive the resume filter
+    n_meta = events.where(
+        F.col("event_type").isin(*NO_POSITION_SAVE_TYPES)
+    ).count()
+    assert (
+        resumed.where(
+            F.col("event_type").isin(*NO_POSITION_SAVE_TYPES)
+        ).count()
+        == n_meta
+    )
+
+
+def test_resume_after_gtid_unknown_domain_replays_all(spark):
+    from mariadb_cdc_spark.gen import generate_events, repo_table
+    from mariadb_cdc_spark.sources.checkpoint import resume_after_gtid
+
+    events = generate_events(
+        repo_table(spark, "/root/testdata/sf0.001"), include_audit=False
+    )
+    # saved position names a domain-server this stream never produced
+    resumed = resume_after_gtid(events, {"7-99": 10**9})
+    assert resumed.count() == events.count()
