@@ -933,6 +933,14 @@ def q_dedup_simhash(spark, sf):
     return simhash(_docs(spark, sf), bits=16)
 
 
+def q_dedup_passage(spark, sf):
+    """Passage-level (fixed token-chunk) exact dedup — the line/paragraph
+    boilerplate screen; linear in corpus tokens, no pairwise join."""
+    from mariadb_cdc_spark.functions.dedup import passage_duplicates
+
+    return passage_duplicates(_docs(spark, sf), chunk_tokens=20)
+
+
 def q_text_quality(spark, sf):
     from mariadb_cdc_spark.functions.text import quality_features
 
@@ -1455,6 +1463,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_groups": q_dedup_groups,
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_passage": q_dedup_passage,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -2018,6 +2027,28 @@ def oracle_sql() -> dict[str, str]:
                {simhash_votes}
                from hashed group by id)
             select id, ({simhash_sig})::BIGINT as simhash from votes
+        """,
+        "dedup_passage": r"""
+            with toks as (
+              select doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                 t -> t != '') t
+              from documents),
+            occ as (
+              select doc_id,
+                     md5(unnest([array_to_string(t[i*20+1 : i*20+20], ' ')
+                                 for i in range(0, cast(ceil(len(t)/20.0) as int))]))
+                       as ph
+              from toks where len(t) > 0),
+            dpp as (select ph, count(distinct doc_id) nd from occ group by ph)
+            select occ.doc_id,
+                   count(*)::BIGINT as n_passages,
+                   sum(case when nd > 1 then 1 else 0 end)::BIGINT
+                     as n_dup_passages,
+                   round(sum(case when nd > 1 then 1 else 0 end)::DOUBLE
+                         / count(*), 6) as dup_passage_ratio
+            from occ join dpp using (ph)
+            group by occ.doc_id
         """,
         "text_quality": r"""
             select doc_id,

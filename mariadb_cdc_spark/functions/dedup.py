@@ -112,6 +112,65 @@ def ngram_jaccard_pairs(
     )
 
 
+# ------------------------------------------------- passage (chunk) dedup
+
+def passage_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """Passage-level exact dedup — the line/paragraph-dedup analog for
+    pretraining corpora (C4 drops duplicated lines; RefinedWeb/Gopher flag
+    docs dominated by boilerplate passages). Each document is cut into
+    consecutive `chunk_tokens`-token passages; a passage occurring in more
+    than one distinct document marks boilerplate.
+
+    Returns per-doc: n_passages, n_dup_passages (occurrences whose passage
+    appears in >=2 distinct docs), dup_passage_ratio. Docs with no tokens
+    produce no row (no passages to judge).
+
+    Scale shape (unlike the pairwise Jaccard baseline this is LINEAR in
+    corpus tokens): explode -> one shuffle keyed on the passage md5 with
+    map-side-combined partial counts -> hash-keyed join back -> per-doc agg.
+    No pairwise join, no quadratic blow-up in duplicate mass; hot passages
+    (the exact boilerplate we hunt) are absorbed by the partial aggregation
+    rather than concentrating a reducer.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)),
+    )
+    occ = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.when(n_chunks > 0, passages)).alias("passage"),
+    ).select("id", F.md5(F.col("passage")).alias("ph"))
+
+    # distinct docs per passage hash: two-phase (distinct then count) so both
+    # shuffles are on `ph` and partials combine map-side.
+    docs_per_passage = (
+        occ.distinct()
+        .groupBy("ph")
+        .agg(F.count(F.lit(1)).alias("n_docs_with_passage"))
+    )
+    return (
+        occ.join(docs_per_passage, "ph")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(
+                F.when(F.col("n_docs_with_passage") > 1, 1).otherwise(0)
+            ).alias("n_dup_passages"),
+        )
+        .withColumn(
+            "dup_passage_ratio",
+            F.round(F.col("n_dup_passages") / F.col("n_passages"), 6),
+        )
+    )
+
+
 # ---------------------------------------------------------------- MinHash
 
 def minhash_signature(

@@ -393,3 +393,29 @@ def test_repetition_features_hand_cases(spark):
     assert got[2] == (1, 0.0, 0.0)
     assert got[3] == (0, 0.0, 0.0)
     assert got[4] == (4, 0.75, 1.0)
+
+
+def test_passage_duplicates_hand_case(spark):
+    from mariadb_cdc_spark.functions.dedup import passage_duplicates
+
+    boiler = " ".join(f"b{i}" for i in range(4))  # one shared 4-token passage
+    uniq = lambda d, k: " ".join(f"u{d}_{i}" for i in range(k))  # noqa: E731
+    docs = _docs(
+        spark,
+        [
+            (boiler + " " + uniq(0, 4), "en"),  # passages: [boiler, uniq]
+            (boiler + " " + uniq(1, 4), "en"),  # passages: [boiler, uniq]
+            (uniq(2, 8), "en"),                 # 2 unique passages
+            ("", "en"),                          # no tokens -> no row
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in passage_duplicates(docs, chunk_tokens=4).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    for d in (0, 1):
+        assert out[d]["n_passages"] == 2
+        assert out[d]["n_dup_passages"] == 1
+        assert abs(out[d]["dup_passage_ratio"] - 0.5) < 1e-9
+    assert out[2]["n_passages"] == 2 and out[2]["n_dup_passages"] == 0
