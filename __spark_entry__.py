@@ -157,6 +157,32 @@ def q_cdc_lineage(spark, sf):
     )
 
 
+def q_cdc_lag(spark, sf):
+    """S8 observability: per-server replication lag vs a saved checkpoint —
+    the real `checkpoint.replication_lag` over the driver events table
+    mapped onto the binlog envelope (3 servers sharded by user_id,
+    (file, pos) = (event_id div 5000, event_id mod 5000)); server 0/1 have
+    checkpoints, server 2 never saved (all pending)."""
+    from mariadb_cdc_spark.sources.checkpoint import replication_lag
+
+    ev = _ev(spark, sf)
+    env = ev.select(
+        F.pmod("user_id", F.lit(3)).cast("long").alias("server_id"),
+        F.concat(
+            F.lit("bin."),
+            F.lpad((F.floor(F.col("event_id") / 5000) + 1).cast("string"), 6, "0"),
+        ).alias("binlog_file"),
+        F.pmod("event_id", F.lit(5000)).cast("long").alias("binlog_pos"),
+        F.lit("WRITE_ROWS").alias("event_type"),
+        F.col("ts"),
+    )
+    lineage = {
+        "0": {"file": "bin.000002", "pos": 1000},
+        "1": {"file": "bin.000001", "pos": 4100},
+    }
+    return replication_lag(env, lineage)
+
+
 def q_cdc_xid_commits(spark, sf):
     """XID markers: commit counts per key (purchase = commit)."""
     ev = _ev(spark, sf)
@@ -1438,6 +1464,7 @@ QUERIES: dict[str, Callable] = {
     "cdc_include_exclude": q_cdc_include_exclude,
     "cdc_lineage": q_cdc_lineage,
     "cdc_xid_commits": q_cdc_xid_commits,
+    "cdc_lag": q_cdc_lag,
     "cdc_partial_image_fold": q_cdc_partial_image_fold,
     "cdc_epoch_split": q_cdc_epoch_split,
     "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
@@ -1678,6 +1705,35 @@ def oracle_sql() -> dict[str, str]:
         "cdc_xid_commits": """
             select user_id, count(*) as n_commits, max(event_id) as last_commit
             from events where event_type = 'purchase' group by user_id
+        """,
+        "cdc_lag": """
+            with env as (
+              select user_id % 3 as server_id,
+                     'bin.' || lpad((1 + event_id // 5000)::VARCHAR, 6, '0') as f,
+                     event_id % 5000 as p,
+                     epoch_us(ts) as ts_us,
+                     event_id
+              from events),
+            ck(server_id, af, ap) as (
+              values (0, 'bin.000002', 1000), (1, 'bin.000001', 4100)),
+            j as (
+              select e.*, c.af, c.ap,
+                     (c.af is null
+                      or e.f > c.af or (e.f = c.af and e.p > c.ap)) as pend
+              from env e left join ck c using (server_id))
+            select server_id::BIGINT as server_id,
+                   'bin.' || lpad((1 + max(event_id) // 5000)::VARCHAR, 6, '0')
+                     as head_file,
+                   (max(event_id) % 5000)::BIGINT as head_pos,
+                   max(ts_us)::BIGINT as head_ts_us,
+                   any_value(af) as applied_file,
+                   any_value(ap)::BIGINT as applied_pos,
+                   sum(pend::int)::BIGINT as events_behind,
+                   min(case when pend then ts_us end)::BIGINT
+                     as oldest_pending_ts_us,
+                   coalesce(max(ts_us) - min(case when pend then ts_us end),
+                            0)::BIGINT as lag_us
+            from j group by server_id
         """,
         "cdc_partial_image_fold": """
             with last as (

@@ -198,6 +198,79 @@ def events_after(events: DataFrame, lineage: dict) -> DataFrame:
     return events.where(is_meta).unionByName(events.where(~is_meta & pred))
 
 
+def replication_lag(events: DataFrame, lineage: dict) -> DataFrame:
+    """Per-server replication lag: how far the applied checkpoint trails the
+    stream head — the alarm metric every CDC deployment watches. The
+    reference's equivalent observable is its saved BinlogPosition vs `show
+    master status` (MariadbCdc.java:96-114 reads the trace file;
+    BinLogSession.java:76-91 fetches the head); this engine computes both
+    sides in one distributed pass.
+
+    Returns one row per server_id over position-advancing events:
+      head_file/head_pos/head_ts_us  — stream tip seen this scan
+      applied_file/applied_pos       — the checkpoint (null if never saved)
+      events_behind                  — position-advancing events past it
+      oldest_pending_ts_us           — ts of the oldest unapplied event
+      lag_us                         — head_ts - oldest_pending_ts (0 when
+                                       caught up)
+
+    One map-side-combinable groupBy(server_id) agg — no window, no join;
+    the per-server pending predicate is the same flat tuple-compare as
+    events_after. Timestamps are microsecond epochs (unix_micros) so the
+    metric is exact for sub-second lags.
+    """
+    from ..operators.filters import position_advancing
+
+    adv = position_advancing(events)
+
+    pend = F.lit(True)  # no checkpoint => everything is pending
+    applied_file = F.lit(None).cast("string")
+    applied_pos = F.lit(None).cast("long")
+    if lineage:
+        saved = [int(s) for s in lineage]
+        pend = ~F.col("server_id").isin(saved)
+        for sid, p in lineage.items():
+            f, pos = F.lit(p["file"]), F.lit(int(p["pos"])).cast("long")
+            after = (F.col("binlog_file") > f) | (
+                (F.col("binlog_file") == f) & (F.col("binlog_pos") > pos)
+            )
+            here = F.col("server_id") == int(sid)
+            pend = pend | (here & after)
+            applied_file = F.when(here, f).otherwise(applied_file)
+            applied_pos = F.when(here, pos).otherwise(applied_pos)
+
+    # cast: envelope ts is TIMESTAMP; NTZ inputs (parquet naive ts) align
+    # with the DuckDB oracle's epoch_us under the engine's UTC session tz
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    agg = (
+        adv.withColumn("_pend", pend)
+        .groupBy("server_id")
+        .agg(
+            F.max(F.struct("binlog_file", "binlog_pos")).alias("_head"),
+            F.max(ts_us).alias("head_ts_us"),
+            F.sum(F.col("_pend").cast("long")).alias("events_behind"),
+            F.min(F.when(F.col("_pend"), ts_us)).alias("oldest_pending_ts_us"),
+        )
+    )
+    return agg.select(
+        "server_id",
+        F.col("_head.binlog_file").alias("head_file"),
+        F.col("_head.binlog_pos").alias("head_pos"),
+        "head_ts_us",
+        applied_file.alias("applied_file"),
+        applied_pos.alias("applied_pos"),
+        "events_behind",
+        "oldest_pending_ts_us",
+        F.when(
+            F.col("oldest_pending_ts_us").isNotNull(),
+            F.col("head_ts_us") - F.col("oldest_pending_ts_us"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("lag_us"),
+    )
+
+
 def _gtid_parts() -> tuple[F.Column, F.Column, F.Column]:
     """MariaDB GTID 'domain-server-seq' split into typed parts."""
     p = F.split(F.col("gtid"), "-")

@@ -171,3 +171,51 @@ def test_resume_after_gtid_unknown_domain_replays_all(spark):
     # saved position names a domain-server this stream never produced
     resumed = resume_after_gtid(events, {"7-99": 10**9})
     assert resumed.count() == events.count()
+
+
+def test_replication_lag_per_server(spark):
+    import datetime as dt
+
+    from mariadb_cdc_spark.sources.checkpoint import replication_lag
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    rows = [
+        # server 1: checkpoint at (bin.000001, 200) -> 2 pending
+        (1, "bin.000001", 100, "WRITE_ROWS", s(0)),
+        (1, "bin.000001", 200, "WRITE_ROWS", s(10)),
+        (1, "bin.000001", 300, "WRITE_ROWS", s(20)),
+        (1, "bin.000002", 50, "XID", s(30)),
+        # metadata never counts toward lag (position-save predicate)
+        (1, "bin.000002", 60, "TABLE_MAP", s(31)),
+        # server 2: no checkpoint -> everything pending
+        (2, "bin.000001", 400, "WRITE_ROWS", s(5)),
+        (2, "bin.000001", 500, "WRITE_ROWS", s(9)),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "server_id long, binlog_file string, binlog_pos long, "
+        "event_type string, ts timestamp",
+    )
+    out = {
+        r["server_id"]: r
+        for r in replication_lag(
+            ev, {"1": {"file": "bin.000001", "pos": 200}}
+        ).collect()
+    }
+    r1 = out[1]
+    assert (r1["head_file"], r1["head_pos"]) == ("bin.000002", 50)
+    assert (r1["applied_file"], r1["applied_pos"]) == ("bin.000001", 200)
+    assert r1["events_behind"] == 2  # pos 300 + XID; TABLE_MAP excluded
+    assert r1["lag_us"] == 10_000_000  # head ts 30s - oldest pending 20s
+    r2 = out[2]
+    assert r2["applied_file"] is None and r2["events_behind"] == 2
+    assert r2["lag_us"] == 4_000_000  # 9s - 5s
+
+    # caught-up server: lag 0, nothing behind
+    caught = replication_lag(
+        ev.where("server_id = 1"),
+        {"1": {"file": "bin.000002", "pos": 999}},
+    ).collect()[0]
+    assert caught["events_behind"] == 0 and caught["lag_us"] == 0
+    assert caught["oldest_pending_ts_us"] is None
