@@ -959,6 +959,13 @@ def q_dedup_simhash(spark, sf):
     return simhash(_docs(spark, sf), bits=16)
 
 
+def q_text_tfidf(spark, sf):
+    """tf-idf top-5 keywords per document (topical fingerprint)."""
+    from mariadb_cdc_spark.functions.text import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf), k=5)
+
+
 def q_dedup_passage(spark, sf):
     """Passage-level (fixed token-chunk) exact dedup — the line/paragraph
     boilerplate screen; linear in corpus tokens, no pairwise join."""
@@ -1491,6 +1498,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_simhash": q_dedup_simhash,
     "dedup_passage": q_dedup_passage,
+    "text_tfidf": q_text_tfidf,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -2083,6 +2091,29 @@ def oracle_sql() -> dict[str, str]:
                {simhash_votes}
                from hashed group by id)
             select id, ({simhash_sig})::BIGINT as simhash from votes
+        """,
+        "text_tfidf": r"""
+            with toks as (
+              select doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\s+'),
+                       t -> t != '')) as term
+              from documents),
+            tf as (select doc_id, term, count(*) as tf
+                   from toks group by doc_id, term),
+            dfq as (select term, count(*) as df_t from tf group by term),
+            n as (select count(*) as n_docs from documents),
+            scored as (
+              select doc_id, term, tf, df_t,
+                     round(tf * ln(n_docs::DOUBLE / df_t), 6) as tfidf
+              from tf join dfq using (term) cross join n),
+            r as (select *, row_number() over (
+                    partition by doc_id
+                    order by tfidf desc, term asc) as rank
+                  from scored)
+            select doc_id, term, tf::BIGINT as tf, df_t::BIGINT as df_t,
+                   tfidf, rank::INT as rank
+            from r where rank <= 5
         """,
         "dedup_passage": r"""
             with toks as (

@@ -348,3 +348,58 @@ def bm25_scores(
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(top_k)
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k keywords per document by tf-idf — the topical-fingerprint /
+    keyword-extraction pass (cluster labeling, domain tagging, corpus
+    carving by topic) next to the query-driven `bm25_scores`.
+
+    score(term, doc) = tf * ln(N / df); ties broken by term text so the
+    ranking is total and engine-reproducible (score rounded to 6 decimals).
+
+    Scale shape: explode -> ONE shuffle keyed (doc, term) with map-side
+    combine -> term-keyed df(term) agg reusing the same exploded frame ->
+    corpus size as a 1-row broadcast -> per-doc top-k via a doc-partitioned
+    window (millions of independent partitions, no global sort). The df
+    join is term-keyed; stopword-scale hot terms are bounded by the
+    distinct-doc pre-aggregation, not by raw occurrence counts.
+    """
+    terms = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        terms.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            "tf",
+            "df_t",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col), "term", "tf", "df_t", "tfidf", "rank"
+        )
+    )

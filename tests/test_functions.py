@@ -419,3 +419,30 @@ def test_passage_duplicates_hand_case(spark):
         assert out[d]["n_dup_passages"] == 1
         assert abs(out[d]["dup_passage_ratio"] - 0.5) < 1e-9
     assert out[2]["n_passages"] == 2 and out[2]["n_dup_passages"] == 0
+
+
+def test_tfidf_topk_hand_case(spark):
+    import math
+
+    from mariadb_cdc_spark.functions.text import tfidf_topk
+
+    docs = _docs(
+        spark,
+        [
+            ("apple apple banana shared", "en"),
+            ("cherry shared", "en"),
+            ("shared shared shared", "en"),
+        ],
+    )
+    out = tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=1 -> ln(3);
+    # shared df=3 -> idf 0, never ranks above them
+    top0 = sorted(by_doc[0], key=lambda r: r["rank"])
+    assert [r["term"] for r in top0] == ["apple", "banana"]
+    assert abs(top0[0]["tfidf"] - round(2 * math.log(3), 6)) < 1e-9
+    # doc 2 has ONLY the idf-0 term: still returned (rank 1, score 0)
+    assert [r["term"] for r in by_doc[2]] == ["shared"]
+    assert by_doc[2][0]["tfidf"] == 0.0
