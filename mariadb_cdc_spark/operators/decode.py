@@ -162,7 +162,7 @@ def apply_column_bitmaps(resolved: DataFrame) -> DataFrame:
     )
 
 
-def decode_wire_images(resolved: DataFrame) -> DataFrame:
+def decode_wire_images(resolved: DataFrame, with_errors: bool = False) -> DataFrame:
     """Decode hex-encoded wire-byte map values to canonical strings.
 
     Envelope convention for binary-image sources: a column whose registry
@@ -182,24 +182,31 @@ def decode_wire_images(resolved: DataFrame) -> DataFrame:
 
     Reference: BaseRowsEventBinLogDataDeserializer.java:52-319 (decode
     matrix), TableMapEventBinLogDataDeserializer.java:52-75 (FullMeta).
+
+    with_errors=True additionally emits a `decode_errors: array<string>`
+    column naming every contained-failure value as `<image>.<column>` —
+    the dead-letter observability surface (quarantine_stats aggregates
+    it). Default off: the extra column would ride through the fold and
+    the hot path never pays for plumbing it only ops queries read.
     """
     from pyspark.sql.functions import pandas_udf
 
     from ..functions import typedec as td
 
-    @pandas_udf("map<string,string>")
+    @pandas_udf("struct<img: map<string,string>, errs: array<string>>")
     def _dec(
         img: pd.Series,
         names: pd.Series,
         types: pd.Series,
         metas: pd.Series,
         enums: pd.Series,
-    ) -> pd.Series:
+    ) -> pd.DataFrame:
         def one(im, nm, ty, me, en):
             if im is None or nm is None or ty is None:
-                return im
+                return im, []
             idx = {n: i for i, n in enumerate(nm)}
             out = {}
+            errs = []
             for k, v in im.items():
                 i = idx.get(k)
                 code = ty[i] if i is not None and i < len(ty) else None
@@ -228,10 +235,12 @@ def decode_wire_images(resolved: DataFrame) -> DataFrame:
                     # keep the raw hex so the row lands inspectable and
                     # the rest of the stream proceeds
                     out[k] = v
-            return out
+                    errs.append(k)
+            return out, errs
 
-        return pd.Series(
-            [one(*args) for args in zip(img, names, types, metas, enums)]
+        pairs = [one(*args) for args in zip(img, names, types, metas, enums)]
+        return pd.DataFrame(
+            {"img": [p[0] for p in pairs], "errs": [p[1] for p in pairs]}
         )
 
     gate = F.col("column_metadata").isNotNull()
@@ -246,10 +255,67 @@ def decode_wire_images(resolved: DataFrame) -> DataFrame:
                 F.col("column_metadata"),
                 F.col("column_enum_values"),
             ),
-        ).otherwise(F.col(col))
+        )
 
-    return resolved.withColumn("before", maybe("before")).withColumn(
-        "after", maybe("after")
+    out = resolved.withColumn("_dec_b", maybe("before")).withColumn(
+        "_dec_a", maybe("after")
+    )
+    out = out.withColumn(
+        "before", F.coalesce(F.col("_dec_b.img"), F.col("before"))
+    ).withColumn("after", F.coalesce(F.col("_dec_a.img"), F.col("after")))
+    if with_errors:
+        tag = lambda side, errs: F.transform(  # noqa: E731
+            F.coalesce(errs, F.expr("array()")),
+            lambda e: F.concat(F.lit(side + "."), e),
+        )
+        out = out.withColumn(
+            "decode_errors",
+            F.concat(
+                tag("before", F.col("_dec_b.errs")),
+                tag("after", F.col("_dec_a.errs")),
+            ),
+        )
+    return out.drop("_dec_b", "_dec_a")
+
+
+def quarantine_stats(decoded: DataFrame) -> DataFrame:
+    """Dead-letter observability over decode_wire_images(with_errors=True):
+    contained decode failures per (database, table, image, column) with the
+    first affected binlog position for triage. One map-side-combinable agg
+    over the (rare) error rows — the companion metric to the containment
+    contract (a value that degrades to raw hex must be COUNTABLE, or
+    corruption silently accumulates in the lake)."""
+    e = decoded.where(F.size("decode_errors") > 0).select(
+        "database",
+        "table",
+        "binlog_file",
+        "binlog_pos",
+        F.explode("decode_errors").alias("err"),
+    )
+    part = F.split(F.col("err"), r"\.", 2)
+    return (
+        e.select(
+            "database",
+            "table",
+            part.getItem(0).alias("image"),
+            part.getItem(1).alias("column"),
+            "binlog_file",
+            "binlog_pos",
+        )
+        .groupBy("database", "table", "image", "column")
+        .agg(
+            F.count(F.lit(1)).alias("n_failures"),
+            F.min(F.struct("binlog_file", "binlog_pos")).alias("first_at"),
+        )
+        .select(
+            "database",
+            "table",
+            "image",
+            "column",
+            "n_failures",
+            F.col("first_at.binlog_file").alias("first_file"),
+            F.col("first_at.binlog_pos").alias("first_pos"),
+        )
     )
 
 

@@ -286,3 +286,62 @@ def test_wire_kernels_raise_only_contained_error_types():
                     td.decode_wire_value(code, meta, buf, ["a", "b"])
                 except contained:
                     pass  # the engine path degrades these to raw hex
+
+
+def test_decode_errors_surface_and_quarantine_stats(spark):
+    """Dead-letter observability: a corrupt wire value degrades to raw hex
+    (containment) AND is surfaced in decode_errors / quarantine_stats."""
+    from pyspark.sql import functions as F
+
+    from mariadb_cdc_spark.functions import typedec as td
+    from mariadb_cdc_spark.operators.decode import (
+        decode_wire_images,
+        quarantine_stats,
+    )
+
+    good_price = td.encode_newdecimal(__import__("decimal").Decimal("12.3400"), 12, 4).hex()
+    corrupt = "zz-not-hex"
+    rows = [
+        # row 0: price decodes; row 1: price corrupt (before image clean)
+        ("db", "metrics", "bin.000001", 100, {"price": good_price}, None),
+        ("db", "metrics", "bin.000001", 200, {"price": corrupt}, {"price": corrupt}),
+        # string-image table (no metadata): untouched, no errors
+        ("db", "plain", "bin.000001", 300, {"x": "1"}, None),
+    ]
+    schema = (
+        "database string, table string, binlog_file string, binlog_pos long,"
+        " after map<string,string>, before map<string,string>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    meta = F.when(
+        F.col("table") == "metrics",
+        F.struct(
+            F.array(F.lit("price")).alias("column_names"),
+            F.array(F.lit(246)).alias("column_types"),
+            F.array(F.lit(12 | (4 << 8))).alias("column_metadata"),
+            F.array(F.lit(None).cast("array<string>")).alias("column_enum_values"),
+        ),
+    )
+    df = df.select(
+        "*",
+        meta.getField("column_names").alias("column_names"),
+        meta.getField("column_types").alias("column_types"),
+        meta.getField("column_metadata").alias("column_metadata"),
+        meta.getField("column_enum_values").alias("column_enum_values"),
+    )
+    out = decode_wire_images(df, with_errors=True).collect()
+    by_pos = {r["binlog_pos"]: r for r in out}
+    assert by_pos[100]["after"]["price"] == "12.3400"
+    assert by_pos[100]["decode_errors"] == []
+    assert by_pos[200]["after"]["price"] == corrupt  # contained, inspectable
+    assert sorted(by_pos[200]["decode_errors"]) == ["after.price", "before.price"]
+    assert by_pos[300]["after"]["x"] == "1" and by_pos[300]["decode_errors"] == []
+
+    q = quarantine_stats(decode_wire_images(df, with_errors=True)).collect()
+    got = {(r["image"], r["column"]): r for r in q}
+    assert set(got) == {("after", "price"), ("before", "price")}
+    r = got[("after", "price")]
+    assert r["n_failures"] == 1 and r["first_pos"] == 200
+
+    # default mode: unchanged surface (no decode_errors column)
+    assert "decode_errors" not in decode_wire_images(df).columns
