@@ -183,6 +183,47 @@ def q_cdc_lag(spark, sf):
     return replication_lag(env, lineage)
 
 
+def q_cdc_multi_master(spark, sf):
+    """Active-active conflict resolution: two masters write OVERLAPPING
+    keys; the engine's cross-server wall-clock LWW fold
+    (ts, server_id, file, pos tiebreak chain) picks each key's survivor.
+    The driver events table mapped onto change records: server = event_id
+    parity, position = event_id, logout = DELETE."""
+    from mariadb_cdc_spark.operators.fold import fold_multi_master
+
+    ev = _ev(spark, sf)
+    ch = ev.select(
+        F.col("user_id"),
+        F.pmod("event_id", F.lit(2)).cast("long").alias("server_id"),
+        F.lit("bin.000001").alias("binlog_file"),
+        F.col("event_id").cast("long").alias("binlog_pos"),
+        F.lit(0).cast("int").alias("row_idx"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_type") == "logout", F.lit("DELETE"))
+        .otherwise(F.lit("INSERT"))
+        .alias("op"),
+        F.lit(None).cast("map<string,string>").alias("before"),
+        F.when(
+            F.col("event_type") != "logout",
+            F.create_map(
+                F.lit("etype"),
+                F.col("event_type"),
+                F.lit("val"),
+                F.col("value").cast("decimal(18,3)").cast("string"),
+            ),
+        ).alias("after"),
+    )
+    folded = fold_multi_master(ch, ["user_id"])
+    return folded.select(
+        "user_id",
+        "final_op",
+        F.col("image").getItem("etype").alias("last_etype"),
+        F.col("image").getItem("val").alias("last_val"),
+        "last_pos",
+        "n_changes",
+    )
+
+
 def q_cdc_xid_commits(spark, sf):
     """XID markers: commit counts per key (purchase = commit)."""
     ev = _ev(spark, sf)
@@ -1472,6 +1513,7 @@ QUERIES: dict[str, Callable] = {
     "cdc_lineage": q_cdc_lineage,
     "cdc_xid_commits": q_cdc_xid_commits,
     "cdc_lag": q_cdc_lag,
+    "cdc_multi_master": q_cdc_multi_master,
     "cdc_partial_image_fold": q_cdc_partial_image_fold,
     "cdc_epoch_split": q_cdc_epoch_split,
     "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
@@ -1742,6 +1784,32 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(max(ts_us) - min(case when pend then ts_us end),
                             0)::BIGINT as lag_us
             from j group by server_id
+        """,
+        "cdc_multi_master": """
+            with ch as (
+              select user_id,
+                     event_id % 2 as server_id,
+                     event_id as pos,
+                     ts,
+                     case when event_type = 'logout'
+                          then 'DELETE' else 'INSERT' end as op,
+                     event_type,
+                     (value::DECIMAL(18,3))::VARCHAR as val
+              from events),
+            r as (select *, row_number() over (
+                    partition by user_id
+                    order by ts desc, server_id desc, pos desc) as rn
+                  from ch)
+            select user_id,
+                   case when op = 'DELETE' then 'DELETE'
+                        else 'UPSERT' end as final_op,
+                   case when op = 'DELETE' then null
+                        else event_type end as last_etype,
+                   case when op = 'DELETE' then null else val end as last_val,
+                   pos::BIGINT as last_pos,
+                   (select count(*) from ch c
+                    where c.user_id = r.user_id)::BIGINT as n_changes
+            from r where rn = 1
         """,
         "cdc_partial_image_fold": """
             with last as (

@@ -186,7 +186,39 @@ def fold_changes(
     return _fold_impl(changes, keys, bool(two_phase), segment_pos_bits)
 
 
-def _reset_patch_fold(changes: DataFrame, keys: list[str]) -> DataFrame:
+DEFAULT_ORDER = ("binlog_file", "binlog_pos", "row_idx")
+
+
+def fold_multi_master(changes: DataFrame, keys: list[str]) -> DataFrame:
+    """Cross-server (active-active / multi-master) LWW fold.
+
+    The reference is strictly single-master: one reader thread, one binlog,
+    total order = (file, pos). With two+ masters accepting writes for the
+    SAME keys (Galera-style active-active), per-server binlog positions are
+    incomparable across servers, so the engine applies the standard
+    wall-clock last-writer-wins policy: order events by
+    (ts, server_id, binlog_file, binlog_pos, row_idx) — event time first,
+    server id as the deterministic tiebreak for same-microsecond writes,
+    then the per-server position (which preserves each server's own order
+    whenever timestamps tie within it). Same replay-idempotence and
+    skew behavior as the single-master fold: the reset/patch fold's
+    commutative aggregates are correct under ANY total order, so hot keys
+    still collapse map-side.
+
+    Caveat (documented, inherent to wall-clock LWW): events from a server
+    with a skewed clock win/lose by that skew — the policy trades causal
+    precision for determinism exactly like DynamoDB/Cassandra LWW.
+    """
+    return _reset_patch_fold(
+        changes, keys, order_cols=("ts", "server_id") + DEFAULT_ORDER
+    )
+
+
+def _reset_patch_fold(
+    changes: DataFrame,
+    keys: list[str],
+    order_cols: tuple[str, ...] = DEFAULT_ORDER,
+) -> DataFrame:
     """Single-groupBy fold built from COMMUTATIVE aggregates plus a tiny
     ordered patch tail — the scale-default fold.
 
@@ -210,8 +242,14 @@ def _reset_patch_fold(changes: DataFrame, keys: list[str]) -> DataFrame:
     Completeness detection uses the registry's column count when present
     (column_types/column_names from the TABLE_MAP join); without those
     columns every UPDATE is conservatively a patch — slower, never wrong.
+
+    order_cols: the total order the fold replays (commutative aggregates —
+    max/max_by plus an ordered patch tail — are correct under ANY total
+    order, so callers may prepend e.g. (ts, server_id) for the
+    multi-master policy). Must end with the canonical position triple:
+    the output's last_file/last_pos/last_row_idx read those fields.
     """
-    pos = F.struct(F.col("binlog_file"), F.col("binlog_pos"), F.col("row_idx"))
+    pos = F.struct(*[F.col(c) for c in order_cols])
     after = F.coalesce(F.col("after"), F.expr(EMPTY_MAP))
     n_cols = F.lit(None).cast("int")
     if "column_types" in changes.columns:

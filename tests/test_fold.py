@@ -129,3 +129,41 @@ def test_patch_only_key_upserts(spark):
     res = _fold(spark, rows, two_phase=True)
     op, img = res[("r1", "a.txt")]
     assert op == "UPSERT" and img == {"content": "patched"}
+
+
+def test_multi_master_lww_fold(spark):
+    """Active-active policy: wall-clock LWW with server_id tiebreak —
+    per-server positions are incomparable across masters, so an EARLIER-ts
+    write must lose even if its own server position is higher."""
+    import datetime as dt
+
+    from mariadb_cdc_spark.operators.fold import fold_multi_master
+
+    t = lambda sec: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)  # noqa: E731
+    rows = [
+        # key k1: server 2 writes LAST by wall clock despite lower pos
+        ("k1", 1, "bin.000009", 900, 0, t(10), "INSERT", None, {"v": "s1@10"}),
+        ("k1", 2, "bin.000001", 5, 0, t(20), "INSERT", None, {"v": "s2@20"}),
+        # key k2: same-ts tie -> higher server_id wins deterministically
+        ("k2", 1, "bin.000001", 50, 0, t(30), "INSERT", None, {"v": "s1@30"}),
+        ("k2", 2, "bin.000001", 60, 0, t(30), "INSERT", None, {"v": "s2@30"}),
+        # key k3: later DELETE beats earlier INSERT across servers
+        ("k3", 2, "bin.000001", 70, 0, t(40), "INSERT", None, {"v": "x"}),
+        ("k3", 1, "bin.000002", 10, 0, t(50), "DELETE", {"v": "x"}, None),
+        # key k4: within one server, ts ties fall back to position order
+        ("k4", 1, "bin.000001", 80, 0, t(60), "INSERT", None, {"v": "old"}),
+        ("k4", 1, "bin.000001", 90, 0, t(60), "UPDATE", None, {"v": "new"}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "k string, server_id long, binlog_file string, binlog_pos long,"
+        " row_idx int, ts timestamp, op string,"
+        " before map<string,string>, after map<string,string>",
+    )
+    out = {r["k"]: r for r in fold_multi_master(df, ["k"]).collect()}
+    assert out["k1"]["image"]["v"] == "s2@20"
+    assert out["k1"]["last_pos"] == 5  # the true winner's position
+    assert out["k2"]["image"]["v"] == "s2@30"
+    assert out["k3"]["final_op"] == "DELETE"
+    assert out["k4"]["image"]["v"] == "new"
+    assert out["k4"]["n_changes"] == 2
