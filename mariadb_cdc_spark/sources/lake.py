@@ -909,7 +909,34 @@ class LakeTable:
         meta["version"] += 1
         self._write_metadata(meta)
 
-    def _rewrite(self, fn) -> None:
+    def rebucket(self, n_buckets: int) -> dict:
+        """Bucket-count evolution (the Iceberg partition-evolution
+        equivalent for this table's bucket transform): rewrite the table
+        into a new hash-bucket layout. A layout sized for 10^8 rows chokes
+        at 10^10 — per-bucket bytes grow unbounded, merges lose
+        parallelism, point reads over-scan — so growing n_buckets is a
+        required 100 TB maintenance op, not a convenience.
+
+        One COW rewrite (same cost envelope as compact(); deltas fold in).
+        Every snapshot's metadata records its OWN n_buckets, so pinned /
+        time-travel readers and read_keys against old versions keep the
+        old layout; changes() across the rebucket boundary degrades to a
+        full (unpruned) diff — correct, since every bucket's file set
+        changed — and returns no spurious logical changes."""
+        meta = self.metadata()
+        old = int(meta["n_buckets"])
+        if n_buckets == old:
+            return {"version": meta["version"], "n_buckets": old}
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        self._rewrite(lambda df: df, new_n_buckets=n_buckets)
+        return {
+            "version": self.metadata()["version"],
+            "n_buckets": n_buckets,
+            "previous_n_buckets": old,
+        }
+
+    def _rewrite(self, fn, new_n_buckets: int | None = None) -> None:
         """Physical rewrite preserving internal CDC gate columns. Folds any
         delta files into the new base (full compaction)."""
         meta = self.metadata()
@@ -920,6 +947,8 @@ class LakeTable:
         )
         df = fn(self._read_state(meta, buckets))
         data_rel = f"data/v{version}"
+        if new_n_buckets is not None:
+            meta["n_buckets"] = int(new_n_buckets)
         keys, n_buckets = meta["keys"], meta["n_buckets"]
         (
             df.withColumn("_bucket", _bucket_col(keys, n_buckets))

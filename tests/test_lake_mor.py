@@ -239,3 +239,47 @@ def test_empty_merge_is_metadata_only(spark, tmp_path):
         os.path.join(str(tmp_path / "te"), "data", f"v{v1 + 1}")
     )
     assert table.read().count() == 10
+
+
+def test_rebucket_evolves_layout_preserving_state(spark, tmp_path):
+    """Bucket-count evolution: same logical state in a new hash layout;
+    pinned readers keep the old layout; merges and pruned point reads
+    work against the new one."""
+    table = _init(spark, str(tmp_path / "t"), n=60, n_buckets=4)
+    # a delta + a tombstone so the rewrite folds both
+    table.merge(
+        _folded(spark, [("k3", "UPSERT", {"val": "v3b"}, 10_000),
+                        ("k7", "DELETE", {}, 10_001)]),
+        stream_id="s", batch_id=1,
+    )
+    before = {r["id"]: r["val"] for r in table.read().collect()}
+    v_before = table.metadata()["version"]
+
+    out = table.rebucket(16)
+    assert out["n_buckets"] == 16 and out["previous_n_buckets"] == 4
+    assert table.metadata()["n_buckets"] == 16
+
+    after = {r["id"]: r["val"] for r in table.read().collect()}
+    assert after == before and "k7" not in after
+
+    # pinned reader: old version still reads the OLD layout correctly
+    old = {r["id"]: r["val"] for r in table.read(version=v_before).collect()}
+    assert old == before
+
+    # point read prunes against the NEW layout
+    got = table.read_keys({"id": "k3"}).collect()
+    assert [r["val"] for r in got] == ["v3b"]
+
+    # post-rebucket merge lands and the stale pre-delete replay still loses
+    table.merge(
+        _folded(spark, [("k9", "UPSERT", {"val": "v9b"}, 20_000),
+                        ("k7", "UPSERT", {"val": "zombie"}, 9_000)]),
+        stream_id="s", batch_id=2,
+    )
+    now = {r["id"]: r["val"] for r in table.read().collect()}
+    assert now["k9"] == "v9b" and "k7" not in now
+
+    # changelog across the rebucket boundary: no spurious logical changes
+    assert table.changes(v_before, v_before + 1).count() == 0
+
+    assert table.rebucket(16)["n_buckets"] == 16  # no-op keeps version
