@@ -59,6 +59,9 @@ def main(argv: list[str] | None = None) -> int:
     src.add_argument("--events", help="dir of binlog-shaped parquet events")
     src.add_argument("--generate", metavar="SF_DIR",
                      help="synthesize events from SF_DIR/documents.parquet")
+    src.add_argument("--maintenance", action="store_true",
+                     help="no ingest: run table maintenance "
+                          "(--compact / --rebucket / --expire-keep)")
     ap.add_argument("--table", required=True, help="lake table path")
     ap.add_argument("--checkpoint", help="streaming checkpoint dir")
     ap.add_argument("--stream-id", default="cdc")
@@ -69,6 +72,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="expire all but the newest N snapshots after each "
                          "committed batch (in-line maintenance; default: "
                          "keep full history)")
+    ap.add_argument("--compact", action="store_true",
+                    help="(--maintenance) fold all delta files into a "
+                         "fresh base")
+    ap.add_argument("--rebucket", type=int, metavar="N",
+                    help="(--maintenance) rewrite into an N-bucket layout")
+    ap.add_argument("--expire-keep", type=int, metavar="N",
+                    help="(--maintenance) expire all but the newest N "
+                         "snapshots")
     args = ap.parse_args(argv)
 
     from mariadb_cdc_spark.pipeline import CdcConfig, apply_batch
@@ -81,6 +92,28 @@ def main(argv: list[str] | None = None) -> int:
     spark = SparkSession.builder.appName("mariadb-cdc-spark").getOrCreate()
     for k, v in RUNTIME_CONF.items():
         spark.conf.set(k, v)
+
+    if args.maintenance:
+        table = LakeTable(spark, args.table)
+        if not table.exists():
+            ap.error(f"--maintenance: no table at {args.table}")
+        if not (args.compact or args.rebucket or args.expire_keep):
+            ap.error("--maintenance needs --compact, --rebucket or "
+                     "--expire-keep")
+        ops: dict = {}
+        if args.compact:
+            ops["compact"] = table.compact()
+        if args.rebucket:
+            ops["rebucket"] = table.rebucket(args.rebucket)
+        if args.expire_keep:
+            ops["expire"] = table.expire_snapshots(keep_last=args.expire_keep)
+        meta = table.metadata()
+        print(json.dumps({
+            "table": args.table,
+            "version": meta["version"],
+            "maintenance": ops,
+        }))
+        return 0
 
     table = (
         LakeTable(spark, args.table)

@@ -60,6 +60,27 @@ def test_spark_submit_py_files_batch(spark, tmp_path):
 
     assert LakeTable(spark, table_path).read().count() == 444
 
+    # maintenance mode against the same table: compact + rebucket, state
+    # preserved in the new layout
+    out2 = subprocess.run(
+        [
+            SPARK_SUBMIT, "--master", "local[8]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", zpath,
+            "submit.py",
+            "--maintenance", "--compact", "--rebucket", "16",
+            "--table", table_path,
+        ],
+        cwd=workdir, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out2.returncode == 0, out2.stderr[-4000:]
+    m = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert m["maintenance"]["rebucket"]["n_buckets"] == 16
+    t = LakeTable(spark, table_path)
+    assert t.metadata()["n_buckets"] == 16
+    assert t.read().count() == 444
+
 
 def test_spark_submit_streaming(spark, tmp_path):
     """The north rule's streaming deployment: events land as parquet files,
