@@ -178,6 +178,7 @@ def apply_batch(
     batch_id: int | None = None,
     resume_from_lineage: bool = False,
     agg_views: list | None = None,
+    changes_sink=None,
 ) -> dict:
     """Apply one (micro-)batch of events to the lake table.
 
@@ -190,6 +191,18 @@ def apply_batch(
     maintained INCREMENTALLY from each epoch's merge delta (the batch's
     folded keys are reused as the affected-key set, so maintenance stays
     O(batch), never O(table); see operators.ivm).
+
+    `changes_sink`: optional callable(DataFrame) — the reference's
+    MariadbCdcListener.onDataChanged equivalent: receives this batch's
+    decoded row-level change records (op, database, table, ts, before,
+    after, envelope position columns) for a custom downstream sink (Kafka
+    export via functions.export.debezium_envelope, audit copy, ...).
+    Fired AFTER the merges but BEFORE the exactly-once commit: if the
+    sink throws, the batch is not marked committed and the replay
+    re-merges as position-gated no-ops and re-fires the sink — table
+    state stays exactly-once, sink delivery is at-least-once (the same
+    contract the reference gives its listener, minus the
+    exception-swallow: a sink failure here is loud, not dropped).
     """
     if batch_id is not None and batch_id <= table.committed_batch(stream_id):
         return {"skipped": True}
@@ -344,6 +357,9 @@ def apply_batch(
             )
     for df in persisted:
         df.unpersist()
+
+    if changes_sink is not None:
+        changes_sink(changes)
 
     # final commit: batch id (exactly-once) + persisted TABLE_MAP registry
     meta = table.metadata()

@@ -93,8 +93,14 @@ def start_cdc_stream(
     trigger_available_now: bool = True,
     agg_views: list | None = None,
     lifecycle: CdcLifecycleListener | None = None,
+    changes_sink=None,
 ):
     """Run the CDC apply as a streaming query; returns the StreamingQuery.
+
+    `changes_sink` (callable(DataFrame)) is the onDataChanged equivalent:
+    per epoch it receives the decoded row-level change records for a
+    custom downstream sink; at-least-once delivery under replay (see
+    pipeline.apply_batch).
 
     `lifecycle` (CdcLifecycleListener) mirrors the reference's listener
     surface: on_batch fires synchronously after each applied epoch with its
@@ -142,6 +148,7 @@ def start_cdc_stream(
             stream_id=stream_id,
             batch_id=epoch,
             agg_views=agg_views,
+            changes_sink=changes_sink,
         )
         if cfg.gate_on_xid:
             _prune_carry(carry_root, keep_from=epoch - 1)

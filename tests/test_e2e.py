@@ -281,3 +281,68 @@ def test_engine_runs_under_stock_map_key_policy(spark, tmp_table_path):
     )
     apply_batch(events, table, CdcConfig(), stream_id="stock", batch_id=0)
     assert table.read().count() > 0
+
+
+def test_changes_sink_and_debezium_export(spark, sf_dir, tmp_table_path):
+    """onDataChanged equivalent: the sink receives the batch's decoded
+    changes (exported here as Debezium envelopes); replayed batches skip
+    it; a failing sink leaves the batch uncommitted for retry."""
+    from mariadb_cdc_spark.functions.export import debezium_envelope
+
+    repo = repo_table(spark, sf_dir)
+    events = generate_events(repo, include_audit=False).cache()
+    table = LakeTable.create(
+        spark, tmp_table_path, REPO_SCHEMA, MERGE_KEYS, n_buckets=8
+    )
+    seen = []
+    def sink(changes):
+        seen.append(debezium_envelope(changes, MERGE_KEYS).collect())
+
+    apply_batch(
+        events, table, CdcConfig(), stream_id="s", batch_id=0,
+        changes_sink=sink,
+    )
+    assert len(seen) == 1 and len(seen[0]) > 100
+    import json as _json
+
+    vals = [_json.loads(r["value"]) for r in seen[0]]
+    keys = [_json.loads(r["key"]) for r in seen[0]]
+    assert all(set(k) == {"repo", "path"} and k["repo"] for k in keys)
+    ops = {v["op"] for v in vals}
+    assert ops == {"c", "u", "d"}
+    ins = next(v for v in vals if v["op"] == "c")
+    assert "before" not in ins and ins["after"]["content"]
+    assert ins["source"]["connector"] == "mariadb-cdc-spark"
+    assert ins["source"]["table"] == "repo_files" and ins["ts_ms"] > 0
+    dele = next(v for v in vals if v["op"] == "d")
+    assert "after" not in dele
+
+    # replayed (already-committed) batch: sink NOT re-fired
+    apply_batch(
+        events, table, CdcConfig(), stream_id="s", batch_id=0,
+        changes_sink=sink,
+    )
+    assert len(seen) == 1
+
+    # failing sink: batch stays uncommitted; retry re-merges (gated
+    # no-ops) and re-fires the sink — state unchanged, delivery completes
+    before_hashes = _lake_hashes(table)
+    def boom(_):
+        raise RuntimeError("sink down")
+
+    try:
+        apply_batch(
+            events, table, CdcConfig(), stream_id="s", batch_id=1,
+            changes_sink=boom,
+        )
+        raise AssertionError("sink failure must propagate")
+    except RuntimeError:
+        pass
+    assert table.committed_batch("s") == 0
+    apply_batch(
+        events, table, CdcConfig(), stream_id="s", batch_id=1,
+        changes_sink=sink,
+    )
+    assert len(seen) == 2 and table.committed_batch("s") == 1
+    assert _lake_hashes(table) == before_hashes
+    events.unpersist()
