@@ -1395,6 +1395,62 @@ def q_events_cohort_retention(spark, sf):
     )
 
 
+def q_events_props_json(spark, sf):
+    """Semi-structured JSON property extraction (get_json_object) feeding a
+    typed aggregate — the JSON-column analytics path. Decimal-sum then one
+    double conversion keeps the value deterministic across engines."""
+    ev = _ev(spark, sf)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_events_rollup(spark, sf):
+    """ROLLUP (grouping-sets) daily/overall event totals — subtotal rows
+    null-filled per the SQL standard; grouping level disambiguates."""
+    ev = _ev(spark, sf)
+    day = F.to_date("ts").cast("string")
+    base = ev.select(
+        "event_type", day.alias("day"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    return (
+        base.rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("double").alias("sum_value"),
+            F.grouping_id().alias("lvl"),
+        )
+    )
+
+
+def q_events_rolling(spark, sf):
+    """Per-user rolling window frame (ROWS BETWEEN 2 PRECEDING AND CURRENT
+    ROW): running short-horizon activity — frame-clause window coverage;
+    per-user partitions keep the window embarrassingly parallel."""
+    ev = _ev(spark, sf)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-2, 0)
+    )
+    v = F.col("value").cast("decimal(18,6)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+        F.sum(v).over(w).cast("double").alias("roll_sum"),
+    )
+
+
 def q_events_funnel(spark, sf):
     """Ordered 3-step funnel (view -> click -> purchase) by first-event
     ordering per user: one groupBy(user) with conditional-min aggregates,
@@ -1568,6 +1624,9 @@ QUERIES: dict[str, Callable] = {
     "media_png_stats": q_media_png_stats,
     "events_cohort_retention": q_events_cohort_retention,
     "events_funnel": q_events_funnel,
+    "events_props_json": q_events_props_json,
+    "events_rollup": q_events_rollup,
+    "events_rolling": q_events_rolling,
     "events_asof_enrich": q_events_asof_enrich,
     "text_bm25": q_text_bm25,
     "agg_pricing": q_agg_pricing,
@@ -2608,6 +2667,35 @@ def oracle_sql() -> dict[str, str]:
                    count(distinct e.user_id) as n_users
             from events e join f using (user_id)
             group by 1, 2
+        """,
+        "events_props_json": """
+            select event_type,
+                   count(*)::BIGINT as n,
+                   sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT
+                     as sum_k,
+                   min(json_extract_string(props, '$.k')::BIGINT)::BIGINT
+                     as min_k,
+                   max(json_extract_string(props, '$.k')::BIGINT)::BIGINT
+                     as max_k
+            from events group by event_type
+        """,
+        "events_rollup": """
+            select event_type, day,
+                   count(*)::BIGINT as n_events,
+                   sum(v)::DOUBLE as sum_value,
+                   grouping(event_type, day)::BIGINT as lvl
+            from (select event_type, (ts::DATE)::VARCHAR as day,
+                         value::DECIMAL(18,6) as v
+                  from events)
+            group by rollup(event_type, day)
+        """,
+        "events_rolling": """
+            select event_id, user_id,
+                   count(*) over w::BIGINT as roll_n,
+                   (sum(value::DECIMAL(18,6)) over w)::DOUBLE as roll_sum
+            from events
+            window w as (partition by user_id order by event_id
+                         rows between 2 preceding and current row)
         """,
         "events_funnel": """
             with per as (
