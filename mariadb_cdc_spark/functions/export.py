@@ -73,3 +73,43 @@ def debezium_envelope(
         F.to_json(key_struct).alias("key"),
         F.to_json(value_struct).alias("value"),
     )
+
+
+# from_json schema of the envelope above (images stay generic string maps —
+# the same late-typed convention the engine's own decode produces).
+_VALUE_SCHEMA = (
+    "before map<string,string>, after map<string,string>, "
+    "source struct<connector: string, server_id: bigint, db: string, "
+    "table: string, file: string, pos: bigint, row: int>, "
+    "op string, ts_ms bigint"
+)
+
+
+def parse_debezium(frames: DataFrame, value_col: str = "value") -> DataFrame:
+    """Inverse connector: parse Debezium-shaped change envelopes (e.g. an
+    existing Kafka topic another connector populates) back into this
+    engine's change-record shape, so the fold/merge/SCD2/IVM pipeline can
+    consume a bus-sourced stream exactly like a binlog-sourced one.
+
+    Pure `from_json` projection (no shuffle/Python). Rows whose value is
+    not a parseable envelope (op missing) are dropped — bus topics carry
+    tombstone/heartbeat messages a consumer must skip.
+    """
+    v = F.from_json(F.col(value_col), _VALUE_SCHEMA)
+    op = (
+        F.when(v["op"] == "c", F.lit("INSERT"))
+        .when(v["op"] == "u", F.lit("UPDATE"))
+        .when(v["op"] == "d", F.lit("DELETE"))
+    )
+    return frames.select(
+        op.alias("op"),
+        v["source"]["db"].alias("database"),
+        v["source"]["table"].alias("table"),
+        F.timestamp_millis(v["ts_ms"]).alias("ts"),
+        v["before"].alias("before"),
+        v["after"].alias("after"),
+        v["source"]["server_id"].alias("server_id"),
+        v["source"]["file"].alias("binlog_file"),
+        v["source"]["pos"].alias("binlog_pos"),
+        v["source"]["row"].alias("row_idx"),
+    ).where(F.col("op").isNotNull())

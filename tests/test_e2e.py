@@ -346,3 +346,53 @@ def test_changes_sink_and_debezium_export(spark, sf_dir, tmp_table_path):
     assert len(seen) == 2 and table.committed_batch("s") == 1
     assert _lake_hashes(table) == before_hashes
     events.unpersist()
+
+
+def test_debezium_roundtrip_feeds_fold(spark):
+    """Envelope symmetry: export -> parse restores the change records, and
+    the parsed bus stream folds exactly like the native one; junk bus
+    messages are skipped."""
+    import datetime as dt
+
+    from mariadb_cdc_spark.functions.export import (
+        debezium_envelope,
+        parse_debezium,
+    )
+    from mariadb_cdc_spark.operators.fold import extract_keys, fold_changes
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("INSERT", "db", "tbl", t0, None,
+         {"repo": "r1", "path": "a", "content": "v1"}, 1, "bin.000001", 100, 0),
+        ("UPDATE", "db", "tbl", t0, {"repo": "r1", "path": "a"},
+         {"content": "v2"}, 1, "bin.000001", 200, 0),
+        ("DELETE", "db", "tbl", t0, {"repo": "r2", "path": "b"},
+         None, 1, "bin.000001", 300, 0),
+    ]
+    schema = (
+        "op string, database string, table string, ts timestamp,"
+        " before map<string,string>, after map<string,string>,"
+        " server_id long, binlog_file string, binlog_pos long, row_idx int"
+    )
+    changes = spark.createDataFrame(rows, schema)
+    bus = debezium_envelope(changes, ["repo", "path"])
+    junk = spark.createDataFrame(
+        [("k", None), ("k", '{"noise": true}')], "key string, value string"
+    )
+    parsed = parse_debezium(bus.unionByName(junk))
+    got = sorted(
+        [r.asDict(recursive=True) for r in parsed.collect()],
+        key=lambda r: r["binlog_pos"],
+    )
+    want = sorted(
+        [r.asDict(recursive=True) for r in changes.collect()],
+        key=lambda r: r["binlog_pos"],
+    )
+    assert got == want
+
+    folded = fold_changes(
+        extract_keys(parsed, ["repo", "path"]), ["repo", "path"]
+    ).collect()
+    out = {(r["repo"], r["path"]): r for r in folded}
+    assert out[("r1", "a")]["image"]["content"] == "v2"
+    assert out[("r2", "b")]["final_op"] == "DELETE"
