@@ -1000,6 +1000,14 @@ def q_dedup_simhash(spark, sf):
     return simhash(_docs(spark, sf), bits=16)
 
 
+def q_text_bigram_lm(spark, sf):
+    """Interpolated bigram-LM bits per bigram (KenLM-style quality proxy,
+    one order above text_unigram_lm)."""
+    from mariadb_cdc_spark.functions.text import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf), lam=0.7)
+
+
 def q_text_tfidf(spark, sf):
     """tf-idf top-5 keywords per document (topical fingerprint)."""
     from mariadb_cdc_spark.functions.text import tfidf_topk
@@ -1597,6 +1605,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_passage": q_dedup_passage,
     "text_tfidf": q_text_tfidf,
+    "text_bigram_lm": q_text_bigram_lm,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -2571,6 +2580,36 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(-log2(c.n / t.tt)), 6) as bits_per_token
             from toks join c using (token) cross join t
             group by toks.doc_id
+        """,
+        "text_bigram_lm": r"""
+            with toks as (
+              select doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                 t -> t != '') as t
+              from documents),
+            occ as (
+              select doc_id,
+                     unnest([{'prev': t[i], 'cur': t[i+1]}
+                             for i in range(1, len(t))], recursive := true)
+              from toks where len(t) >= 2),
+            uni as (
+              select token, count(*) as n
+              from (select unnest(t) as token from toks) group by token),
+            tot as (select sum(n) as tt from uni),
+            big as (select prev, cur, count(*) as nb
+                    from occ group by prev, cur)
+            select occ.doc_id,
+                   count(*)::BIGINT as n_bigrams,
+                   round(avg(-log2(
+                     0.7 * (big.nb::DOUBLE / np.n)
+                     + 0.3 * (nc.n::DOUBLE / tot.tt))), 6)
+                     as bits_per_bigram
+            from occ
+            join big using (prev, cur)
+            join uni np on np.token = occ.prev
+            join uni nc on nc.token = occ.cur
+            cross join tot
+            group by occ.doc_id
         """,
         "text_vocab": r"""
             with toks as (

@@ -282,6 +282,65 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram-LM score per document — one model order above
+    `unigram_logprob`, closing most of the gap to the KenLM-style
+    perplexity filters (CCNet) without an external model:
+
+        P(w_i | w_{i-1}) = lam * c(w_{i-1} w_i)/c(w_{i-1})
+                         + (1-lam) * c(w_i)/T
+        bits_per_bigram  = mean over i>=2 of -log2 P(w_i | w_{i-1})
+
+    The unigram interpolation floor makes the score total (no zero
+    probabilities: every token exists in the corpus vocabulary by
+    construction). Docs with fewer than 2 tokens emit no row.
+
+    Scale shape: bigrams come from arrays_zip over each doc's own token
+    array (no self-join); ONE shuffle keyed on the bigram for its counts
+    (map-side combined); unigram counts and the corpus total ride the
+    same broadcast pattern as unigram_logprob.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("prev"),
+        F.slice(toks, 2, n - 1).alias("cur"),
+    )
+    occ = df.where(n >= 2).select(
+        F.col(id_col).alias("doc_id"), F.explode(pairs).alias("bg")
+    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+
+    uni = df.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    ).groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = uni.agg(F.sum("n").alias("t"))
+    big = occ.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("nb"))
+
+    np_ = uni.select(F.col("token").alias("prev"), F.col("n").alias("np"))
+    nc_ = uni.select(F.col("token").alias("cur"), F.col("n").alias("nc"))
+    scored = (
+        occ.join(big, ["prev", "cur"])
+        .join(F.broadcast(np_), "prev")
+        .join(F.broadcast(nc_), "cur")
+        .crossJoin(F.broadcast(total))
+    )
+    # round(1-lam): 1.0-0.7 in binary is 0.30000000000000004 while an
+    # engine parsing the literal "0.3" gets the nearest-to-0.3 double —
+    # rounding pins both sides to the same literal double
+    p = F.lit(lam) * (F.col("nb") / F.col("np")) + F.lit(
+        round(1.0 - lam, 12)
+    ) * (F.col("nc") / F.col("t"))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(-F.log2(p)), 6).alias("bits_per_bigram"),
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     query_terms: list[str],

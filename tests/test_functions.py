@@ -446,3 +446,23 @@ def test_tfidf_topk_hand_case(spark):
     # doc 2 has ONLY the idf-0 term: still returned (rank 1, score 0)
     assert [r["term"] for r in by_doc[2]] == ["shared"]
     assert by_doc[2][0]["tfidf"] == 0.0
+
+
+def test_bigram_logprob_hand_case(spark):
+    import math
+
+    from mariadb_cdc_spark.functions.text import bigram_logprob
+
+    # corpus: "a b a b" + "a b" + "x" (single token -> no row)
+    docs = _docs(spark, [("a b a b", "en"), ("a b", "en"), ("x", "en")])
+    out = {r["doc_id"]: r for r in bigram_logprob(docs, lam=0.7).collect()}
+    assert set(out) == {0, 1}
+    # counts: uni a=3 b=3 x=1, T=7; bigrams: (a,b)=3, (b,a)=1
+    lam, T = 0.7, 7
+    p_ab = lam * (3 / 3) + 0.3 * (3 / T)
+    p_ba = lam * (1 / 3) + 0.3 * (3 / T)
+    exp0 = round(-(2 * math.log2(p_ab) + math.log2(p_ba)) / 3, 6)
+    assert out[0]["n_bigrams"] == 3
+    assert abs(out[0]["bits_per_bigram"] - exp0) < 1e-9
+    assert out[1]["n_bigrams"] == 1
+    assert abs(out[1]["bits_per_bigram"] - round(-math.log2(p_ab), 6)) < 1e-9
