@@ -1178,6 +1178,14 @@ def q_corpus_build(spark, sf):
     )
 
 
+def q_emb_diversity(spark, sf):
+    """Per-label embedding diversity (mean/min cosine-to-centroid) — the
+    redundancy/spread curation signal."""
+    from mariadb_cdc_spark.functions.similarity import embedding_diversity
+
+    return embedding_diversity(_emb(spark, sf))
+
+
 def q_ann_bruteforce(spark, sf):
     from mariadb_cdc_spark.functions.similarity import brute_force_topk
 
@@ -1628,6 +1636,7 @@ QUERIES: dict[str, Callable] = {
     "emb_kmeans": q_emb_kmeans,
     "emb_quantize": q_emb_quantize,
     "emb_neardup": q_emb_neardup,
+    "emb_diversity": q_emb_diversity,
     "media_audio_features": q_media_audio_features,
     "media_image_stats": q_media_image_stats,
     "media_png_stats": q_media_png_stats,
@@ -2510,6 +2519,28 @@ def oracle_sql() -> dict[str, str]:
                 (partition by query_id order by sim desc, neighbor_id asc) rank
               from scored)
             where rank <= 10
+        """,
+        "emb_diversity": """
+            with dims as (
+              select label, i - 1 as dim, embedding[i]::DOUBLE as v
+              from embeddings, unnest(range(1, len(embedding) + 1)) as r(i)),
+            cent as (
+              select label, dim, round(avg(v), 6) as c
+              from dims group by label, dim),
+            vd as (
+              select vec_id, e.label, i - 1 as dim, embedding[i]::DOUBLE as v
+              from embeddings e,
+                   unnest(range(1, len(embedding) + 1)) as r(i)),
+            sims as (
+              select vec_id, vd.label,
+                     round(sum(v * c)
+                           / (sqrt(sum(v * v)) * sqrt(sum(c * c))), 4) as sim
+              from vd join cent on vd.label = cent.label and vd.dim = cent.dim
+              group by vec_id, vd.label)
+            select label, count(*)::BIGINT as n_vectors,
+                   round(avg(sim), 4) as mean_sim_to_centroid,
+                   min(sim) as min_sim_to_centroid
+            from sims group by label
         """,
         "emb_neardup": """
             with e as (select vec_id, label, embedding::DOUBLE[] v

@@ -433,3 +433,54 @@ def ivf_probe_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "sim")
     )
+
+
+def embedding_diversity(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_centroid: int = 6,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-label embedding diversity: how tightly each label's vectors hug
+    their centroid (mean/min cosine-to-centroid). The curation signal for
+    balancing a training mix — a label with mean_sim ~1 is redundant mass;
+    a low-mean/low-min label carries spread (or mislabeled points).
+
+    Centroid components are ROUNDED (round_centroid) before the cosine so
+    the value is independent of float summation order — the same
+    determinism device the k-means build uses — and the DuckDB oracle
+    replays it exactly.
+
+    Scale shape: posexplode -> (label, dim)-keyed avg with map-side
+    combine (shuffle carries one partial per (partition, label, dim), not
+    N*d rows), centroids broadcast back (O(labels*d)), cosine as a pure
+    array expression, one final per-label agg.
+    """
+    dims = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    )
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), round_centroid).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda x: x["c"],
+            ).alias("centroid")
+        )
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("centroid")), round_to)
+    scored = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col),
+    ).join(F.broadcast(cent), "label").select("vec_id", "label", sim.alias("sim"))
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("sim"), round_to).alias("mean_sim_to_centroid"),
+        F.min("sim").alias("min_sim_to_centroid"),
+    )

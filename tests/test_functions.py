@@ -466,3 +466,23 @@ def test_bigram_logprob_hand_case(spark):
     assert abs(out[0]["bits_per_bigram"] - exp0) < 1e-9
     assert out[1]["n_bigrams"] == 1
     assert abs(out[1]["bits_per_bigram"] - round(-math.log2(p_ab), 6)) < 1e-9
+
+
+def test_embedding_diversity_hand_case(spark):
+    from mariadb_cdc_spark.functions.similarity import embedding_diversity
+
+    # label 0: identical vectors -> sim-to-centroid exactly 1
+    # label 1: two orthogonal vectors -> centroid at 45deg, sim ~0.7071
+    rows = [
+        (0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 1), (3, [0.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["label"]: r for r in embedding_diversity(emb).collect()}
+    assert out[0]["n_vectors"] == 2
+    assert out[0]["mean_sim_to_centroid"] == 1.0
+    assert out[1]["n_vectors"] == 2
+    assert abs(out[1]["mean_sim_to_centroid"] - 0.7071) < 1e-9
+    assert abs(out[1]["min_sim_to_centroid"] - 0.7071) < 1e-9
