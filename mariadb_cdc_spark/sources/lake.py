@@ -178,6 +178,52 @@ class LakeTable:
                 f"version {version} not found (expired or never committed)"
             ) from None
 
+    # ------------------------------------------------------------------ refs
+    REFS = "refs.json"
+
+    def tags(self) -> dict:
+        """Named snapshot refs (the Iceberg tag equivalent): {name: version}."""
+        p = os.path.join(self.path, self.METADATA_DIR, self.REFS)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def _write_tags(self, tags: dict) -> None:
+        mdir = os.path.join(self.path, self.METADATA_DIR)
+        tmp = os.path.join(mdir, ".refs.tmp")
+        with open(tmp, "w") as f:
+            json.dump(tags, f)
+        os.replace(tmp, os.path.join(mdir, self.REFS))
+
+    def tag(self, name: str, version: int | None = None, replace: bool = False) -> int:
+        """Pin a snapshot under a name (Iceberg tag): audited releases,
+        eval-set freezes, pre-migration savepoints. Tagged versions are
+        retention-exempt — expire_snapshots keeps them (and the files they
+        reference) however old they get; delete_tag releases the pin.
+        Metadata-only (a refs sidecar with the same atomic-replace commit
+        as LATEST); single-writer like every mutation here."""
+        v = int(version) if version is not None else self.metadata()["version"]
+        self.metadata(v)  # raises if the version doesn't exist
+        t = self.tags()
+        if name in t and not replace:
+            raise ValueError(f"tag {name!r} already exists (at v{t[name]})")
+        t[name] = v
+        self._write_tags(t)
+        return v
+
+    def delete_tag(self, name: str) -> None:
+        t = self.tags()
+        if name in t:
+            del t[name]
+            self._write_tags(t)
+
+    def resolve_tag(self, name: str) -> int:
+        t = self.tags()
+        if name not in t:
+            raise ValueError(f"unknown tag {name!r}")
+        return t[name]
+
     def history(self) -> list[dict]:
         """Commit history (the Iceberg snapshots-metadata-table
         equivalent), one entry per RETAINED version: version, commit
@@ -238,8 +284,9 @@ class LakeTable:
             if f.startswith("v") and f.endswith(".json")
         )
         cutoff = latest - keep_last + 1
-        kept = [v for v in versions if v >= cutoff]
-        expired = [v for v in versions if v < cutoff]
+        tagged = set(self.tags().values())  # tag-pinned: retention-exempt
+        kept = [v for v in versions if v >= cutoff or v in tagged]
+        expired = [v for v in versions if v < cutoff and v not in tagged]
         retained: set[str] = set()
         for v in kept:
             m = self.metadata(v)
@@ -266,15 +313,20 @@ class LakeTable:
         )
 
     # ------------------------------------------------------------------ read
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, tag: str | None = None) -> DataFrame:
         """Current snapshot as a DataFrame, aligned to the logical schema.
 
         Buckets written before an add-column/widen are aligned on read
         (missing -> null, cast to logical type) — Iceberg-style lazy schema
         evolution without rewriting history. Tombstones are filtered out.
         Delta-carrying buckets resolve per-key latest (merge-on-read);
-        delta-free buckets are a plain scan.
+        delta-free buckets are a plain scan. `tag` reads a named snapshot
+        ref (mutually exclusive with `version`).
         """
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version or tag, not both")
+            version = self.resolve_tag(tag)
         meta = self.metadata(version)
         buckets = sorted(
             {int(b) for b in meta["buckets"]}

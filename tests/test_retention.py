@@ -164,3 +164,46 @@ def test_apply_batch_inline_retention(spark, tmp_path):
     )
     assert res.get("skipped") or res.get("epochs") == 0
     assert table.read().count() == 3
+
+
+def test_tags_pin_snapshots_through_retention(spark, tmp_path):
+    """Iceberg-tag semantics: a tagged version (and the files it
+    references) survives expire_snapshots however old it gets; deleting
+    the tag releases the pin."""
+    import pytest as _pytest
+
+    table = _init(spark, str(tmp_path / "t"))
+    for b in range(1, 4):  # versions accumulate (full-rewrite batches)
+        table.merge(
+            _folded(
+                spark,
+                [(f"k{i}", "UPSERT", {"val": f"v{i}b{b}"}, 1000 * b + i)
+                 for i in range(60)],
+            ),
+            stream_id="s",
+            batch_id=b,
+        )
+
+    v_tagged = table.metadata()["version"] - 2
+    tagged_state = {
+        r["id"]: r["val"] for r in table.read(version=v_tagged).collect()
+    }
+    table.tag("release-1", version=v_tagged)
+    assert table.tags() == {"release-1": v_tagged}
+    with _pytest.raises(ValueError):
+        table.tag("release-1")  # no silent overwrite
+    table.tag("release-1", replace=True)  # re-point to latest is explicit
+    table.tag("frozen", version=v_tagged)
+
+    res = table.expire_snapshots(keep_last=1)
+    assert v_tagged in res["kept"]
+    got = {r["id"]: r["val"] for r in table.read(tag="frozen").collect()}
+    assert got == tagged_state
+
+    # releasing the pin lets the next expire collect it
+    table.delete_tag("frozen")
+    table.tag("release-1", version=table.metadata()["version"], replace=True)
+    res2 = table.expire_snapshots(keep_last=1)
+    assert v_tagged in res2["expired"]
+    with _pytest.raises(ValueError):
+        table.read(version=v_tagged)
