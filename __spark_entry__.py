@@ -1467,6 +1467,27 @@ def q_events_rolling(spark, sf):
     )
 
 
+def q_events_distinct_sketch(spark, sf):
+    """Mergeable HLL distinct-user rollup: per-day sketches unioned to an
+    all-time row (day=-1) WITHOUT rescanning raw data — the 100 TB
+    distinct-count pattern. No DuckDB oracle (DataSketches binary is
+    engine-specific): declared non-SQL-expressible, pinned by pytest
+    (lossless union, error envelope)."""
+    from mariadb_cdc_spark.functions.sketches import (
+        distinct_rollup,
+        rollup_union,
+    )
+
+    ev = _ev(spark, sf).select(
+        F.to_date("ts").cast("string").alias("day"), "user_id"
+    )
+    daily = distinct_rollup(ev, ["day"], "user_id").cache()
+    total = rollup_union(daily, []).select(
+        F.lit("ALL").alias("day"), "n_distinct_est"
+    )
+    return daily.select("day", "n_distinct_est").unionByName(total)
+
+
 def q_events_funnel(spark, sf):
     """Ordered 3-step funnel (view -> click -> purchase) by first-event
     ordering per user: one groupBy(user) with conditional-min aggregates,
@@ -1645,6 +1666,7 @@ QUERIES: dict[str, Callable] = {
     "events_props_json": q_events_props_json,
     "events_rollup": q_events_rollup,
     "events_rolling": q_events_rolling,
+    "events_distinct_sketch": q_events_distinct_sketch,
     "events_asof_enrich": q_events_asof_enrich,
     "text_bm25": q_text_bm25,
     "agg_pricing": q_agg_pricing,

@@ -486,3 +486,31 @@ def test_embedding_diversity_hand_case(spark):
     assert out[1]["n_vectors"] == 2
     assert abs(out[1]["mean_sim_to_centroid"] - 0.7071) < 1e-9
     assert abs(out[1]["min_sim_to_centroid"] - 0.7071) < 1e-9
+
+
+def test_hll_distinct_rollup_union_is_lossless(spark):
+    """Sketch contract: union-of-daily-sketches gives the IDENTICAL
+    estimate as one direct sketch over everything (HLL register merge is
+    lossless at equal lg_k), and estimates sit near exact counts."""
+    from mariadb_cdc_spark.functions.sketches import (
+        distinct_rollup,
+        rollup_union,
+    )
+
+    rows = [(d, f"u{u % (50 + 100 * d)}") for d in range(4) for u in range(500)]
+    df = spark.createDataFrame(rows, "day int, user string")
+
+    daily = distinct_rollup(df, ["day"], "user").cache()
+    exact = {
+        r["day"]: r["n"]
+        for r in df.groupBy("day").agg(
+            __import__("pyspark.sql.functions", fromlist=["F"]).countDistinct("user").alias("n")
+        ).collect()
+    }
+    for r in daily.collect():
+        assert abs(r["n_distinct_est"] - exact[r["day"]]) <= 0.05 * exact[r["day"]]
+
+    merged = rollup_union(daily, []).collect()[0]
+    direct = distinct_rollup(df, [], "user").collect()[0]
+    assert merged["n_distinct_est"] == direct["n_distinct_est"]
+    daily.unpersist()
