@@ -21,10 +21,13 @@ place the reference's sequentiality survives (SURVEY.md §4.3).
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .functions.ddl import (
     decide_data_reset,
@@ -45,7 +48,7 @@ from .operators.registry import (
     resolve_table_metadata,
     table_map_registry,
 )
-from .schema import EVT_QUERY
+from .schema import EVT_QUERY, EVT_TABLE_MAP
 from .sources.checkpoint import (
     batch_lineage,
     events_after,
@@ -447,6 +450,88 @@ def apply_batch_multi(
         results[(db, tbl)] = res
     changes.unpersist()
     return results
+
+
+def apply_batch_auto(
+    events: DataFrame,
+    root: str,
+    *,
+    stream_id: str = "default",
+    batch_id: int | None = None,
+    keys_for=None,
+    excluded_tables: list[str] | None = None,
+    n_buckets: int = 16,
+) -> dict:
+    """Zero-config multi-table capture (the Debezium auto-table-creation
+    workflow): discover every source table present in the batch from its
+    TABLE_MAP metadata, provision a lake table per source table on first
+    sight under `root/<db>.<table>`, evolve existing tables when new
+    columns appear, then run the shared-scan multi-table apply.
+
+    `keys_for(db, table, column_names) -> list[str]` chooses merge keys;
+    the default takes the FIRST column (the PK-leading-column layout
+    convention) because the binlog carries no primary-key metadata — the
+    reference's listener knows keys out-of-band (it applies changes with
+    user code), so any deployment with composite keys passes `keys_for`.
+
+    Provisioned schemas are all-string (the engine's late-typed image
+    convention); `LakeTable.merge(cast_types=...)` or downstream views
+    type them. Discovery is a control-plane scan: O(tables) rows collect.
+    """
+    disc_rows = (
+        events.where(F.col("event_type") == EVT_TABLE_MAP)
+        .select("database", "table", "column_names")
+        .where(F.col("database").isNotNull() & F.col("table").isNotNull())
+        .distinct()
+        .collect()
+    )
+    excluded = {t.lower() for t in (excluded_tables or [])}
+    discovered: dict[tuple[str, str], list[str]] = {}
+    for r in disc_rows:
+        key = (r["database"], r["table"])
+        if f"{key[0]}.{key[1]}".lower() in excluded:
+            continue
+        cols = discovered.setdefault(key, [])
+        for c in r["column_names"] or []:
+            if c not in cols:
+                cols.append(c)
+    if not discovered:
+        return {}
+
+    spark = events.sparkSession
+    tables: dict[tuple[str, str], tuple[LakeTable, list[str]]] = {}
+    for (db, tbl), cols in discovered.items():
+        path = os.path.join(root, f"{db}.{tbl}")
+        lake = LakeTable(spark, path)
+        keys = (
+            keys_for(db, tbl, cols) if keys_for is not None else cols[:1]
+        )
+        missing = [k for k in keys if k not in cols]
+        if missing:
+            raise ValueError(
+                f"keys {missing} not in {db}.{tbl} columns {cols}"
+            )
+        if not lake.exists():
+            schema = T.StructType(
+                [T.StructField(c, T.StringType()) for c in cols]
+            )
+            lake = LakeTable.create(
+                spark, path, schema, keys, n_buckets=n_buckets
+            )
+        else:
+            have = {n for n, _ in lake.metadata()["schema"]}
+            for c in cols:
+                if c not in have:  # cross-batch ADD COLUMN drift
+                    lake.add_column(c, "string")
+        tables[(db, tbl)] = (lake, keys)
+
+    return apply_batch_multi(
+        events,
+        tables,
+        stream_id=stream_id,
+        batch_id=batch_id,
+        excluded_tables=excluded_tables,
+    )
 
 
 # Above this many TABLE_MAP occurrences per batch, coalesce in Spark before

@@ -161,3 +161,67 @@ def test_multi_server_lineage_tracked_per_server(spark, tmp_path):
     assert position_advancing(
         events_after(ev.unionByName(tail), lin)
     ).count() == 1
+
+
+def test_auto_provisioning_matches_explicit_multi(spark, sf_dir, tmp_path):
+    """apply_batch_auto discovers tables from TABLE_MAPs, creates lake
+    tables on first sight, and lands the same state as the explicitly
+    configured multi-table apply; exclusions skip provisioning."""
+    import os
+
+    from mariadb_cdc_spark.pipeline import apply_batch_auto
+
+    repo = repo_table(spark, sf_dir)
+    events = generate_events(repo, include_audit=True).cache()
+
+    # explicit reference result
+    main = LakeTable.create(
+        spark, str(tmp_path / "ref_main"), REPO_SCHEMA, MERGE_KEYS, n_buckets=4
+    )
+    audit = LakeTable.create(
+        spark, str(tmp_path / "ref_audit"), AUDIT_SCHEMA, ["audit_id"],
+        n_buckets=2,
+    )
+    apply_batch_multi(
+        events,
+        {
+            (MAIN_DATABASE, MAIN_TABLE): (main, MERGE_KEYS),
+            (MAIN_DATABASE, AUDIT_TABLE): (audit, ["audit_id"]),
+        },
+        stream_id="m", batch_id=0,
+    )
+
+    root = str(tmp_path / "auto")
+    res = apply_batch_auto(
+        events, root, stream_id="m", batch_id=0,
+        keys_for=lambda db, t, cols: MERGE_KEYS if t == MAIN_TABLE else cols[:1],
+    )
+    assert set(res) == {
+        (MAIN_DATABASE, MAIN_TABLE), (MAIN_DATABASE, AUDIT_TABLE)
+    }
+    auto_main = LakeTable(spark, os.path.join(root, f"{MAIN_DATABASE}.{MAIN_TABLE}"))
+    auto_audit = LakeTable(spark, os.path.join(root, f"{MAIN_DATABASE}.{AUDIT_TABLE}"))
+
+    def rows(t, cols):
+        return sorted(map(tuple, t.read().select(*cols).collect()))
+
+    main_cols = ["repo", "path", "commit", "lang", "content"]
+    assert rows(auto_main, main_cols) == rows(main, main_cols)
+    assert rows(auto_audit, AUDIT_SCHEMA.fieldNames()) == rows(
+        audit, AUDIT_SCHEMA.fieldNames()
+    )
+    # keys_for default (first column) was applied to the audit table
+    assert auto_audit.metadata()["keys"] == ["audit_id"]
+
+    # excluded tables are neither provisioned nor applied
+    root2 = str(tmp_path / "auto2")
+    res2 = apply_batch_auto(
+        events, root2, stream_id="m", batch_id=0,
+        keys_for=lambda db, t, cols: MERGE_KEYS if t == MAIN_TABLE else cols[:1],
+        excluded_tables=[f"{MAIN_DATABASE}.{AUDIT_TABLE}"],
+    )
+    assert set(res2) == {(MAIN_DATABASE, MAIN_TABLE)}
+    assert not os.path.exists(
+        os.path.join(root2, f"{MAIN_DATABASE}.{AUDIT_TABLE}")
+    )
+    events.unpersist()
