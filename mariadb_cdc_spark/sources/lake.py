@@ -212,6 +212,33 @@ class LakeTable:
         self._write_tags(t)
         return v
 
+    def rollback(self, version: int | None = None, tag: str | None = None) -> int:
+        """Restore the table to an earlier snapshot (Iceberg
+        rollback_to_snapshot): commit a NEW version whose metadata is a
+        copy of the target's — history stays linear and auditable, no
+        files move (the old version's files are still referenced, so
+        retention keeps them). The bad-deploy recovery path; pairs with
+        tags (`rollback(tag="pre-migration")`).
+
+        Exactly-once markers and lineage roll back WITH the state: a
+        stream resuming after a rollback sees the old checkpoint and
+        re-applies the rolled-back range — deliberate, since replay
+        converges by the same idempotence contract as any crash replay.
+        """
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version or tag, not both")
+            version = self.resolve_tag(tag)
+        if version is None:
+            raise ValueError("rollback needs a version or tag")
+        cur = self.metadata()
+        target = dict(self.metadata(int(version)))
+        target["version"] = cur["version"] + 1
+        target["rolled_back_from"] = cur["version"]
+        target["rolled_back_to"] = int(version)
+        self._write_metadata(target)
+        return target["version"]
+
     def delete_tag(self, name: str) -> None:
         t = self.tags()
         if name in t:

@@ -207,3 +207,35 @@ def test_tags_pin_snapshots_through_retention(spark, tmp_path):
     assert v_tagged in res2["expired"]
     with _pytest.raises(ValueError):
         table.read(version=v_tagged)
+
+
+def test_rollback_restores_state_and_replays_converge(spark, tmp_path):
+    """rollback commits a NEW version copying the target snapshot's
+    metadata: state restored, history linear, and the rolled-back
+    exactly-once marker lets the stream re-apply the undone range."""
+    table = _init(spark, str(tmp_path / "t"))
+    v_good = table.metadata()["version"]
+    good = {r["id"]: r["val"] for r in table.read().collect()}
+    table.tag("pre-deploy", version=v_good)
+
+    bad = _folded(
+        spark,
+        [(f"k{i}", "UPSERT", {"val": "CORRUPT"}, 5000 + i) for i in range(60)],
+    )
+    table.merge(bad, stream_id="s", batch_id=1)
+    assert {r["val"] for r in table.read().collect()} == {"CORRUPT"}
+
+    v_new = table.rollback(tag="pre-deploy")
+    assert v_new > v_good  # linear history, no erased versions
+    assert {r["id"]: r["val"] for r in table.read().collect()} == good
+    assert table.committed_batch("s") == 0  # marker rolled back too
+
+    # the replayed/corrected batch applies again and wins (higher pos)
+    fixed = _folded(
+        spark,
+        [(f"k{i}", "UPSERT", {"val": f"fixed{i}"}, 6000 + i) for i in range(60)],
+    )
+    table.merge(fixed, stream_id="s", batch_id=1)
+    assert {r["val"] for r in table.read().collect()} == {
+        f"fixed{i}" for i in range(60)
+    }
