@@ -80,6 +80,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--expire-keep", type=int, metavar="N",
                     help="(--maintenance) expire all but the newest N "
                          "snapshots")
+    ap.add_argument("--tag", metavar="NAME",
+                    help="(--maintenance) pin the current (post-ops) "
+                         "version under NAME")
+    ap.add_argument("--rollback-to", metavar="V_OR_TAG",
+                    help="(--maintenance) restore the table to version "
+                         "number or tag name")
     args = ap.parse_args(argv)
 
     from mariadb_cdc_spark.pipeline import CdcConfig, apply_batch
@@ -97,16 +103,26 @@ def main(argv: list[str] | None = None) -> int:
         table = LakeTable(spark, args.table)
         if not table.exists():
             ap.error(f"--maintenance: no table at {args.table}")
-        if not (args.compact or args.rebucket or args.expire_keep):
-            ap.error("--maintenance needs --compact, --rebucket or "
-                     "--expire-keep")
+        if not (args.compact or args.rebucket or args.expire_keep
+                or args.tag or args.rollback_to):
+            ap.error("--maintenance needs --compact, --rebucket, "
+                     "--expire-keep, --tag or --rollback-to")
         ops: dict = {}
+        if args.rollback_to:
+            v = (int(args.rollback_to) if args.rollback_to.isdigit()
+                 else table.resolve_tag(args.rollback_to))
+            ops["rollback"] = {"to": v, "version": table.rollback(v)}
         if args.compact:
             ops["compact"] = table.compact()
         if args.rebucket:
             ops["rebucket"] = table.rebucket(args.rebucket)
         if args.expire_keep:
             ops["expire"] = table.expire_snapshots(keep_last=args.expire_keep)
+        if args.tag:
+            ops["tag"] = {
+                "name": args.tag,
+                "version": table.tag(args.tag, replace=True),
+            }
         meta = table.metadata()
         print(json.dumps({
             "table": args.table,

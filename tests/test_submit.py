@@ -70,6 +70,7 @@ def test_spark_submit_py_files_batch(spark, tmp_path):
             "--py-files", zpath,
             "submit.py",
             "--maintenance", "--compact", "--rebucket", "16",
+            "--tag", "post-maint",
             "--table", table_path,
         ],
         cwd=workdir, env=env, capture_output=True, text=True, timeout=600,
@@ -80,6 +81,7 @@ def test_spark_submit_py_files_batch(spark, tmp_path):
     t = LakeTable(spark, table_path)
     assert t.metadata()["n_buckets"] == 16
     assert t.read().count() == 444
+    assert t.tags()["post-maint"] == m["version"]
 
 
 def test_spark_submit_streaming(spark, tmp_path):
