@@ -1186,6 +1186,48 @@ def q_emb_diversity(spark, sf):
     return embedding_diversity(_emb(spark, sf))
 
 
+def q_corpus_build_full(spark, sf):
+    """The complete curation pipeline as ONE declarative plan: minhash-LSH
+    near-dup groups -> keep-BEST survivor per group -> quality screen ->
+    per-language stratified sample -> per-language token budget. Exercises
+    the whole dedup stack (signatures, banding, connected components,
+    argmax survivorship) under a single composed DuckDB oracle.
+
+    Plan shape at scale: the LSH leg is the bucketed sub-quadratic path;
+    CC is O(diameter) rounds; everything downstream is doc_id equi-joins,
+    a narrow hash-sample filter, and one map-side-combinable final agg.
+    """
+    from mariadb_cdc_spark.functions.dedup import (
+        duplicate_components,
+        keep_best_duplicates,
+        minhash_dedup_pairs,
+    )
+    from mariadb_cdc_spark.functions.sampling import stratified_sample
+    from mariadb_cdc_spark.functions.text import quality_features
+
+    d = _docs(spark, sf)
+    pairs = minhash_dedup_pairs(d, n=3, num_hashes=16, bands=4, threshold=0.5)
+    comp = duplicate_components(pairs)
+    qf = quality_features(d)
+    kept = keep_best_duplicates(comp, qf, "n_tokens")
+    dropped = kept.where(~F.col("kept")).select("doc_id")
+    survivors = d.select("doc_id", "lang").join(dropped, "doc_id", "left_anti")
+    screened = survivors.join(
+        qf.where("passes_quality").select("doc_id", "n_tokens", "n_subwords"),
+        "doc_id",
+    )
+    rates = {"en": 8000, "es": 8000, "fr": 6000, "de": 6000}
+    s = stratified_sample(
+        screened, "lang", rates, ["doc_id"], default_bp=5000, salt="corpusfull"
+    )
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("n_subwords").alias("sum_subwords"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
 def q_ann_bruteforce(spark, sf):
     from mariadb_cdc_spark.functions.similarity import brute_force_topk
 
@@ -1645,6 +1687,7 @@ QUERIES: dict[str, Callable] = {
     "text_repetition": q_text_repetition,
     "text_len_quantiles": q_text_len_quantiles,
     "corpus_build": q_corpus_build,
+    "corpus_build_full": q_corpus_build_full,
     "text_vocab": q_text_vocab,
     "text_unigram_lm": q_text_unigram_lm,
     "decontaminate": q_decontaminate,
@@ -2869,6 +2912,49 @@ def oracle_sql() -> dict[str, str]:
         select c.doc_id, c.canonical_id, b.keep_id,
                c.doc_id = b.keep_id as kept
         from comp c join best b using (canonical_id)
+    """
+    # Full curation pipeline: near-dup groups (recursive CTE) -> keep-best
+    # survivors (argmax) -> quality screen -> stratified sample -> budget.
+    oracles["corpus_build_full"] = f"""
+        with comp as ({oracles['dedup_groups']}),
+        q as (
+          select doc_id, lang,
+                 len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 t -> t != '')) as n_tokens,
+                 len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\r\\n]+'))
+                   as n_subwords,
+                 (len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  t -> t != '')) >= 5
+                  and length(text) >= 30
+                  and (length(text) - length(regexp_replace(text,
+                       '[.,;:!?''"()\\[\\]{{}}]', '', 'g')))
+                      / greatest(length(text), 1) < 0.2) as ok
+          from documents),
+        best as (select canonical_id, doc_id as keep_id from (
+                   select c.canonical_id, c.doc_id,
+                          row_number() over (partition by c.canonical_id
+                            order by q.n_tokens desc, c.doc_id asc) rn
+                   from comp c join q using (doc_id))
+                 where rn = 1),
+        dropped as (select c.doc_id from comp c
+                    join best b using (canonical_id)
+                    where c.doc_id <> b.keep_id),
+        screened as (select * from q
+                     where ok and doc_id not in
+                           (select doc_id from dropped)),
+        samp as (select * from screened
+                 where ('0x' || substring(
+                          md5('corpusfull' || chr(31) || doc_id::VARCHAR),
+                          1, 15))::BIGINT % 10000
+                       < case lang when 'en' then 8000 when 'es' then 8000
+                                   when 'fr' then 6000 when 'de' then 6000
+                                   else 5000 end)
+        select lang, count(*)::BIGINT as n_docs,
+               sum(n_tokens)::BIGINT as sum_tokens,
+               sum(n_subwords)::BIGINT as sum_subwords,
+               sum(doc_id)::BIGINT as sum_ids
+        from samp group by lang
     """
     # Typed analytics close the decode loop: aggregate the closed-form
     # typed state the decode oracle derives.
