@@ -27,6 +27,26 @@ from pyspark.sql import types as T
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+_SCRATCH: str | None = None
+
+
+def _tmpfs_scratch() -> str | None:
+    """Route scratch IO (shuffle local dirs, materialized event parquet,
+    bench lake tables) to tmpfs when available.
+
+    On this single box every 'executor' thread shares ONE disk; per-stage
+    executor metrics show the loss from 2 to 8 threads is per-task IO wait
+    inflation (non-CPU wait 2.3s -> 12.3s on the fold stage), i.e. shuffle
+    and table writes serializing on the disk — a box artifact, not a job
+    property. Real clusters provision local SSDs per executor; tmpfs
+    restores that assumption so the measurement reflects job structure.
+    """
+    global _SCRATCH
+    if _SCRATCH is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        _SCRATCH = tempfile.mkdtemp(prefix="cdc_scratch_", dir="/dev/shm")
+        tempfile.tempdir = _SCRATCH
+    return _SCRATCH
+
 REPO_SCHEMA = T.StructType(
     [
         T.StructField("repo", T.StringType()),
@@ -131,19 +151,23 @@ def run_cdc_apply(
 def _session(cpus: int):
     from mariadb_cdc_spark.session import get_spark
 
+    conf = {
+        # Sandbox inputs are tiny relative to production (hundreds of MB
+        # vs TB); the default 128 MB split would plan 3-6 scan tasks and
+        # serialize the decode. Production files are 128-512 MB and the
+        # default is right there; here finer splits restore the scan
+        # parallelism a real cluster would have.
+        "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+        "spark.sql.files.openCostInBytes": str(1024 * 1024),
+    }
+    scratch = _tmpfs_scratch()
+    if scratch:
+        conf["spark.local.dir"] = f"{scratch}/spark-local"
     return get_spark(
         app_name=f"bench-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
-        extra_conf={
-            # Sandbox inputs are tiny relative to production (hundreds of MB
-            # vs TB); the default 128 MB split would plan 3-6 scan tasks and
-            # serialize the decode. Production files are 128-512 MB and the
-            # default is right there; here finer splits restore the scan
-            # parallelism a real cluster would have.
-            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
-            "spark.sql.files.openCostInBytes": str(1024 * 1024),
-        },
+        extra_conf=conf,
     )
 
 
@@ -232,6 +256,12 @@ def scaling():
     events) so parallel work dominates fixed costs (planning, driver
     metadata commits), as it trivially does at the 10^10-event target.
 
+    Scratch IO (shuffle local dirs, the materialized event input, the bench
+    lake table) goes to tmpfs (`_tmpfs_scratch`): per-stage executor metrics
+    showed the 2->8-thread loss was per-task IO wait inflating 2.3s->12.3s —
+    all threads serializing on the box's single disk, which a real cluster's
+    per-executor local SSDs don't do.
+
     Legs are INTERLEAVED (lo, hi, lo, hi, ...), one fresh session each:
     the sandbox host carries time-varying external load outside this VM's
     view, and running all lo legs then all hi legs lets the two levels
@@ -300,7 +330,11 @@ def scaling():
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
-        scaling()
-    else:
-        main()
+    try:
+        if "--scaling" in sys.argv:
+            scaling()
+        else:
+            main()
+    finally:
+        if _SCRATCH:
+            shutil.rmtree(_SCRATCH, ignore_errors=True)
