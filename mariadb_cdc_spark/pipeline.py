@@ -172,6 +172,52 @@ def fold_for_merge(
     )
 
 
+# Spark-side prefilter for the DDL collect: a STRICT SUPERSET of what the
+# classifiers can match. decide_schema_change uses unanchored re.search for
+# alter/rename/drop table (the reference's QueryDecider tolerates leading
+# comments, QueryDecider.java:9-85), decide_data_reset anchors TRUNCATE at
+# statement start. A real row-format binlog emits one BEGIN QUERY event per
+# transaction (the reference receives ALL query events,
+# shyikobinlog/BinaryLogEventProcessor.java:67-69) — without this pushdown the
+# collect is O(transactions), a scale-killer at the 10^10-event target; with
+# it the driver only ever sees O(DDL statements).
+_DDL_CANDIDATE_RE = (
+    r"(?i)(alter\s+table|rename\s+table|drop\s+table|^\s*truncate\s)"
+)
+
+
+def _classify_ddl_statements(ctrl: DataFrame, cfg) -> list[tuple]:
+    """Collect+classify this batch's DDL/data-reset statements for the table.
+
+    Returns [(row, kind)] ordered by position; kind in {"ddl", "truncate"}.
+    The rlike prefilter runs IN the Spark plan (pushed below the collect) so
+    per-transaction BEGIN/COMMIT QUERY noise never reaches the driver; the
+    exact classification (functions.ddl regexes, 23 golden cases) still runs
+    driver-side on the surviving handful of rows.
+    """
+    stmts = sorted(
+        ctrl.where(F.col("event_type") == EVT_QUERY)
+        .where(F.col("sql").isNotNull())
+        .where(F.col("sql").rlike(_DDL_CANDIDATE_RE))
+        .select("binlog_file", "binlog_pos", "sql")
+        .collect(),
+        key=lambda r: (r["binlog_file"], r["binlog_pos"]),
+    )
+
+    def _mine(t):
+        return t is not None and t.table == cfg.table and (
+            t.database is None or t.database == cfg.database
+        )
+
+    ddls = []
+    for r in stmts:
+        if any(_mine(t) for t in decide_schema_change(r["sql"]).tables):
+            ddls.append((r, "ddl"))
+        elif _mine(decide_data_reset(r["sql"])):
+            ddls.append((r, "truncate"))
+    return ddls
+
+
 def apply_batch(
     events: DataFrame,
     table: LakeTable,
@@ -242,24 +288,7 @@ def apply_batch(
     # statement's position as the merge floor (functions.ddl.
     # decide_data_reset — TRUNCATE is deliberately NOT a schema change,
     # matching the reference's QueryDecider).
-    ddls = []
-    if cfg.apply_ddl:
-        stmts = sorted(
-            ctrl.where(F.col("event_type") == EVT_QUERY)
-            .where(F.col("sql").isNotNull())
-            .select("binlog_file", "binlog_pos", "sql")
-            .collect(),
-            key=lambda r: (r["binlog_file"], r["binlog_pos"]),
-        )
-        def _mine(t):
-            return t is not None and t.table == cfg.table and (
-                t.database is None or t.database == cfg.database
-            )
-        for r in stmts:
-            if any(_mine(t) for t in decide_schema_change(r["sql"]).tables):
-                ddls.append((r, "ddl"))
-            elif _mine(decide_data_reset(r["sql"])):
-                ddls.append((r, "truncate"))
+    ddls = _classify_ddl_statements(ctrl, cfg) if cfg.apply_ddl else []
 
     if agg_views and any(kind == "truncate" for _, kind in ddls):
         # IVM maintenance diffs only the batch's FOLDED keys; a truncate

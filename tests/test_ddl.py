@@ -141,3 +141,89 @@ def test_classifiers_total_on_arbitrary_input():
         assert r is None or r.table
 
     _run()
+
+
+def test_ddl_prefilter_is_superset_of_classifiers():
+    """The Spark-side rlike prefilter (pipeline._DDL_CANDIDATE_RE) must match
+    every statement the exact classifiers match (else a DDL would be silently
+    dropped) while rejecting per-transaction BEGIN/COMMIT QUERY noise (the
+    reference receives ALL query events,
+    shyikobinlog/BinaryLogEventProcessor.java:67-69 — at 10^10 events an
+    unfiltered collect is O(transactions))."""
+    import re
+
+    from mariadb_cdc_spark.pipeline import _DDL_CANDIDATE_RE
+
+    rx = re.compile(_DDL_CANDIDATE_RE)
+    positives = (
+        [sql for sql, _ in ALTER_CASES]
+        + [sql for sql, _ in RENAME_CASES]
+        + [sql for sql, _ in DROP_CASES]
+        + ["truncate table codehub.repo_files", "  TRUNCATE repo_files;"]
+    )
+    for sql in positives:
+        assert rx.search(sql), f"prefilter must keep: {sql!r}"
+    noise = [
+        "BEGIN",
+        "COMMIT",
+        "begin",
+        "SET TIMESTAMP=1704067200",
+        "insert into t values (1)",
+        "# node of the cluster restarted",
+        "GRANT SELECT ON db.* TO 'reader'",
+        "FLUSH LOGS",
+    ]
+    for sql in noise:
+        assert not rx.search(sql), f"prefilter must drop: {sql!r}"
+
+
+def test_ddl_collect_is_bounded_by_ddl_statements(spark):
+    """A reference-shaped binlog emits one BEGIN QUERY per transaction; the
+    driver-side DDL collect must stay O(DDL statements), not O(transactions):
+    the rlike prefilter runs in the Spark plan so only DDL candidates are
+    collected, and classification over 5k BEGIN/COMMIT + 2 relevant DDLs
+    yields exactly those 2 (in position order)."""
+    from pyspark.sql import functions as F
+
+    from mariadb_cdc_spark.pipeline import (
+        CdcConfig,
+        _DDL_CANDIDATE_RE,
+        _classify_ddl_statements,
+    )
+
+    n_txn = 5000
+    ctrl = (
+        spark.range(n_txn)
+        .select(
+            F.lit("bin.000001").alias("binlog_file"),
+            (F.col("id") * 10).alias("binlog_pos"),
+            F.lit("QUERY").alias("event_type"),
+            F.when(F.col("id") % 2 == 0, F.lit("BEGIN"))
+            .otherwise(F.lit("COMMIT"))
+            .alias("sql"),
+        )
+        .union(
+            spark.createDataFrame(
+                [
+                    ("bin.000001", 25_000, "QUERY",
+                     "alter table codehub.repo_files add column stars int"),
+                    ("bin.000001", 35_000, "QUERY",
+                     "truncate table codehub.repo_files"),
+                    ("bin.000001", 45_000, "QUERY",
+                     "alter table otherdb.other add column x int"),
+                ],
+                "binlog_file string, binlog_pos long, event_type string,"
+                " sql string",
+            )
+        )
+    )
+    # the prefilter keeps only the 3 DDL candidates out of 5003 QUERY rows —
+    # this is the set that reaches the driver
+    kept = ctrl.where(F.col("sql").rlike(_DDL_CANDIDATE_RE)).count()
+    assert kept == 3
+    cfg = CdcConfig(database="codehub", table="repo_files", keys=["id"])
+    ddls = _classify_ddl_statements(ctrl, cfg)
+    assert [(r["binlog_pos"], kind) for r, kind in ddls] == [
+        (25_000, "ddl"),
+        (35_000, "truncate"),
+    ]
