@@ -2127,7 +2127,9 @@ def oracle_sql() -> dict[str, str]:
                    repeat('t', (1 + doc_id % 9)::INT) || '-' || doc_id
                      as title,
                    lower(hex('p' || doc_id::VARCHAR)) as payload,
-                   '{"k":' || doc_id || '}' as attrs
+                   '{"k":' || doc_id || '}' as attrs,
+                   -- latin1 wire column: agreement proves charset-aware decode
+                   'café-' || doc_id || '°' as label
             from v
         """,
         "cdc_truncate": """

@@ -18,6 +18,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# k-means assignment ships centroids as plan literals up to this many k*d
+# values (whole-stage-codegen friendly); beyond it they ride a 1-row
+# broadcast relation instead — same expressions, same results (pinned by
+# test_kmeans_broadcast_path_matches_literal_path).
+KMEANS_INLINE_MAX = 16384
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -251,23 +257,44 @@ def _kmeans_fit(corpus, k, iters, id_col, vec_col, round_to):
 
     def _assign(cent_rows):
         # Assignment is a PURE PROJECTION, not a join: the centroids are
-        # O(k*d) driver-side state, so they inline as an array literal and
-        # each row computes its k distances + argmin inside whole-stage
-        # codegen — zero shuffle, zero row blowup (the crossJoin+groupBy
-        # formulation costs a k-fold explode plus an N-row hash aggregate
-        # for the same answer). Ties break to the smaller cluster id
-        # (array_position returns the FIRST minimum), matching the
-        # (dist, cid) ordering the SQL oracle uses. Plans stay reasonable
-        # to k*d ~ tens of thousands of literals; beyond that a broadcast
-        # join variant would take over.
-        cents_lit = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in c])
-                for _, c in sorted(cent_rows)
-            ]
-        )
+        # O(k*d) driver-side state, delivered to executors one of two ways
+        # — both zero-shuffle, zero row blowup, same argmin expression:
+        #   * k*d <= KMEANS_INLINE_MAX: inline as an array LITERAL, so the
+        #     distances + argmin run inside whole-stage codegen;
+        #   * larger: codegen chokes on plans with ~10^5 literals, so the
+        #     centroids ship as a 1-ROW BROADCAST relation crossJoined onto
+        #     the scan — the same expressions evaluate over a broadcast
+        #     COLUMN instead of a literal (no k-fold explode, no N-row
+        #     re-aggregation that a conventional broadcast-join+groupBy
+        #     formulation would cost).
+        # Ties break to the smaller cluster id (array_position returns the
+        # FIRST minimum), matching the (dist, cid) ordering the SQL oracle
+        # uses. Cluster ids are dense 0..len-1 after the sorted() below but
+        # may be a SUBSET of 0..k-1 when a cluster emptied — positions map
+        # back to the surviving ids.
+        ordered = sorted(cent_rows)
+        n_vals = sum(len(c) for _, c in ordered)
+        if n_vals <= KMEANS_INLINE_MAX:
+            base = vecs
+            cvecs = F.array(
+                *[F.array(*[F.lit(float(x)) for x in c]) for _, c in ordered]
+            )
+            cids = F.array(*[F.lit(int(i)) for i, _ in ordered])
+        else:
+            one = vecs.sparkSession.createDataFrame(
+                [
+                    (
+                        [int(i) for i, _ in ordered],
+                        [[float(x) for x in c] for _, c in ordered],
+                    )
+                ],
+                "_cids array<int>, _cvecs array<array<double>>",
+            )
+            base = vecs.crossJoin(F.broadcast(one))
+            cvecs = F.col("_cvecs")
+            cids = F.col("_cids")
         d2 = F.transform(
-            cents_lit,
+            cvecs,
             lambda c: F.round(
                 F.aggregate(
                     F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
@@ -277,15 +304,11 @@ def _kmeans_fit(corpus, k, iters, id_col, vec_col, round_to):
                 round_to,
             ),
         )
-        # cluster ids are dense 0..len-1 after the sorted() above, but may
-        # be a SUBSET of 0..k-1 when a cluster emptied — map positions back
-        # to the surviving ids.
-        ids_lit = F.array(*[F.lit(int(i)) for i, _ in sorted(cent_rows)])
-        return vecs.select(
+        return base.select(
             "vid",
             "v",
             F.element_at(
-                ids_lit,
+                cids,
                 F.array_position(d2, F.array_min(d2)).cast("int"),
             ).alias("cluster"),
             F.array_min(d2).alias("dist"),

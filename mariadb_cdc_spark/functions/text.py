@@ -367,6 +367,10 @@ def bm25_scores(
     negative-idf clamp needed): ln(1 + (N - df + 0.5) / (df + 0.5)).
     Deterministic output: score rounded to 4 decimals, ties broken by id.
     """
+    if not query_terms:
+        # fail at entry with a usable message — an empty term list would
+        # otherwise surface as an opaque crash inside F.round(None, 4)
+        raise ValueError("query_terms must be non-empty")
     toks = tokens(F.lower(F.col(text_col)))
 
     def _tf(word):

@@ -444,29 +444,67 @@ def resolve_string_meta(metadata: int) -> tuple[int, int]:
     return meta0, meta1
 
 
-def decode_varchar(buf: bytes, max_len: int) -> str | None:
+# MySQL/MariaDB column character sets -> Python codecs. The reference decodes
+# string payloads with the column's charset carried through TABLE_MAP metadata
+# (BaseRowsEventBinLogDataDeserializer.java:181-216 + FullMeta
+# DEFAULT_CHARSET/COLUMN_CHARSET optional blocks); this engine carries a
+# charset NAME per column in the envelope's column_charsets array. Unknown or
+# absent charsets decode as utf-8 with replacement (the previous behavior, and
+# correct for utf8mb4 sources — the dominant modern default).
+CHARSET_CODECS = {
+    "utf8": "utf-8",
+    "utf8mb3": "utf-8",
+    "utf8mb4": "utf-8",
+    "latin1": "latin-1",  # MySQL latin1 is cp1252-ish; latin-1 covers 8859-1
+    "latin2": "iso8859-2",
+    "ascii": "ascii",
+    "cp932": "cp932",
+    "sjis": "cp932",
+    "ujis": "euc-jp",
+    "euckr": "euc-kr",
+    "gbk": "gbk",
+    "big5": "big5",
+    "cp1251": "cp1251",
+    "binary": "latin-1",  # lossless byte passthrough for BINARY/CHAR BYTE
+}
+
+
+def _codec(charset: str | None) -> str:
+    return CHARSET_CODECS.get((charset or "").lower(), "utf-8")
+
+
+def decode_varchar(
+    buf: bytes, max_len: int, charset: str | None = None
+) -> str | None:
     """VARCHAR/VAR_STRING: 1-byte length prefix when the declared max byte
-    length fits 255, else 2-byte little-endian (readVarchar :181-184)."""
+    length fits 255, else 2-byte little-endian (readVarchar :181-184).
+    Payload bytes decode with the column charset (default utf-8)."""
     if buf is None:
         return None
     if max_len <= 255:
         n, off = buf[0], 1
     else:
         n, off = int.from_bytes(buf[:2], "little"), 2
-    return buf[off : off + n].decode("utf-8", "replace")
+    return buf[off : off + n].decode(_codec(charset), "replace")
 
 
-def encode_varchar(s: str, max_len: int) -> bytes:
-    b = s.encode("utf-8")
+def encode_varchar(s: str, max_len: int, charset: str | None = None) -> bytes:
+    b = s.encode(_codec(charset))
     pre = 1 if max_len <= 255 else 2
     return len(b).to_bytes(pre, "little") + b
 
 
-def decode_string(buf: bytes, metadata: int, labels: list[str] | None):
+def decode_string(
+    buf: bytes,
+    metadata: int,
+    labels: list[str] | None,
+    charset: str | None = None,
+):
     """STRING (254): resolve the packed dual-format metadata, then decode as
     the real type — ENUM/SET values are `length` index/mask bytes, CHAR
     payloads are length-prefixed with the prefix width chosen by the
-    RESOLVED length (readString :201-216)."""
+    RESOLVED length (readString :201-216) and decoded with the column
+    charset."""
     if buf is None:
         return None
     real, length = resolve_string_meta(metadata)
@@ -478,12 +516,12 @@ def decode_string(buf: bytes, metadata: int, labels: list[str] | None):
         n, off = buf[0], 1
     else:
         n, off = int.from_bytes(buf[:2], "little"), 2
-    return buf[off : off + n].decode("utf-8", "replace")
+    return buf[off : off + n].decode(_codec(charset), "replace")
 
 
-def encode_string(s: str, metadata: int) -> bytes:
+def encode_string(s: str, metadata: int, charset: str | None = None) -> bytes:
     _, length = resolve_string_meta(metadata)
-    b = s.encode("utf-8")
+    b = s.encode(_codec(charset))
     pre = 1 if length <= 255 else 2
     return len(b).to_bytes(pre, "little") + b
 
@@ -527,6 +565,7 @@ def decode_wire_value(
     meta: int,
     buf: bytes,
     labels: list[str] | None = None,
+    charset: str | None = None,
 ) -> str | None:
     """One wire value -> canonical string (the envelope's map-value form;
     LakeTable.merge casts it to the table's typed column). Canonical forms
@@ -585,9 +624,9 @@ def decode_wire_value(
     if type_code == 0:  # old DECIMAL: stored as string on modern servers
         return buf.decode("utf-8", "replace")
     if type_code in (15, 253):  # VARCHAR / VAR_STRING
-        return decode_varchar(buf, meta)
+        return decode_varchar(buf, meta, charset)
     if type_code == 254:  # STRING (packed dual-format metadata)
-        v = decode_string(buf, meta, labels)
+        v = decode_string(buf, meta, labels, charset)
         return None if v is None else str(v)
     if type_code in (249, 250, 251, 252):  # BLOB family -> canonical hex
         v = decode_blob(buf, meta)

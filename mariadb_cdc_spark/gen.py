@@ -497,11 +497,13 @@ TYPED_TABLE = "metrics"
 TYPED_COLUMNS = [
     "id", "price", "updated_at", "flags", "ratio",
     "status", "tags", "created", "dur", "seen_at",
-    "name", "title", "payload", "attrs",
+    "name", "title", "payload", "attrs", "label",
 ]
 # LONGLONG, NEWDECIMAL, DATETIME2, BIT, DOUBLE, ENUM, SET, DATE, TIME2,
-# TIMESTAMP2, VARCHAR, STRING, BLOB, JSON
-TYPED_COLUMN_TYPES = [8, 246, 18, 16, 5, 247, 248, 10, 19, 17, 15, 254, 252, 245]
+# TIMESTAMP2, VARCHAR, STRING, BLOB, JSON, VARCHAR(latin1)
+TYPED_COLUMN_TYPES = [
+    8, 246, 18, 16, 5, 247, 248, 10, 19, 17, 15, 254, 252, 245, 15,
+]
 # wire metadata: decimal precision|scale<<8, fsp, bit length, value length,
 # varchar max bytes, STRING packed dual-format (real type STRING + length
 # 300 -> meta0 0xEE / meta1 0x2C, resolve_string_meta round-trip), blob/json
@@ -509,21 +511,26 @@ TYPED_COLUMN_TYPES = [8, 246, 18, 16, 5, 247, 248, 10, 19, 17, 15, 254, 252, 245
 TYPED_STRING_PACKED_META = 0xEE2C  # CHAR(300): two-byte length prefixes
 TYPED_COLUMN_METADATA = [
     0, 12 | (4 << 8), 3, 8, 8, 1, 1, 0, 0, 0,
-    40, TYPED_STRING_PACKED_META, 2, 4,
+    40, TYPED_STRING_PACKED_META, 2, 4, 80,
 ]
 TYPED_ENUM_VALUES = [
     None, None, None, None, None,
     ["active", "archived"], ["read", "write", "exec"],
     None, None, None,
-    None, None, None, None,
+    None, None, None, None, None,
 ]
+# Per-column charset names (TABLE_MAP FullMeta DEFAULT_CHARSET/COLUMN_CHARSET
+# analog): `label` is a latin1 column whose wire bytes are NOT valid utf-8
+# for its non-ASCII chars — a utf-8 decode would mojibake, so agreement with
+# the oracle proves the charset actually reaches the decoder.
+TYPED_COLUMN_CHARSETS = [None] * 14 + ["latin1"]
 TYPED_LAKE_SCHEMA = [
     ("id", "bigint"), ("price", "decimal(12,4)"),
     ("updated_at", "timestamp_ntz"), ("flags", "bigint"),
     ("ratio", "double"), ("status", "string"), ("tags", "string"),
     ("created", "date"), ("dur", "string"), ("seen_at", "timestamp_ntz"),
     ("name", "string"), ("title", "string"), ("payload", "string"),
-    ("attrs", "string"),
+    ("attrs", "string"), ("label", "string"),
 ]
 
 
@@ -560,6 +567,10 @@ def _typed_logical(doc_id: int, updated: bool) -> dict:
         "title": "t" * (1 + doc_id % 9) + f"-{doc_id}",
         "payload": f"p{doc_id}".encode("utf-8"),
         "attrs": '{"k":%d}' % doc_id,
+        # latin1 column: é (0xE9) and ° (0xB0) are single high bytes on the
+        # wire — invalid as utf-8, so this value round-trips ONLY through a
+        # charset-aware decode
+        "label": f"café-{doc_id}°",
     }
 
 
@@ -597,6 +608,7 @@ def generate_typed_events(spark, sf_dir: str, *, server_id: int = 1):
             "title": td.encode_string(lv["title"], TYPED_STRING_PACKED_META),
             "payload": td.encode_blob(lv["payload"], 2),
             "attrs": td.encode_blob(lv["attrs"].encode("utf-8"), 4),
+            "label": td.encode_varchar(lv["label"], 80, "latin1"),
         }
         keep = subset or cols
         return {c: enc[c].hex() for c in keep}
@@ -683,6 +695,12 @@ def generate_typed_events(spark, sf_dir: str, *, server_id: int = 1):
                     if v is None
                     else F.array(*[F.lit(x) for x in v])
                     for v in TYPED_ENUM_VALUES
+                ]
+            ),
+            "column_charsets": F.array(
+                *[
+                    F.lit(c).cast("string")
+                    for c in TYPED_COLUMN_CHARSETS
                 ]
             ),
         },

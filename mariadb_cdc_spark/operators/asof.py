@@ -78,7 +78,12 @@ def asof_join(
     payload = right_cols or [
         c for c in right.columns if c not in on and c != right_ts
     ]
-    clash = [c for c in payload if (c + suffix) in left.columns]
+    # the attached right-ts column f"{right_ts}{suffix}" is part of the
+    # output too — include it in the clash check or the result frame would
+    # carry ambiguous duplicate column names
+    clash = [
+        c for c in [*payload, right_ts] if (c + suffix) in left.columns
+    ]
     if clash:
         raise ValueError(
             f"right columns {clash} collide with left; pass suffix="

@@ -200,8 +200,9 @@ def decode_wire_images(resolved: DataFrame, with_errors: bool = False) -> DataFr
         types: pd.Series,
         metas: pd.Series,
         enums: pd.Series,
+        charsets: pd.Series,
     ) -> pd.DataFrame:
-        def one(im, nm, ty, me, en):
+        def one(im, nm, ty, me, en, cs):
             if im is None or nm is None or ty is None:
                 return im, []
             idx = {n: i for i, n in enumerate(nm)}
@@ -219,9 +220,14 @@ def decode_wire_images(resolved: DataFrame, with_errors: bool = False) -> DataFr
                     if en is not None and i < len(en) and en[i] is not None
                     else None
                 )
+                charset = cs[i] if cs is not None and i < len(cs) else None
                 try:
                     out[k] = td.decode_wire_value(
-                        int(code), int(meta or 0), bytes.fromhex(v), labels
+                        int(code),
+                        int(meta or 0),
+                        bytes.fromhex(v),
+                        labels,
+                        charset,
                     )
                 except (
                     ValueError,      # non-hex, out-of-range temporal fields
@@ -238,12 +244,21 @@ def decode_wire_images(resolved: DataFrame, with_errors: bool = False) -> DataFr
                     errs.append(k)
             return out, errs
 
-        pairs = [one(*args) for args in zip(img, names, types, metas, enums)]
+        pairs = [
+            one(*args)
+            for args in zip(img, names, types, metas, enums, charsets)
+        ]
         return pd.DataFrame(
             {"img": [p[0] for p in pairs], "errs": [p[1] for p in pairs]}
         )
 
     gate = F.col("column_metadata").isNotNull()
+    # charset column is optional on direct-caller frames (null = utf-8)
+    cs_col = (
+        F.col("column_charsets")
+        if "column_charsets" in resolved.columns
+        else F.lit(None).cast("array<string>")
+    )
 
     def maybe(col):
         return F.when(
@@ -254,6 +269,7 @@ def decode_wire_images(resolved: DataFrame, with_errors: bool = False) -> DataFr
                 F.col("column_types"),
                 F.col("column_metadata"),
                 F.col("column_enum_values"),
+                cs_col,
             ),
         )
 

@@ -34,6 +34,7 @@ META_COLS = [
     "column_names",
     "column_metadata",
     "column_enum_values",
+    "column_charsets",
 ]
 
 

@@ -481,6 +481,23 @@ def apply_batch_multi(
     return results
 
 
+def _safe_name(name: str) -> str:
+    """Encode a binlog-sourced db/table name into a single path segment.
+
+    TABLE_MAP names are attacker-ish input (they come off the wire): a name
+    containing '/', '\\', or '..' could escape the lake root, and because the
+    directory is '<db>.<table>', a '.' INSIDE either name makes
+    (db='a', table='b.c') collide with (db='a.b', table='c'). Percent-escape
+    '%' (the escape char itself), both separators, and '.' so the mapping is
+    injective and always one path segment. Normal MySQL identifiers (no
+    dots/slashes) map to themselves.
+    """
+    out = name.replace("%", "%25")
+    for ch, esc in (("/", "%2F"), ("\\", "%5C"), (".", "%2E")):
+        out = out.replace(ch, esc)
+    return out
+
+
 def apply_batch_auto(
     events: DataFrame,
     root: str,
@@ -530,7 +547,7 @@ def apply_batch_auto(
     spark = events.sparkSession
     tables: dict[tuple[str, str], tuple[LakeTable, list[str]]] = {}
     for (db, tbl), cols in discovered.items():
-        path = os.path.join(root, f"{db}.{tbl}")
+        path = os.path.join(root, f"{_safe_name(db)}.{_safe_name(tbl)}")
         lake = LakeTable(spark, path)
         keys = (
             keys_for(db, tbl, cols) if keys_for is not None else cols[:1]
@@ -579,13 +596,15 @@ _REGISTRY_COLS = [
     "column_names",
     "column_metadata",
     "column_enum_values",
+    "column_charsets",
 ]
 
 _REGISTRY_SCHEMA = (
     "server_id long, binlog_file string, binlog_pos long, table_id long,"
     " database string, table string, column_types array<int>,"
     " column_names array<string>, column_metadata array<int>,"
-    " column_enum_values array<array<string>>"
+    " column_enum_values array<array<string>>,"
+    " column_charsets array<string>"
 )
 
 

@@ -68,6 +68,12 @@ EVENT_SCHEMA = T.StructType(
             T.ArrayType(T.ArrayType(T.StringType())),
             True,
         ),
+        # per-column character-set NAME for string-typed columns (reference
+        # carries charset through TABLE_MAP FullMeta DEFAULT_CHARSET/
+        # COLUMN_CHARSET and decodes payloads with it,
+        # BaseRowsEventBinLogDataDeserializer.java:181-216); null entry or
+        # null array = utf-8 (functions.typedec.CHARSET_CODECS)
+        T.StructField("column_charsets", T.ArrayType(T.StringType()), True),
         T.StructField("columns_used", T.ArrayType(T.BooleanType()), True),
         T.StructField("update_columns_used", T.ArrayType(T.BooleanType()), True),
         T.StructField("rows_before", _IMG, True),  # UPDATE/DELETE images

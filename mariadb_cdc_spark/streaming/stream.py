@@ -27,6 +27,7 @@ import shutil
 from dataclasses import replace
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..pipeline import CdcConfig, apply_batch
 from ..schema import EVENT_SCHEMA
@@ -81,6 +82,81 @@ def read_event_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(source_dir)
+
+
+def read_bus_stream(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka-SHAPED streaming source of change-envelope frames.
+
+    Yields the column contract `spark.readStream.format("kafka")` produces
+    once key/value are cast to string — (key, value, topic, partition,
+    offset, timestamp) — backed by parquet files so the identical downstream
+    plan (parse_debezium -> fold -> MERGE) is testable without a broker. A
+    production deployment swaps this one reader call for the Kafka format
+    (the sandbox ships no spark-sql-kafka package or broker); everything
+    downstream is byte-identical because it only touches these columns.
+    """
+    reader = spark.readStream.schema(
+        "key string, value string, topic string, partition int,"
+        " offset long, timestamp timestamp"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def start_bus_cdc_stream(
+    frames: DataFrame,
+    table: LakeTable,
+    cfg: CdcConfig,
+    *,
+    checkpoint_dir: str,
+    stream_id: str = "bus",
+    trigger_available_now: bool = True,
+):
+    """Consume a Debezium-enveloped bus stream (e.g. a Kafka CDC topic
+    another connector populates) into a lake table — the inverse-connector
+    counterpart of start_cdc_stream for streams that arrive ALREADY decoded
+    to change records (no TABLE_MAP/wire-decode stages; the envelope carries
+    named string images).
+
+    Per epoch: parse_debezium (pure from_json projection; tombstone/
+    heartbeat bus messages drop) -> include/exclude table filter -> the same
+    ordered LWW fold -> position-gated exactly-once MERGE keyed
+    (stream_id, epoch). Replayed epochs skip via the committed-batch check,
+    exactly like the binlog path.
+    """
+    from ..functions.export import parse_debezium
+    from ..operators.filters import filter_tables
+    from ..pipeline import fold_for_merge
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        epoch = int(epoch_id)
+        if epoch <= table.committed_batch(stream_id):
+            return
+        changes = parse_debezium(batch_df).withColumn(
+            "has_column_names", F.lit(True)
+        )
+        include = cfg.included_tables
+        if include is None:
+            include = [f"{cfg.database}.{cfg.table}"]
+        changes = filter_tables(changes, include, cfg.excluded_tables)
+        folded = fold_for_merge(changes, cfg)
+        table.merge(folded, stream_id=stream_id, batch_id=epoch)
+
+    writer = (
+        frames.writeStream.foreachBatch(_apply)
+        .queryName(f"cdc-bus-{stream_id}")
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def start_cdc_stream(

@@ -103,20 +103,30 @@ def main(argv: list[str] | None = None) -> int:
         table = LakeTable(spark, args.table)
         if not table.exists():
             ap.error(f"--maintenance: no table at {args.table}")
-        if not (args.compact or args.rebucket or args.expire_keep
+        # `is not None`, not truthiness: an explicit `--rebucket 0` /
+        # `--expire-keep 0` must reach the op (and fail loudly there),
+        # not be silently skipped.
+        if not (args.compact or args.rebucket is not None
+                or args.expire_keep is not None
                 or args.tag or args.rollback_to):
             ap.error("--maintenance needs --compact, --rebucket, "
                      "--expire-keep, --tag or --rollback-to")
         ops: dict = {}
         if args.rollback_to:
-            v = (int(args.rollback_to) if args.rollback_to.isdigit()
+            # tags win over version numbers: an all-digit TAG name (e.g.
+            # "20240101") must resolve to its tagged version, not be
+            # misread as version 20240101
+            tags = table.tags()
+            v = (tags[args.rollback_to]
+                 if args.rollback_to in tags
+                 else int(args.rollback_to) if args.rollback_to.isdigit()
                  else table.resolve_tag(args.rollback_to))
             ops["rollback"] = {"to": v, "version": table.rollback(v)}
         if args.compact:
             ops["compact"] = table.compact()
-        if args.rebucket:
+        if args.rebucket is not None:
             ops["rebucket"] = table.rebucket(args.rebucket)
-        if args.expire_keep:
+        if args.expire_keep is not None:
             ops["expire"] = table.expire_snapshots(keep_last=args.expire_keep)
         if args.tag:
             ops["tag"] = {

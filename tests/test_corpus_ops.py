@@ -150,6 +150,32 @@ def test_kmeans_assigns_every_vector_once(spark):
     assert out.where(~F.col("cluster").between(0, 3)).count() == 0
 
 
+def test_kmeans_broadcast_path_matches_literal_path(spark, monkeypatch):
+    """Past KMEANS_INLINE_MAX k*d values the centroids ride a 1-row
+    broadcast relation instead of plan literals (the literal path has a
+    codegen cliff at ~10^5 literals). Same seed => bit-identical
+    assignment, and the plan must show a broadcast, not an N-row
+    re-aggregation (no extra Exchange/Aggregate over the scan side)."""
+    from mariadb_cdc_spark.functions import similarity as sim
+
+    d = _blobs(spark)
+    lit = sorted(
+        (r["vec_id"], r["cluster"], r["dist"])
+        for r in kmeans_assign(d, k=3, iters=2).collect()
+    )
+    monkeypatch.setattr(sim, "KMEANS_INLINE_MAX", 0)  # force broadcast path
+    out = kmeans_assign(d, k=3, iters=2)
+    bc = sorted(
+        (r["vec_id"], r["cluster"], r["dist"]) for r in out.collect()
+    )
+    assert lit == bc
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan  # centroids delivered as a broadcast relation
+    # zero-shuffle invariant: the assignment itself adds no Exchange beyond
+    # the broadcast's own exchange
+    assert "ShuffleExchange" not in plan and "hashpartitioning" not in plan
+
+
 # ------------------------------------------------------------- vocab_topk
 
 def test_vocab_topk_counts_and_tiebreak(spark):

@@ -345,3 +345,34 @@ def test_decode_errors_surface_and_quarantine_stats(spark):
 
     # default mode: unchanged surface (no decode_errors column)
     assert "decode_errors" not in decode_wire_images(df).columns
+
+
+def test_charset_aware_varchar_and_string_decode():
+    """Column-charset decode (reference carries charset through TABLE_MAP
+    metadata, BaseRowsEventBinLogDataDeserializer.java:181-216): latin1
+    wire bytes for 'café°' are single high bytes (0xE9, 0xB0) — invalid
+    utf-8 — so only a charset-aware decode round-trips them; the default
+    (no charset) stays utf-8 and mojibakes with U+FFFD replacement."""
+    from mariadb_cdc_spark.functions import typedec as td
+
+    s = "café-7°"
+    wire = td.encode_varchar(s, 80, "latin1")
+    assert td.decode_varchar(wire, 80, "latin1") == s
+    # without the charset the high bytes are invalid utf-8 -> replacement
+    assert "�" in td.decode_varchar(wire, 80)
+    # utf8mb4 wire bytes decode identically with or without the hint
+    w8 = td.encode_varchar(s, 80, "utf8mb4")
+    assert td.decode_varchar(w8, 80, "utf8mb4") == s == td.decode_varchar(w8, 80)
+
+    # STRING (254) path with packed dual-format metadata
+    meta = 0xEE2C  # CHAR(300), 2-byte prefixes
+    ws = td.encode_string(s, meta, "latin1")
+    assert td.decode_string(ws, meta, None, "latin1") == s
+    assert "�" in td.decode_string(ws, meta, None)
+
+    # dispatch surface threads the charset through
+    assert td.decode_wire_value(15, 80, wire, None, "latin1") == s
+    assert td.decode_wire_value(254, meta, ws, None, "latin1") == s
+
+    # unknown charset name degrades to utf-8-with-replacement, never raises
+    assert "caf" in td.decode_varchar(wire, 80, "klingon")
