@@ -1304,6 +1304,24 @@ def q_media_png_stats(spark, sf):
     return png_stats(synthesize_png_media(_docs(spark, sf)))
 
 
+def q_media_jpeg_stats(spark, sf):
+    """Multimodal ENTROPY-CODED image path, REAL in-repo codec
+    (functions/jpeg.py: 8x8 DCT, Annex-K-style quantization, canonical
+    Huffman with DHT-carried tables, byte stuffing): smooth sinusoid ground
+    truths are JPEG-encoded then decoded back; exact header dimensions come
+    from the decode and the lossy reconstruction is checked IN the UDF
+    against the same closed form (max|err|<=24, mean<=4; measured worst
+    at quality 90: 18 / 3.04 over sf0.01). The oracle pins
+    dimensions exactly and asserts the quality booleans — byte equality is
+    impossible for a lossy codec, so the quality BOUND is the contract."""
+    from mariadb_cdc_spark.functions.multimodal import (
+        jpeg_stats,
+        synthesize_jpeg_media,
+    )
+
+    return jpeg_stats(synthesize_jpeg_media(_docs(spark, sf)))
+
+
 def q_text_unigram_lm(spark, sf):
     """Unigram-LM bits/token per document (text.unigram_logprob): the
     CCNet-style perplexity-proxy quality signal — corpus unigram counts
@@ -1688,7 +1706,6 @@ QUERIES: dict[str, Callable] = {
     "cdc_changelog": q_cdc_changelog,
     "cdc_multi_server": q_cdc_multi_server,
     "cdc_bootstrap": q_cdc_bootstrap,
-    "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_type_overlap": q_cdc_type_overlap,
     "sample_quota": q_sample_quota,
     "ann_bruteforce": q_ann_bruteforce,
@@ -1703,6 +1720,7 @@ QUERIES: dict[str, Callable] = {
     "media_audio_features": q_media_audio_features,
     "media_image_stats": q_media_image_stats,
     "media_png_stats": q_media_png_stats,
+    "media_jpeg_stats": q_media_jpeg_stats,
     "events_cohort_retention": q_events_cohort_retention,
     "events_funnel": q_events_funnel,
     "events_props_json": q_events_props_json,
@@ -1714,6 +1732,7 @@ QUERIES: dict[str, Callable] = {
     "agg_pricing": q_agg_pricing,
     "join_revenue": q_join_revenue,
     # ---- position > 50: green in the r2 ledger, rotated out of the window
+    "cdc_point_lookup": q_cdc_point_lookup,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2688,6 +2707,19 @@ def oracle_sql() -> dict[str, str]:
                    sum((x + 3 * y + 14 + doc_id) % 256)::BIGINT as sum_b
             from cells
             group by doc_id, w, h
+        """,
+        "media_jpeg_stats": """
+            -- header dimensions are exact (lossless framing); the lossy
+            -- reconstruction contract is the boolean the UDF computed
+            -- against the same closed-form ground truth
+            select doc_id::BIGINT as media_id,
+                   (16 + doc_id % 24)::INT as width,
+                   (16 + (doc_id * 3) % 16)::INT as height,
+                   ((16 + doc_id % 24)
+                    * (16 + (doc_id * 3) % 16))::INT as n_pixels,
+                   true as decode_ok,
+                   true as within_tol
+            from documents
         """,
         "text_unigram_lm": r"""
             with toks as (

@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
 The Spark-side architecture is real and tested — schema, partition-preserving
-mapInPandas with Arrow batches — and so are the WAV/PPM/PNG codecs below
-(stdlib struct + zlib + numpy; no external image/audio libraries needed).
-Only entropy-coded formats (JPEG/MP4) remain stubs: swap
-`_decode_image_stub` for PIL/torchvision etc. on a real cluster; nothing
-else changes.
+mapInPandas with Arrow batches — and so are the WAV/PPM/PNG codecs below and
+the baseline JPEG codec in functions.jpeg (stdlib struct + zlib + numpy; no
+external image/audio libraries needed — JPEG included: DCT + Huffman
+entropy coding in-repo). Only MP4/video remains a declared stub: swap
+`_decode_image_stub` for PIL/torchvision/pyav etc. on a real cluster;
+nothing else changes.
 
 Design rules for 100 TB of binary payloads:
   - binary stays opaque in Spark (no per-row Python objects crossing the
@@ -140,9 +141,10 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 # the binary path is exercised end to end in this container:
 #   WAV (RIFF PCM16), PPM (P6), and PNG (8-bit RGB: full None/Sub/Up/
 #   Average/Paeth filter matrix + CRC-checked chunks over zlib).
-# Codecs needing entropy decoders we can't justify hand-rolling (JPEG/MP4)
-# stay behind _decode_image_stub until PIL/av exist on the cluster; nothing
-# else in the pipeline changes.
+# JPEG (entropy-coded) is real too — functions/jpeg.py hand-rolls the
+# baseline DCT+Huffman codec (see synthesize_jpeg_media / jpeg_stats below).
+# Only MP4/video stays behind _decode_image_stub until av exists on the
+# cluster; nothing else in the pipeline changes.
 
 import struct
 
@@ -420,6 +422,92 @@ def png_stats(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         _fn, PNG_STATS_SCHEMA
+    )
+
+
+# --------------------------------------------------- JPEG (entropy-coded)
+
+def _jpeg_truth(d: int) -> "np.ndarray":
+    """Deterministic smooth ground-truth image for doc_id d: a low-frequency
+    sinusoid (no hard edges, so baseline-JPEG ringing stays tiny and the
+    reconstruction tolerance can be tight). Same closed form is recomputed
+    at verify time, so the decoded output is checked against ground truth
+    INSIDE the stats UDF — the oracle then asserts the boolean."""
+    w = 16 + d % 24
+    h = 16 + (d * 3) % 16
+    x = np.arange(w).reshape(1, w, 1)
+    y = np.arange(h).reshape(h, 1, 1)
+    c = np.arange(3).reshape(1, 1, 3)
+    val = 127.5 + 100.0 * np.sin((x + 2 * y + 10 * c + d) / 5.0)
+    return np.rint(val).astype(np.uint8)
+
+
+def synthesize_jpeg_media(docs: DataFrame, quality: int = 90) -> DataFrame:
+    """Deterministic REAL baseline JPEGs (functions.jpeg encoder: DCT +
+    quantization + canonical Huffman + byte stuffing) — the entropy-coded
+    leg of the multimodal column, previously a declared stub."""
+    from .jpeg import encode_jpeg
+
+    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                out.append(
+                    (d, "image", "image/jpeg",
+                     encode_jpeg(_jpeg_truth(d), quality))
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "kind", "mime", "payload"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _fn,
+        "media_id long, kind string, mime string, payload binary",
+    )
+
+
+JPEG_STATS_SCHEMA = (
+    "media_id long, width int, height int, n_pixels int,"
+    " decode_ok boolean, within_tol boolean"
+)
+
+
+def jpeg_stats(media: DataFrame, max_err: int = 24, mean_err: float = 4.0) -> DataFrame:
+    """Decode JPEG payloads -> exact dimensions + a reconstruction-quality
+    verdict vs the closed-form ground truth (within_tol: max abs error <=
+    max_err AND mean abs error <= mean_err — lossy codecs can't promise
+    byte equality, so the QUALITY BOUND is the oracle-checkable contract).
+    Corrupt payloads emit a null-feature row instead of failing the task."""
+    from .jpeg import decode_jpeg
+
+    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                try:
+                    px = decode_jpeg(bytes(payload))
+                except _DECODE_ERRORS:
+                    rows.append((mid,) + (None,) * 5)
+                    continue
+                hh, ww, _ = px.shape
+                truth = _jpeg_truth(mid)
+                ok_shape = truth.shape == px.shape
+                if ok_shape:
+                    err = np.abs(px.astype(np.int64) - truth.astype(np.int64))
+                    tol = bool(err.max() <= max_err and err.mean() <= mean_err)
+                else:
+                    tol = False
+                rows.append((mid, ww, hh, ww * hh, True, tol))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_pixels",
+                         "decode_ok", "within_tol"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _fn, JPEG_STATS_SCHEMA
     )
 
 

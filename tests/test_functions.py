@@ -514,3 +514,75 @@ def test_hll_distinct_rollup_union_is_lossless(spark):
     direct = distinct_rollup(df, [], "user").collect()[0]
     assert merged["n_distinct_est"] == direct["n_distinct_est"]
     daily.unpersist()
+
+
+def test_jpeg_codec_roundtrip_and_containment():
+    """Baseline JPEG codec (functions/jpeg.py): lossy roundtrip within the
+    contract bound on smooth AND noisy inputs, grayscale replication, odd
+    (non-multiple-of-8) dimensions, corrupt-payload containment, and loud
+    rejection of non-baseline frames."""
+    import numpy as np
+    import pytest
+
+    from mariadb_cdc_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from mariadb_cdc_spark.functions.multimodal import _jpeg_truth
+
+    # smooth ground truth at quality 90: bounded reconstruction error
+    for d in (0, 21, 194, 337):  # includes the worst measured ids
+        t = _jpeg_truth(d)
+        px = decode_jpeg(encode_jpeg(t, 90))
+        assert px.shape == t.shape
+        err = np.abs(px.astype(int) - t.astype(int))
+        assert err.max() <= 24 and err.mean() <= 4.0
+
+    # noise at quality 100 (all-ones quant): only DCT rounding remains
+    rng = np.random.default_rng(7)
+    noisy = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(noisy, 100))
+    assert np.abs(out.astype(int) - noisy.astype(int)).max() <= 8
+
+    # odd dimensions survive the 8-pad/crop cycle
+    odd = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    assert decode_jpeg(encode_jpeg(odd, 95)).shape == (13, 9, 3)
+
+    # grayscale encodes 1-component and decodes replicated to 3 channels
+    g = (np.arange(20 * 16).reshape(20, 16) % 200).astype(np.uint8)
+    og = decode_jpeg(encode_jpeg(g, 95))
+    assert og.shape == (20, 16, 3)
+    assert (og[:, :, 0] == og[:, :, 1]).all()
+
+    # containment: bad magic, truncation, progressive marker
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    good = encode_jpeg(_jpeg_truth(3), 90)
+    with pytest.raises((ValueError, IndexError, Exception)):
+        decode_jpeg(good[: len(good) // 3])
+    progressive = bytearray(good)
+    sof = progressive.find(b"\xff\xc0")
+    progressive[sof + 1] = 0xC2  # SOF0 -> SOF2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(progressive))
+
+
+def test_jpeg_stats_distributed(spark):
+    """jpeg_stats over the synthesized corpus: every row decodes, every row
+    meets the quality bound, dimensions match the closed form; a corrupt
+    payload degrades to a null-feature row (poison-pill containment)."""
+    import pandas as pd
+
+    from mariadb_cdc_spark.functions import multimodal as mm
+
+    docs = spark.range(40).selectExpr("id as doc_id")
+    media = mm.synthesize_jpeg_media(docs)
+    rows = {r["media_id"]: r for r in mm.jpeg_stats(media).collect()}
+    assert len(rows) == 40
+    for d, r in rows.items():
+        assert r["decode_ok"] and r["within_tol"]
+        assert r["width"] == 16 + d % 24
+        assert r["height"] == 16 + (d * 3) % 16
+
+    corrupt = spark.createDataFrame(
+        pd.DataFrame({"media_id": [99], "payload": [b"\xff\xd8garbage"]})
+    )
+    (bad,) = mm.jpeg_stats(corrupt).collect()
+    assert bad["media_id"] == 99 and bad["decode_ok"] is None
