@@ -1673,6 +1673,87 @@ def q_join_revenue(spark, sf):
     )
 
 
+# ------------------------------------------------- code-payload curation
+# The graft's payload is source code (BASELINE input_hint). These queries
+# synthesize a deterministic code corpus from `documents` (so the DuckDB
+# oracle can rebuild the identical corpus in SQL) and run the code-curation
+# operators over it: structural metrics, license/generated detection, and
+# Moss winnowing fingerprints for code near-dup.
+
+
+def _synth_code(df):
+    """Deterministic pseudo-source file per document: optional license
+    header (doc_id%7), optional codegen marker (doc_id%11), a def line, a
+    comment line carrying the document text, a blank line, and a body.
+    Mirrored exactly by the `code` CTE in the oracles."""
+    did = F.col("doc_id").cast("string")
+    lic = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("// Licensed under the Apache License, Version 2.0\n"),
+        )
+        .when(
+            F.col("doc_id") % 7 == 1,
+            F.lit("// Permission is hereby granted, free of charge\n"),
+        )
+        .otherwise(F.lit(""))
+    )
+    gen = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.lit("// Code generated by cdcgen. DO NOT EDIT.\n"),
+    ).otherwise(F.lit(""))
+    content = F.concat(
+        lic,
+        gen,
+        F.lit("def handler_"), did, F.lit("():\n"),
+        F.lit("    # "), F.col("text"), F.lit("\n"),
+        F.lit("\n    value = "), F.col("n_chars").cast("string"), F.lit("\n"),
+        F.lit("    return value\n"),
+    )
+    return df.select("doc_id", content.alias("content"))
+
+
+def q_code_metrics(spark, sf):
+    from mariadb_cdc_spark.functions.code import code_metrics
+
+    return code_metrics(_synth_code(_docs(spark, sf)))
+
+
+def q_code_flags(spark, sf):
+    """License + generated-file classification rollup over the synthetic
+    code corpus: per (license, is_generated) file count and id checksum."""
+    from mariadb_cdc_spark.functions.code import detect_generated, detect_license
+
+    d = detect_generated(detect_license(_synth_code(_docs(spark, sf))))
+    return d.groupBy("license", "is_generated").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+def q_code_winnow_fp(spark, sf):
+    """Per-file winnowing fingerprint count + order-insensitive checksum
+    (sum of fp mod a prime — exact integer math both engines)."""
+    from mariadb_cdc_spark.functions.code import winnow_fingerprints
+
+    fps = winnow_fingerprints(_synth_code(_docs(spark, sf)))
+    return fps.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.sum(F.col("fp") % 1000003).alias("fp_checksum"),
+    )
+
+
+def q_code_winnow_pairs(spark, sf):
+    """Code near-duplicate pairs via winnowing-fingerprint Jaccard over the
+    raw document text (documents contain genuine near-dups — the same set
+    minhash LSH surfaces)."""
+    from mariadb_cdc_spark.functions.code import winnow_near_pairs
+
+    return winnow_near_pairs(
+        _docs(spark, sf), content_col="text", threshold=0.5
+    )
+
+
 # Entry ORDER is load-bearing: the driver's correctness gate checks the first
 # 50 entries. Round 3 window = the 27 CDC-core queries (one row per SURVEY §2
 # operator, incl. the 3 DECIMAL-normalized ones) + the 23 queries that had no
@@ -1756,6 +1837,11 @@ QUERIES: dict[str, Callable] = {
     "text_vocab": q_text_vocab,
     "text_unigram_lm": q_text_unigram_lm,
     "decontaminate": q_decontaminate,
+    # ---- round-3 additions (rotate into the checked window in round 4)
+    "code_metrics": q_code_metrics,
+    "code_flags": q_code_flags,
+    "code_winnow_fp": q_code_winnow_fp,
+    "code_winnow_pairs": q_code_winnow_pairs,
 }
 
 
@@ -3176,5 +3262,117 @@ def oracle_sql() -> dict[str, str]:
         where bm25 > 0
         order by bm25 desc, doc_id asc
         limit 20
+    """
+
+    # ---- code-payload curation (mirror of _synth_code + functions/code.py)
+    code_cte = """
+        code as (
+          select doc_id,
+            (case when doc_id % 7 = 0
+                  then '// Licensed under the Apache License, Version 2.0' || chr(10)
+                  when doc_id % 7 = 1
+                  then '// Permission is hereby granted, free of charge' || chr(10)
+                  else '' end)
+            || (case when doc_id % 11 = 0
+                  then '// Code generated by cdcgen. DO NOT EDIT.' || chr(10)
+                  else '' end)
+            || 'def handler_' || doc_id || '():' || chr(10)
+            || '    # ' || text || chr(10)
+            || chr(10) || '    value = ' || n_chars || chr(10)
+            || '    return value' || chr(10) as content
+          from documents)
+    """
+    oracles["code_metrics"] = f"""
+        with {code_cte},
+        m as (
+          select doc_id,
+                 string_split(content, chr(10)) as lines,
+                 length(content) as n_chars_total,
+                 length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g')) as n_alnum,
+                 contains(content, chr(9)) as uses_tabs
+          from code),
+        m2 as (
+          select doc_id, n_chars_total, n_alnum, uses_tabs,
+                 len(lines) as n_lines,
+                 len(list_filter(lines, l -> regexp_matches(l, '^\\s*$'))) as n_blank,
+                 len(list_filter(lines,
+                     l -> regexp_matches(l, '^\\s*(//|#|--|\\*|/\\*)'))) as n_comment,
+                 list_max(list_transform(lines, l -> length(l))) as max_line_len
+          from m)
+        select doc_id, n_lines, n_blank, n_comment, max_line_len,
+               n_chars_total, n_alnum, uses_tabs,
+               (n_lines - n_blank >= 3 and max_line_len <= 1000
+                and n_comment * 2 < n_lines
+                and n_alnum * 4 >= n_chars_total) as passes_code_quality
+        from m2
+    """
+    oracles["code_flags"] = f"""
+        with {code_cte},
+        flagged as (
+          select doc_id,
+                 case
+                   when contains(lower(content), 'apache license') then 'apache-2.0'
+                   when contains(lower(content),
+                        'permission is hereby granted, free of charge') then 'mit'
+                   when contains(lower(content), 'mit license') then 'mit'
+                   when contains(lower(content),
+                        'gnu general public license') then 'gpl-3.0'
+                   when contains(lower(content),
+                        'redistribution and use in source and binary forms')
+                        then 'bsd-3-clause'
+                   when contains(lower(content), 'mozilla public license')
+                        then 'mpl-2.0'
+                   else 'unknown' end as license,
+                 regexp_matches(content,
+                   '(?i)(do not edit|auto-?generated|@generated|code generated by|generated automatically)')
+                   as is_generated
+          from code)
+        select license, is_generated, count(*) as n_files,
+               sum(doc_id) as id_sum
+        from flagged group by license, is_generated
+    """
+    # winnowing: k-gram (k=8) md5-60bit hashes over whitespace-stripped
+    # lowercase content, min-of-window (w=4), distinct per doc
+    winnow_cte = """
+        norm as (select {id} as id,
+                        lower(regexp_replace({c}, '\\s+', '', 'g')) as s
+                 from {src}),
+        grams as (select id,
+                    list_transform(
+                      generate_series(1, greatest(length(s) - 8 + 1, 1)),
+                      i -> ('0x' || substring(md5('wfp#' || substring(s, i, 8)), 1, 15))::BIGINT
+                    ) as hs
+                  from norm),
+        fpl as (select id,
+                  list_distinct(list_transform(
+                    generate_series(1, greatest(len(hs) - 4 + 1, 1)),
+                    j -> list_min(hs[j:j+3])
+                  )) as fps
+                from grams),
+        fp as (select id, unnest(fps) as fp from fpl)
+    """
+    oracles["code_winnow_fp"] = f"""
+        with {code_cte},
+        {winnow_cte.format(id="doc_id", c="content", src="code")}
+        select id, count(*) as n_fp,
+               sum(fp % 1000003) as fp_checksum
+        from fp group by id
+    """
+    oracles["code_winnow_pairs"] = f"""
+        with {winnow_cte.format(id="doc_id", c="text", src="documents")},
+        sizes as (select id, count(*) as n_fp from fp group by id),
+        hot as (select fp from fp group by fp having count(*) > 100),
+        cold as (select fp.id, fp.fp from fp anti join hot using (fp)),
+        pairs as (
+          select a.id as id_a, b.id as id_b, count(*) as shared
+          from cold a join cold b using (fp)
+          where a.id < b.id
+          group by a.id, b.id)
+        select id_a, id_b, shared,
+               round(shared * 1.0 / (na.n_fp + nb.n_fp - shared), 6) as jaccard
+        from pairs
+        join sizes na on id_a = na.id
+        join sizes nb on id_b = nb.id
+        where round(shared * 1.0 / (na.n_fp + nb.n_fp - shared), 6) >= 0.5
     """
     return oracles
