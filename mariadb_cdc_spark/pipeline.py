@@ -269,26 +269,46 @@ def apply_batch(
     # deserialize; each pruned parquet scan is ~0.3s at bench scale).
     ctrl = events.drop("rows_before", "rows_after")
 
-    lineage, has_sparse_bitmaps = batch_lineage(
-        ctrl, probe_sparse_bitmaps=True
-    )
-    liveness = liveness_metrics(ctrl) if cfg.track_liveness else None
-
-    # Persistent TABLE_MAP registry: the reference keeps TableInfos in memory
-    # for the whole session (shyikobinlog/TableInfos.java); across restarts a
-    # resumed batch may start mid-file after its TABLE_MAPs, so the engine
-    # persists the latest map per (server_id, table_id) in table metadata and
-    # unions it into each batch's as-of join. TABLE_MAP rows are one-per-table
+    # The four control-plane collects (lineage agg + sparsity probe,
+    # liveness, TABLE_MAP registry, DDL classify) are mutually independent
+    # reads over `ctrl`, so they run as CONCURRENT Spark jobs: sequential
+    # driver round-trips pay 4x the scan latency back-to-back, while the
+    # threaded submit overlaps them on idle cores (Spark job submission is
+    # thread-safe; each action scans only pruned envelope columns). At
+    # bench scale this hides ~0.5 s per batch; at 10^10 events the hidden
+    # latency is four full envelope scans.
+    #
+    # Registry note: the reference keeps TableInfos in memory for the whole
+    # session (shyikobinlog/TableInfos.java); across restarts a resumed
+    # batch may start mid-file after its TABLE_MAPs, so the engine persists
+    # the latest map per (server_id, table_id) in table metadata and unions
+    # it into each batch's as-of join. TABLE_MAP rows are one-per-table
     # (control plane), so the collect is O(tables), not O(events).
-    table_maps, has_wire, all_named = _load_registry(ctrl, table)
+    # DDL classify (rare; driver-side by design) yields (row, kind)
+    # entries: kind "ddl" evolves the schema at the epoch boundary, kind
+    # "truncate" clears the table and installs the statement's position as
+    # the merge floor (functions.ddl.decide_data_reset — TRUNCATE is
+    # deliberately NOT a schema change, matching the reference's
+    # QueryDecider).
+    from concurrent.futures import ThreadPoolExecutor
 
-    # ---- control plane: DDL + data-reset epochs (rare; driver-side by
-    # design). Each entry is (row, kind): kind "ddl" evolves the schema at
-    # the boundary, kind "truncate" clears the table and installs the
-    # statement's position as the merge floor (functions.ddl.
-    # decide_data_reset — TRUNCATE is deliberately NOT a schema change,
-    # matching the reference's QueryDecider).
-    ddls = _classify_ddl_statements(ctrl, cfg) if cfg.apply_ddl else []
+    with ThreadPoolExecutor(max_workers=4) as _ex:
+        _f_lineage = _ex.submit(
+            batch_lineage, ctrl, probe_sparse_bitmaps=True
+        )
+        _f_liveness = (
+            _ex.submit(liveness_metrics, ctrl) if cfg.track_liveness else None
+        )
+        _f_registry = _ex.submit(_load_registry, ctrl, table)
+        _f_ddls = (
+            _ex.submit(_classify_ddl_statements, ctrl, cfg)
+            if cfg.apply_ddl
+            else None
+        )
+        lineage, has_sparse_bitmaps = _f_lineage.result()
+        liveness = _f_liveness.result() if _f_liveness is not None else None
+        table_maps, has_wire, all_named = _f_registry.result()
+        ddls = _f_ddls.result() if _f_ddls is not None else []
 
     if agg_views and any(kind == "truncate" for _, kind in ddls):
         # IVM maintenance diffs only the batch's FOLDED keys; a truncate
