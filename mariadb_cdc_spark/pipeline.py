@@ -413,15 +413,35 @@ def apply_batch(
     if changes_sink is not None:
         changes_sink(changes)
 
-    # final commit: batch id (exactly-once) + persisted TABLE_MAP registry
-    meta = table.metadata()
-    if batch_id is not None:
-        meta["committed"][stream_id] = batch_id
-    meta["table_maps"] = _latest_maps(table_maps)
-    if liveness is not None:
-        meta["liveness"] = liveness
-    meta["version"] += 1
-    table._write_metadata(meta)
+    # final commit: batch id (exactly-once) + persisted TABLE_MAP registry.
+    # CAS metadata-only commit (LakeTable.update_metadata): under concurrent
+    # writers the mutator re-applies onto whatever snapshot wins, so all
+    # fields must merge rather than assign — batch markers take max,
+    # registry entries merge latest-per-(server_id, table_id).
+    batch_maps = _latest_maps(table_maps)
+
+    def _final_commit(meta: dict) -> None:
+        if batch_id is not None:
+            meta["committed"][stream_id] = max(
+                meta["committed"].get(stream_id, -1), batch_id
+            )
+        merged_maps = {
+            (m["server_id"], m["table_id"]): m
+            for m in meta.get("table_maps", [])
+        }
+        for m in batch_maps:
+            key = (m["server_id"], m["table_id"])
+            cur = merged_maps.get(key)
+            if cur is None or (m["binlog_file"], m["binlog_pos"]) >= (
+                cur["binlog_file"],
+                cur["binlog_pos"],
+            ):
+                merged_maps[key] = m
+        meta["table_maps"] = [merged_maps[k] for k in sorted(merged_maps)]
+        if liveness is not None:
+            meta["liveness"] = liveness
+
+    table.update_metadata(_final_commit)
 
     # In-line retention: maintenance wired into the ingest loop so a
     # 10^10-event stream never accretes unbounded snapshot history. Runs

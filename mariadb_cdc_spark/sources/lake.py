@@ -38,10 +38,13 @@ replace only this module.
 
 from __future__ import annotations
 
+import copy
+import fcntl
 import json
 import os
 import shutil
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,6 +53,90 @@ from pyspark.sql import types as T
 
 def _bucket_col(keys: list[str], n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
+
+
+class CommitConflict(Exception):
+    """Another writer committed a version this commit was based on.
+
+    Raised by the CAS commit path (`_write_metadata(expected_base=...)`)
+    when the table's latest version is no longer the one this commit read.
+    `merge` catches it: provably-disjoint winners are rebased onto
+    metadata-only (Iceberg's snapshot-retry), overlapping ones trigger a
+    full recompute against the new state.
+    """
+
+    def __init__(self, expected: int, actual: int):
+        super().__init__(
+            f"commit based on v{expected} but table is at v{actual}"
+        )
+        self.expected = expected
+        self.actual = actual
+
+
+def _rebase_ok(base: dict, latest: dict, affected: list[int]) -> bool:
+    """True when a commit built on `base` can be replayed onto `latest`
+    without recomputing data: the concurrent winner(s) must not have
+    touched any affected bucket, changed the table's physical layout
+    (keys/bucket count), or moved the truncate floor. Schema ADDs by the
+    winner are fine — _aligned_scan null-fills missing columns."""
+    if latest["keys"] != base["keys"]:
+        return False
+    if latest["n_buckets"] != base["n_buckets"]:
+        return False
+    if latest.get("position_floor") != base.get("position_floor"):
+        return False
+    for b in affected:
+        sb = str(b)
+        if latest["buckets"].get(sb) != base["buckets"].get(sb):
+            return False
+        if latest.get("deltas", {}).get(sb, []) != base.get(
+            "deltas", {}
+        ).get(sb, []):
+            return False
+    return True
+
+
+def _rebase(ours: dict, base: dict, latest: dict, affected: list[int]) -> dict:
+    """Replay the metadata mutations of a commit built on `base` onto
+    `latest` (which _rebase_ok validated as disjoint). Data files written
+    by the commit stay valid — only pointers move. Mergeable fields merge
+    (per-stream committed markers and per-server lineage take max; schema
+    additions union); our bucket/delta pointers overwrite for the affected
+    buckets only."""
+    out = copy.deepcopy(latest)
+    for b in affected:
+        sb = str(b)
+        if sb in ours["buckets"]:
+            out["buckets"][sb] = ours["buckets"][sb]
+        else:
+            out["buckets"].pop(sb, None)
+        for fld in ("deltas", "delta_bytes"):
+            if sb in ours.get(fld, {}):
+                out.setdefault(fld, {})[sb] = ours[fld][sb]
+            else:
+                out.setdefault(fld, {}).pop(sb, None)
+    for sid, bid in ours.get("committed", {}).items():
+        out["committed"][sid] = max(out["committed"].get(sid, -1), bid)
+    for sid, pos in ours.get("lineage", {}).items():
+        cur = out["lineage"].get(sid)
+        if cur is None or (pos["file"], pos["pos"]) >= (
+            cur["file"],
+            cur["pos"],
+        ):
+            out["lineage"][sid] = pos
+    have = {n for n, _ in out["schema"]}
+    for n, s in ours["schema"]:
+        if n not in have:
+            out["schema"].append([n, s])
+            have.add(n)
+    ours_n = ours["metrics"].get("n_rows", 0)
+    base_n = base["metrics"].get("n_rows", 0)
+    out["metrics"]["n_rows"] = out["metrics"].get("n_rows", 0) + (
+        ours_n - base_n
+    )
+    if ours.get("hot_keys"):
+        out["hot_keys"] = ours["hot_keys"]
+    return out
 
 
 # Hidden per-row CDC columns: the binlog position that produced the row, plus
@@ -155,8 +242,32 @@ class LakeTable:
         )
 
     # -------------------------------------------------------------- metadata
-    def _write_metadata(self, meta: dict) -> None:
+    def _write_metadata(self, meta: dict, expected_base: int | None = None) -> None:
+        """Persist a metadata snapshot and swing LATEST to it.
+
+        `expected_base=None` is the single-writer fast path (create,
+        maintenance ops). With `expected_base`, the commit is COMPARE-AND-
+        SWAP: it succeeds only if LATEST still names that version, else
+        raises CommitConflict — the Iceberg atomic-swap contract. The swap
+        is serialized by an flock on metadata/.commit.lock, the local-FS
+        stand-in for the catalog's atomic pointer (HadoopTableOperations /
+        a metastore lock on a real deployment)."""
         mdir = os.path.join(self.path, self.METADATA_DIR)
+        if expected_base is None:
+            self._swing(mdir, meta)
+            return
+        with open(os.path.join(mdir, ".commit.lock"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            latest_path = os.path.join(mdir, self.LATEST)
+            cur = -1
+            if os.path.exists(latest_path):
+                with open(latest_path) as f:
+                    cur = int(f.read().strip())
+            if cur != expected_base:
+                raise CommitConflict(expected_base, cur)
+            self._swing(mdir, meta)
+
+    def _swing(self, mdir: str, meta: dict) -> None:
         vfile = os.path.join(mdir, f"v{meta['version']}.json")
         with open(vfile, "w") as f:
             json.dump(meta, f)
@@ -164,6 +275,57 @@ class LakeTable:
         with open(tmp, "w") as f:
             f.write(str(meta["version"]))
         os.replace(tmp, os.path.join(mdir, self.LATEST))  # atomic commit point
+
+    def update_metadata(self, mutate, max_retries: int = 20) -> dict:
+        """Optimistic METADATA-ONLY commit: read latest, apply `mutate(meta)`
+        in place, CAS at version+1; on conflict re-read and re-apply.
+        `mutate` must therefore be idempotent-against-fresh-state (merge
+        markers with max, not assignment). This is how commits that touch
+        no data files (batch markers, registry persistence, liveness)
+        stay safe under concurrent writers."""
+        for _ in range(max_retries):
+            meta = self.metadata()
+            base = meta["version"]
+            mutate(meta)
+            meta["version"] = base + 1
+            meta["ts"] = time.time()
+            try:
+                self._write_metadata(meta, expected_base=base)
+                return meta
+            except CommitConflict:
+                continue
+        raise CommitConflict(base, self.metadata()["version"])
+
+    def _commit_optimistic(
+        self,
+        meta: dict,
+        base_meta: dict,
+        affected: list[int],
+        new_rels: list[str],
+    ) -> int:
+        """CAS-commit a merge built on `base_meta`. On conflict: rebase
+        metadata-only when every concurrent winner is disjoint from our
+        affected buckets (their data files and ours are both valid), else
+        remove our just-written data dirs and raise for a full recompute
+        against the new table state."""
+        expected = base_meta["version"]
+        attempt = meta
+        while True:
+            attempt["version"] = expected + 1
+            attempt["ts"] = time.time()
+            try:
+                self._write_metadata(attempt, expected_base=expected)
+                return attempt["version"]
+            except CommitConflict:
+                latest = self.metadata()
+                if not _rebase_ok(base_meta, latest, affected):
+                    for rel in new_rels:
+                        shutil.rmtree(
+                            os.path.join(self.path, rel), ignore_errors=True
+                        )
+                    raise
+                attempt = _rebase(attempt, base_meta, latest, affected)
+                expected = latest["version"]
 
     def metadata(self, version: int | None = None) -> dict:
         mdir = os.path.join(self.path, self.METADATA_DIR)
@@ -549,8 +711,54 @@ class LakeTable:
         batch_id: int | None = None,
         lineage: dict | None = None,
         cast_types: bool = True,
+        max_commit_retries: int = 10,
     ) -> dict:
-        """MERGE the folded change set into the table.
+        """MERGE with optimistic concurrency (Iceberg commit semantics).
+
+        Multiple writers may merge into the same table concurrently: each
+        attempt reads a base snapshot, writes its data files under unique
+        dirs, and CAS-commits. A concurrent winner that touched none of
+        this merge's buckets is absorbed by a metadata rebase (zero
+        recompute — the common case for disjoint streams / multi-table
+        capture); an overlapping winner forces a full recompute against
+        the new state, up to `max_commit_retries` times. Exactly-once
+        markers survive either path: the recompute re-reads the committed
+        (stream_id, batch_id) watermark, so a batch another worker already
+        landed degrades to a no-op. See _merge_once for MERGE semantics.
+
+        Progress bound: exactly one CAS winner commits per conflict round,
+        so a merge racing W concurrent writers recomputes at most W-1 times
+        — `max_commit_retries` is a writer-count budget, not a timeout.
+        Jittered backoff desynchronizes the losers' recomputes.
+        """
+        import random
+
+        last: CommitConflict | None = None
+        for attempt in range(max_commit_retries + 1):
+            if attempt:
+                time.sleep(random.uniform(0, min(0.1 * attempt, 1.0)))
+            try:
+                return self._merge_once(
+                    folded,
+                    stream_id=stream_id,
+                    batch_id=batch_id,
+                    lineage=lineage,
+                    cast_types=cast_types,
+                )
+            except CommitConflict as e:
+                last = e
+        raise last
+
+    def _merge_once(
+        self,
+        folded: DataFrame,
+        *,
+        stream_id: str = "default",
+        batch_id: int | None = None,
+        lineage: dict | None = None,
+        cast_types: bool = True,
+    ) -> dict:
+        """MERGE the folded change set into the table (single attempt).
 
         `folded` must have: the key columns, final_op ('UPSERT'|'DELETE') and
         image map<string,string> (from operators.fold.fold_changes).
@@ -571,6 +779,9 @@ class LakeTable:
             if batch_id <= done:
                 return {"skipped": True, "version": meta["version"]}
 
+        # Immutable base snapshot for conflict detection/rebase — `meta` is
+        # mutated in place from here on (hot keys, schema adds, pointers).
+        base_meta = copy.deepcopy(meta)
         version = meta["version"] + 1
         floor = meta.get("position_floor")
         if floor:
@@ -620,7 +831,6 @@ class LakeTable:
             # dir per idle trigger interval, which at a 1s trigger would
             # otherwise mint 86k junk commits a day for retention to chase.
             u.unpersist()
-            meta["version"] = version
             if batch_id is not None:
                 meta["committed"][stream_id] = batch_id
             if lineage:
@@ -631,8 +841,9 @@ class LakeTable:
                         cur["pos"],
                     ):
                         meta["lineage"][str(sid)] = posinfo
-            meta["ts"] = time.time()
-            self._write_metadata(meta)
+            # affected=[] -> any concurrent winner rebases cleanly; an
+            # idle-stream heartbeat commit can never fail on contention.
+            version = self._commit_optimistic(meta, base_meta, [], [])
             return {"skipped": False, "version": version, "buckets": 0}
 
         # schema evolution: image keys not yet in the schema become new
@@ -682,7 +893,7 @@ class LakeTable:
             return self._commit_merged(
                 merged, meta, affected, version, u,
                 stream_id=stream_id, batch_id=batch_id, lineage=lineage,
-                n_upserts=n_upserts,
+                n_upserts=n_upserts, base_meta=base_meta,
             )
         # MOR vs COW: small batches append per-bucket delta files (bytes ~
         # batch size); large batches, and buckets whose deltas crossed the
@@ -701,7 +912,7 @@ class LakeTable:
             return self._merge_delta(
                 u, meta, affected, version, n_upserts,
                 stream_id=stream_id, batch_id=batch_id, lineage=lineage,
-                cast_types=cast_types,
+                cast_types=cast_types, base_meta=base_meta,
             )
 
         target = self._read_state(meta, affected)
@@ -772,7 +983,7 @@ class LakeTable:
         return self._commit_merged(
             merged, meta, affected, version, u,
             stream_id=stream_id, batch_id=batch_id, lineage=lineage,
-            n_upserts=n_upserts,
+            n_upserts=n_upserts, base_meta=base_meta,
         )
 
     def _commit_merged(
@@ -787,9 +998,13 @@ class LakeTable:
         batch_id: int | None,
         lineage: dict | None,
         n_upserts: int = 0,
+        base_meta: dict | None = None,
     ) -> dict:
         keys, n_buckets = meta["keys"], meta["n_buckets"]
-        data_rel = f"data/v{version}"
+        # Unique dir per attempt: concurrent writers (and conflict-retried
+        # attempts) must never collide on a data path before the CAS decides
+        # the winner. Losers' dirs become orphans that expire_snapshots GCs.
+        data_rel = f"data/v{version}-{uuid.uuid4().hex[:8]}"
         (
             merged.withColumn("_bucket", _bucket_col(keys, n_buckets))
             .repartition(max(len(affected), 1), "_bucket")
@@ -808,7 +1023,6 @@ class LakeTable:
             # COW rewrite folded any deltas of this bucket into the new base
             meta.setdefault("deltas", {}).pop(str(b), None)
             meta.setdefault("delta_bytes", {}).pop(str(b), None)
-        meta["version"] = version
         if batch_id is not None:
             meta["committed"][stream_id] = batch_id
         if lineage:
@@ -824,8 +1038,14 @@ class LakeTable:
         meta["metrics"]["n_rows"] = (
             meta["metrics"].get("n_rows", 0) + n_upserts
         )
-        meta["ts"] = time.time()
-        self._write_metadata(meta)
+        if base_meta is None:
+            meta["version"] = version
+            meta["ts"] = time.time()
+            self._write_metadata(meta)
+        else:
+            version = self._commit_optimistic(
+                meta, base_meta, affected, [data_rel]
+            )
         return {"skipped": False, "version": version, "buckets": len(affected)}
 
     def _read_buckets(
@@ -1064,6 +1284,7 @@ class LakeTable:
         batch_id: int | None,
         lineage: dict | None,
         cast_types: bool,
+        base_meta: dict | None = None,
     ) -> dict:
         """MERGE as a per-bucket DELTA append (merge-on-read write path).
 
@@ -1131,7 +1352,7 @@ class LakeTable:
         )
         delta = joined.where(take).select(*out_cols)
 
-        data_rel = f"data/d{version}"
+        data_rel = f"data/d{version}-{uuid.uuid4().hex[:8]}"
         (
             delta.withColumn("_bucket", _bucket_col(keys, n_buckets))
             .repartition(max(len(affected), 1), "_bucket")
@@ -1150,7 +1371,6 @@ class LakeTable:
             ].get(str(b), 0) + _dir_bytes(
                 os.path.join(self.path, data_rel, f"_bucket={b}")
             )
-        meta["version"] = version
         if batch_id is not None:
             meta["committed"][stream_id] = batch_id
         if lineage:
@@ -1164,8 +1384,14 @@ class LakeTable:
         meta["metrics"]["n_rows"] = (
             meta["metrics"].get("n_rows", 0) + n_upserts
         )
-        meta["ts"] = time.time()
-        self._write_metadata(meta)
+        if base_meta is None:
+            meta["version"] = version
+            meta["ts"] = time.time()
+            self._write_metadata(meta)
+        else:
+            version = self._commit_optimistic(
+                meta, base_meta, affected, [data_rel]
+            )
         return {
             "skipped": False,
             "version": version,

@@ -1,0 +1,241 @@
+"""Optimistic-concurrency commits (LakeTable CAS + rebase/recompute).
+
+The reference is single-writer by construction (one BinaryLogClient thread
+feeding one listener chain). A Spark deployment runs many concurrent
+writers — multi-table capture jobs, backfill + live stream on one table —
+so the lake commit protocol is Iceberg's: CAS on the metadata pointer,
+metadata-only REBASE when the concurrent winner touched disjoint buckets,
+full RECOMPUTE against the new snapshot when buckets overlap. These tests
+race real threads through merge() and assert no lost updates either way.
+"""
+
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mariadb_cdc_spark.sources.lake import CommitConflict, LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("val", T.StringType()),
+    ]
+)
+
+
+def _folded(spark, rows):
+    """rows: [(id, final_op, image_dict, pos)] -> fold output shape."""
+    return spark.createDataFrame(
+        [
+            (i, op, img, "binlog.000001", pos, 0, 1)
+            for (i, op, img, pos) in rows
+        ],
+        "id string, final_op string, image map<string,string>, "
+        "last_file string, last_pos long, last_row_idx int, n_changes long",
+    )
+
+
+def _init(spark, path, n_buckets=8):
+    return LakeTable.create(spark, path, SCHEMA, ["id"], n_buckets=n_buckets)
+
+
+def _barrier_merge(table, folded_a, folded_b, stream_a="a", stream_b="b"):
+    """Run two merges from two threads released by a barrier; both must
+    succeed (merge retries internally on conflict)."""
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def run(folded, stream):
+        try:
+            barrier.wait(timeout=60)
+            table.merge(folded, stream_id=stream, batch_id=1)
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errs.append(e)
+
+    ta = threading.Thread(target=run, args=(folded_a, stream_a))
+    tb = threading.Thread(target=run, args=(folded_b, stream_b))
+    ta.start()
+    tb.start()
+    ta.join(120)
+    tb.join(120)
+    assert not errs, errs
+
+
+def test_cas_rejects_stale_base(spark, tmp_path):
+    t = _init(spark, str(tmp_path / "t"))
+    meta = t.metadata()
+    meta["version"] += 1
+    t._write_metadata(dict(meta), expected_base=meta["version"] - 1)
+    # second commit still claiming the old base must conflict
+    meta2 = dict(meta)
+    meta2["version"] += 1
+    with pytest.raises(CommitConflict):
+        t._write_metadata(meta2, expected_base=meta["version"] - 1)
+
+
+def test_concurrent_disjoint_streams_no_lost_update(spark, tmp_path):
+    """Two streams writing different keys race a commit; whichever loses
+    the CAS rebases (disjoint buckets) or recomputes — both key sets must
+    land, each under its own exactly-once marker."""
+    t = _init(spark, str(tmp_path / "t"))
+    a = _folded(
+        spark,
+        [(f"a{i}", "UPSERT", {"val": f"A{i}"}, 100 + i) for i in range(40)],
+    )
+    b = _folded(
+        spark,
+        [(f"b{i}", "UPSERT", {"val": f"B{i}"}, 500 + i) for i in range(40)],
+    )
+    _barrier_merge(t, a, b)
+    rows = {r["id"]: r["val"] for r in t.read().collect()}
+    assert len(rows) == 80
+    assert rows["a7"] == "A7" and rows["b13"] == "B13"
+    meta = t.metadata()
+    assert meta["committed"] == {"a": 1, "b": 1}
+    # two data commits -> version advanced twice past create()'s v0
+    assert meta["version"] == 2
+
+
+def test_concurrent_overlapping_keys_converge_by_position(spark, tmp_path):
+    """Both writers hit the SAME key: the loser's rebase is refused
+    (bucket overlap), it recomputes against the winner's state, and the
+    position gate keeps the higher-position write regardless of commit
+    order."""
+    t = _init(spark, str(tmp_path / "t"))
+    lo = _folded(spark, [("k", "UPSERT", {"val": "old"}, 100)])
+    hi = _folded(spark, [("k", "UPSERT", {"val": "new"}, 200)])
+    _barrier_merge(t, lo, hi)
+    rows = t.read().collect()
+    assert len(rows) == 1
+    assert rows[0]["val"] == "new"
+
+
+def test_rebase_preserves_both_writers_data_files(spark, tmp_path):
+    """Force the rebase path deterministically: writer A commits between
+    B's snapshot read and B's commit (simulated by merging A fully, then
+    committing B's attempt built on the old base via the internal API)."""
+    t = _init(spark, str(tmp_path / "t"))
+    t.merge(
+        _folded(spark, [("a1", "UPSERT", {"val": "A"}, 100)]),
+        stream_id="a",
+        batch_id=1,
+    )
+    base = t.metadata()  # v1
+    # A commits again (v2) while B is "in flight" on base v1
+    t.merge(
+        _folded(spark, [("a2", "UPSERT", {"val": "A2"}, 101)]),
+        stream_id="a",
+        batch_id=2,
+    )
+    # B's attempt built on the stale base: disjoint bucket pointer update
+    import copy
+
+    ours = copy.deepcopy(base)
+    ours["buckets"]["999"] = "data/fake-b"  # disjoint marker bucket
+    ours["committed"]["b"] = 7
+    v = t._commit_optimistic(ours, base, [999], [])
+    meta = t.metadata()
+    assert v == meta["version"] == 3
+    # B's pointer landed AND A's v2 bucket pointers survived the rebase
+    assert meta["buckets"]["999"] == "data/fake-b"
+    assert meta["committed"] == {"a": 2, "b": 7}
+    # key-scoped read avoids the fake marker bucket (pointer only)
+    rows = {r["id"]: r["val"] for r in t.read_keys([{"id": "a2"}]).collect()}
+    assert rows.get("a2") == "A2"
+
+
+def test_many_writer_stress_all_batches_land(spark, tmp_path):
+    """6 writers x disjoint key ranges, all racing: every batch must be
+    committed exactly once and every row present."""
+    t = _init(spark, str(tmp_path / "t"))
+    n_writers, per = 6, 10
+    barrier = threading.Barrier(n_writers)
+    errs = []
+
+    def run(w):
+        try:
+            folded = _folded(
+                spark,
+                [
+                    (f"w{w}k{i}", "UPSERT", {"val": f"v{w}_{i}"}, w * 1000 + i)
+                    for i in range(per)
+                ],
+            )
+            barrier.wait(timeout=120)
+            t.merge(folded, stream_id=f"s{w}", batch_id=1)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(w,)) for w in range(n_writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(300)
+    assert not errs, errs
+    rows = {r["id"]: r["val"] for r in t.read().collect()}
+    assert len(rows) == n_writers * per
+    meta = t.metadata()
+    assert all(meta["committed"][f"s{w}"] == 1 for w in range(n_writers))
+
+
+def test_update_metadata_merges_under_contention(spark, tmp_path):
+    """CAS metadata-only updates from many threads: every marker lands."""
+    t = _init(spark, str(tmp_path / "t"))
+    barrier = threading.Barrier(8)
+    errs = []
+
+    def run(i):
+        def mut(meta):
+            meta["committed"][f"s{i}"] = max(
+                meta["committed"].get(f"s{i}", -1), i
+            )
+
+        try:
+            barrier.wait(timeout=60)
+            t.update_metadata(mut)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(60)
+    assert not errs, errs
+    meta = t.metadata()
+    assert all(meta["committed"][f"s{i}"] == i for i in range(8))
+    assert meta["version"] == 8
+
+
+def test_conflict_loser_cleans_up_orphan_dirs(spark, tmp_path):
+    """A refused rebase must remove the loser attempt's data dirs before
+    raising; the retry then writes fresh ones — no unreferenced dirs leak
+    past the merge call."""
+    t = _init(spark, str(tmp_path / "t"))
+    # seed the key so both writers touch the SAME bucket (overlap -> refuse)
+    t.merge(
+        _folded(spark, [("k", "UPSERT", {"val": "seed"}, 1)]),
+        stream_id="seed",
+        batch_id=1,
+    )
+    a = _folded(spark, [("k", "UPSERT", {"val": "A"}, 100)])
+    b = _folded(spark, [("k", "UPSERT", {"val": "B"}, 200)])
+    _barrier_merge(t, a, b)
+    meta = t.metadata()
+    referenced = set(meta["buckets"].values())
+    for rels in meta.get("deltas", {}).values():
+        referenced.update(rels)
+    # every dir on disk must be referenced by SOME retained version
+    mdir = os.path.join(t.path, "metadata")
+    for vf in os.listdir(mdir):
+        if vf.startswith("v") and vf.endswith(".json"):
+            m = t.metadata(int(vf[1:-5]))
+            referenced.update(m["buckets"].values())
+            for rels in m.get("deltas", {}).values():
+                referenced.update(rels)
+    on_disk = {f"data/{d}" for d in os.listdir(os.path.join(t.path, "data"))}
+    assert on_disk <= referenced
+    assert {r["val"] for r in t.read().collect()} == {"B"}

@@ -1,6 +1,7 @@
 """Snapshot retention GC (LakeTable.expire_snapshots): reference-counted
 data-dir deletion + time-travel history trimming."""
 
+import glob
 import os
 
 import pytest
@@ -70,10 +71,12 @@ def test_expire_removes_superseded_cow_bases(spark, tmp_path):
         stream_id="s",
         batch_id=1,
     )
-    assert os.path.isdir(str(tmp_path / "t2" / "data" / "v1"))
+    # commit dirs carry a per-attempt uniqueness suffix (data/v1-<token>)
+    v1_dirs = glob.glob(str(tmp_path / "t2" / "data" / "v1-*"))
+    assert len(v1_dirs) == 1
     res = t.expire_snapshots(keep_last=1)
-    assert "data/v1" in res["removed_dirs"]
-    assert not os.path.isdir(str(tmp_path / "t2" / "data" / "v1"))
+    assert any(d.startswith("data/v1-") for d in res["removed_dirs"])
+    assert not os.path.isdir(v1_dirs[0])
     rows = {r["id"]: r["val"] for r in t.read().collect()}
     assert rows["k5"] == "w5" and len(rows) == 60
 
