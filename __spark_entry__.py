@@ -1743,6 +1743,15 @@ def q_code_winnow_fp(spark, sf):
     )
 
 
+def q_dedup_substring(spark, sf):
+    """Exact duplicated-substring spans (Lee et al. 2022 ExactSubstr at
+    window granularity): per-doc duplicated 10-token-window counts and
+    merged span token totals."""
+    from mariadb_cdc_spark.functions.dedup import duplicated_window_spans
+
+    return duplicated_window_spans(_docs(spark, sf), w=10, min_docs=2)
+
+
 def q_code_winnow_pairs(spark, sf):
     """Code near-duplicate pairs via winnowing-fingerprint Jaccard over the
     raw document text (documents contain genuine near-dups — the same set
@@ -1842,6 +1851,7 @@ QUERIES: dict[str, Callable] = {
     "code_flags": q_code_flags,
     "code_winnow_fp": q_code_winnow_fp,
     "code_winnow_pairs": q_code_winnow_pairs,
+    "dedup_substring": q_dedup_substring,
 }
 
 
@@ -3374,5 +3384,40 @@ def oracle_sql() -> dict[str, str]:
         join sizes na on id_a = na.id
         join sizes nb on id_b = nb.id
         where round(shared * 1.0 / (na.n_fp + nb.n_fp - shared), 6) >= 0.5
+    """
+    ltoks = _LTOKS.format(c="text")
+    oracles["dedup_substring"] = f"""
+        with toks as (select doc_id, {ltoks} as t from documents),
+        base as (select doc_id, len(t) - 10 + 1 as nw, t
+                 from toks where len(t) >= 10),
+        occ as (
+          select doc_id, i - 1 as pos,
+                 ('0x' || substring(md5('xs#' || array_to_string(t[i:i+9], ' ')), 1, 15))::BIGINT as h
+          from base, unnest(generate_series(1, nw)) as s(i)),
+        dup_h as (select h from (select distinct doc_id, h from occ)
+                  group by h having count(*) >= 2),
+        hits as (select occ.doc_id, occ.pos from occ join dup_h using (h)),
+        isl as (
+          select doc_id, pos,
+                 case when lag(pos) over w is null
+                        or pos - lag(pos) over w > 10
+                      then 1 else 0 end as ns
+          from hits window w as (partition by doc_id order by pos)),
+        isl2 as (select doc_id, pos,
+                        sum(ns) over (partition by doc_id order by pos
+                                      rows unbounded preceding) as span_id
+                 from isl),
+        spans as (select doc_id, span_id, count(*) as n_hits,
+                         max(pos) - min(pos) + 10 as span_tokens
+                  from isl2 group by doc_id, span_id),
+        per_doc as (select doc_id, sum(n_hits) as n_dup_windows,
+                           count(*) as n_spans, sum(span_tokens) as dup_tokens
+                    from spans group by doc_id)
+        select b.doc_id, b.nw as n_windows,
+               coalesce(n_dup_windows, 0) as n_dup_windows,
+               coalesce(n_spans, 0) as n_spans,
+               coalesce(dup_tokens, 0) as dup_tokens,
+               round(coalesce(n_dup_windows, 0) * 1.0 / b.nw, 6) as dup_frac
+        from base b left join per_doc using (doc_id)
     """
     return oracles

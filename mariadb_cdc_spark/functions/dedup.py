@@ -16,7 +16,7 @@ bit-for-bit — determinism across engines is part of the correctness gate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -485,4 +485,103 @@ def keep_best_duplicates(
         components.join(best, "canonical_id")
         .withColumn("kept", F.col(id_col) == F.col("keep_id"))
         .select(id_col, "canonical_id", "keep_id", "kept")
+    )
+
+
+# ------------------------------------------------- exact substring spans
+
+def duplicated_window_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring accounting, the ExactSubstr dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models Better"
+    (ACL 2022), re-expressed at token-window granularity so it runs as a
+    linear Spark plan instead of a suffix array.
+
+    Every w-token sliding window is hashed; windows whose hash occurs in
+    >= min_docs DISTINCT documents are duplicate hits. Per document,
+    overlapping/adjacent hits (gap <= w) merge into maximal spans via
+    gaps-and-islands — exactly the span-clipping step of the paper — and
+    the output reports, per doc: n_windows, n_dup_windows, n_spans,
+    dup_tokens (sum of merged span lengths in tokens), dup_frac.
+
+    Scale: tokenize+window-hash is one narrow projection; duplicate
+    detection is one shuffle keyed on the 60-bit window hash with map-side
+    combine; span merge shuffles only the HIT windows per doc (duplicate
+    mass, not corpus mass). No suffix array, no pairwise comparison.
+    Docs shorter than w tokens have no windows and produce no row.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    n_windows = n - w + 1
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+        lambda i: _md5_long(F.concat_ws(" ", F.slice(toks, i, w)), salt="xs#"),
+    )
+    # materialize the hash array in its own projection (see functions.code
+    # winnow_fingerprints: inlining into the consumer re-evaluates the md5
+    # stream per reference — interpreted HOF, no CSE)
+    hdf = df.select(
+        F.col(id_col).alias("id"),
+        F.when(n_windows >= 1, hashes).otherwise(F.array()).alias("_hs"),
+    )
+    occ = hdf.select(
+        "id", F.posexplode("_hs").alias("pos", "h")
+    )  # pos is 0-based window start
+    dup_h = (
+        occ.select("id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    hits = occ.join(dup_h, "h").select("id", "pos")
+    win = Window.partitionBy("id").orderBy("pos")
+    islands = (
+        hits.withColumn("prev", F.lag("pos").over(win))
+        .withColumn(
+            "new_span",
+            (F.col("prev").isNull() | (F.col("pos") - F.col("prev") > w))
+            .cast("int"),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("new_span").over(
+                win.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("id", "span_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            (F.max("pos") - F.min("pos") + w).alias("span_tokens"),
+        )
+    )
+    per_doc = islands.groupBy("id").agg(
+        F.sum("n_hits").alias("n_dup_windows"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )
+    totals = hdf.select("id", F.size("_hs").alias("n_windows")).where(
+        F.col("n_windows") > 0
+    )
+    return (
+        totals.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(
+                F.col("n_dup_windows") / F.col("n_windows"), 6
+            ),
+        )
     )
