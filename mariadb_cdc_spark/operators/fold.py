@@ -299,6 +299,14 @@ def _reset_patch_fold(
         F.col("_last.binlog_pos").alias("last_pos"),
         F.col("_last.row_idx").alias("last_row_idx"),
         "n_changes",
+        # A reset (INSERT / complete UPDATE / DELETE) anchors this key's
+        # net image: the image is definitive on its own (absent = NULL),
+        # independent of prior table state. Patch-only histories are NOT
+        # anchored — their image only overrides the columns it carries.
+        # LakeTable._merge_delta appends anchored rows without reading
+        # table state (the Hudi-MOR insert path); only unanchored rows
+        # need the resolve join.
+        F.col("_reset_pos").isNotNull().alias("anchored"),
     )
 
 
@@ -376,4 +384,8 @@ def _fold_impl(
         F.col("_last.binlog_pos").alias("last_pos"),
         F.col("_last.row_idx").alias("last_row_idx"),
         "n_changes",
+        # conservative vs _reset_patch_fold: the segment state machine only
+        # sets is_set on INSERT/DELETE (a complete UPDATE stays a patch) —
+        # unanchored rows just take the resolve join, never wrong.
+        F.col("state.is_set").alias("anchored"),
     )

@@ -799,12 +799,26 @@ class LakeTable:
         # One pass over the (small, one-row-per-key) folded set collects both
         # the affected buckets and the observed image columns; the persist
         # keeps the fold from recomputing for the join below.
+        # `anchored` (when the fold provides it) marks rows whose image is
+        # definitive without prior state; unanchored (patch-only) rows and
+        # their buckets are counted so the delta path can scope — or skip —
+        # its table-state read.
+        has_anchor = "anchored" in u.columns
+        unanchored_cond = (
+            (~F.col("anchored")) & (F.col("final_op") != F.lit("DELETE"))
+            if has_anchor
+            else F.lit(True)
+        )
         stats = u.agg(
             F.collect_set("_bucket").alias("bks"),
             F.count(F.lit(1)).alias("n"),
             F.array_distinct(
                 F.flatten(F.collect_set(F.map_keys(F.col("image"))))
             ).alias("cols"),
+            F.sum(F.when(unanchored_cond, 1).otherwise(0)).alias("n_unanch"),
+            F.collect_set(F.when(unanchored_cond, F.col("_bucket"))).alias(
+                "unanch_bks"
+            ),
             # Learned skew: keys whose fold absorbed a huge change count this
             # batch. Fed back into the next batch's fold as its two-phase hot
             # set (operators.fold.fold_changes two_phase="auto").
@@ -821,6 +835,12 @@ class LakeTable:
         ).collect()[0]
         affected = sorted(stats["bks"])
         n_upserts = int(stats["n"])
+        n_unanchored = int(stats["n_unanch"] or 0) if has_anchor else None
+        unanchored_buckets = (
+            sorted(b for b in stats["unanch_bks"] if b is not None)
+            if has_anchor
+            else None
+        )
         meta["hot_keys"] = [[r[k] for k in keys] for r in stats["hot"]]
         deltas = meta.setdefault("deltas", {})
         dbytes = meta.setdefault("delta_bytes", {})
@@ -862,34 +882,7 @@ class LakeTable:
             # full-outer join against an empty target is the identity on the
             # update side — build rows straight from the fold, skipping the
             # join's shuffle+sort of the whole change set entirely.
-            out_cols = []
-            for n, st in logical:
-                typ = _parse_type(st)
-                if cast_types and n in keys:
-                    out_cols.append(F.col(f"u.{n}").cast(typ).alias(n))
-                elif n in keys:
-                    out_cols.append(F.col(f"u.{n}").alias(n))
-                else:
-                    img_val = F.col("u.image").getItem(n)
-                    out_cols.append(
-                        F.when(
-                            F.col("u.final_op") == F.lit("DELETE"),
-                            F.lit(None).cast(typ),
-                        )
-                        .otherwise(
-                            img_val.cast(typ) if cast_types else img_val
-                        )
-                        .alias(n)
-                    )
-            out_cols.extend(
-                [
-                    F.col("u.last_file").alias(CDC_FILE),
-                    F.col("u.last_pos").alias(CDC_POS),
-                    F.col("u.last_row_idx").alias(CDC_IDX),
-                    (F.col("u.final_op") == F.lit("DELETE")).alias(CDC_DELETED),
-                ]
-            )
-            merged = u.alias("u").select(*out_cols)
+            merged = self._rows_from_fold(u, logical, keys, cast_types)
             return self._commit_merged(
                 merged, meta, affected, version, u,
                 stream_id=stream_id, batch_id=batch_id, lineage=lineage,
@@ -913,6 +906,8 @@ class LakeTable:
                 u, meta, affected, version, n_upserts,
                 stream_id=stream_id, batch_id=batch_id, lineage=lineage,
                 cast_types=cast_types, base_meta=base_meta,
+                n_unanchored=n_unanchored,
+                unanchored_buckets=unanchored_buckets,
             )
 
         target = self._read_state(meta, affected)
@@ -985,6 +980,40 @@ class LakeTable:
             stream_id=stream_id, batch_id=batch_id, lineage=lineage,
             n_upserts=n_upserts, base_meta=base_meta,
         )
+
+    def _rows_from_fold(
+        self, u: DataFrame, logical: list, keys: list[str], cast_types: bool
+    ) -> DataFrame:
+        """Build storage rows straight from folded upserts: image values
+        aligned to the logical schema (absent = NULL — valid exactly when
+        the image is definitive: empty target, or an anchored fold row),
+        DELETEs as tombstones, position-gate columns attached."""
+        out_cols = []
+        for n, st in logical:
+            typ = _parse_type(st)
+            if cast_types and n in keys:
+                out_cols.append(F.col(f"u.{n}").cast(typ).alias(n))
+            elif n in keys:
+                out_cols.append(F.col(f"u.{n}").alias(n))
+            else:
+                img_val = F.col("u.image").getItem(n)
+                out_cols.append(
+                    F.when(
+                        F.col("u.final_op") == F.lit("DELETE"),
+                        F.lit(None).cast(typ),
+                    )
+                    .otherwise(img_val.cast(typ) if cast_types else img_val)
+                    .alias(n)
+                )
+        out_cols.extend(
+            [
+                F.col("u.last_file").alias(CDC_FILE),
+                F.col("u.last_pos").alias(CDC_POS),
+                F.col("u.last_row_idx").alias(CDC_IDX),
+                (F.col("u.final_op") == F.lit("DELETE")).alias(CDC_DELETED),
+            ]
+        )
+        return u.alias("u").select(*out_cols)
 
     def _commit_merged(
         self,
@@ -1285,72 +1314,118 @@ class LakeTable:
         lineage: dict | None,
         cast_types: bool,
         base_meta: dict | None = None,
+        n_unanchored: int | None = None,
+        unanchored_buckets: list[int] | None = None,
     ) -> dict:
         """MERGE as a per-bucket DELTA append (merge-on-read write path).
 
-        Resolves the folded upserts against the affected buckets' current
-        state (base ∪ prior deltas) so each delta row is a complete,
-        position-gated row image; writes ONLY those rows. Bytes written are
-        proportional to the batch, not the touched buckets — the
-        write-amplification answer for 100 TB tables where every batch
-        grazes every bucket (tools/probe_write_amp.py measures it).
+        ANCHORED rows (the fold proved their image definitive: a reset —
+        INSERT / complete UPDATE / DELETE — anchors it) append directly,
+        with NO table-state read: the read side resolves per-key latest by
+        position anyway, so a stale or redundant delta row can never win.
+        This is the Hudi-MOR insert path, and it makes micro-batch ingest
+        cost O(batch), not O(touched-bucket state) per epoch — at a
+        full-row-image source (the MariaDB default) EVERY row is anchored
+        and the state read disappears entirely.
+
+        UNANCHORED rows (patch-only histories under binlog_row_image=
+        minimal) must resolve against current state so their delta row is a
+        complete image; that join reads ONLY the unanchored rows' buckets
+        and semi-joins the scan down to their keys. Folds that don't emit
+        the `anchored` flag (hand-built frames) resolve everything —
+        slower, never wrong.
+
+        Bytes written stay proportional to the batch, not the touched
+        buckets (tools/probe_write_amp.py measures it).
         """
         keys, n_buckets = meta["keys"], meta["n_buckets"]
         logical = meta["schema"]
-        cur = self._read_state(meta, affected)
-        t = cur.alias("t")
-        s = u.alias("u")
-        cond = [F.col(f"t.{k}") == F.col(f"u.{k}") for k in keys]
-        joined = s.join(t, cond, "left_outer")
+        has_anchor = "anchored" in u.columns and n_unanchored is not None
 
-        t_pos = F.struct(
-            F.col(f"t.{CDC_FILE}"), F.col(f"t.{CDC_POS}"), F.col(f"t.{CDC_IDX}")
-        )
-        u_pos = F.struct(
-            F.col("u.last_file").alias(CDC_FILE),
-            F.col("u.last_pos").alias(CDC_POS),
-            F.col("u.last_row_idx").alias(CDC_IDX),
-        )
-        exists = F.col(f"t.{keys[0]}").isNotNull()
-        newer = F.col(f"t.{CDC_FILE}").isNull() | (u_pos > t_pos)
-        deleting = F.col("u.final_op") == F.lit("DELETE")
-        take = (~exists & ~deleting) | (exists & newer)
+        if has_anchor:
+            unanchored_cond = (~F.col("anchored")) & (
+                F.col("final_op") != F.lit("DELETE")
+            )
+            direct = u.where(~unanchored_cond)
+            patchy = u.where(unanchored_cond) if n_unanchored else None
+        else:
+            direct, patchy = None, u
 
-        out_cols = []
-        for n, st in logical:
-            typ = _parse_type(st)
-            img_val = F.col("u.image").getItem(n)
-            if cast_types:
-                img_val = img_val.cast(typ)
-            if n in keys:
-                out_cols.append(F.col(f"u.{n}").cast(typ).alias(n))
-            else:
-                tcol = (
-                    F.col(f"t.{n}") if n in cur.columns else F.lit(None)
+        parts: list[DataFrame] = []
+        if direct is not None:
+            parts.append(self._rows_from_fold(direct, logical, keys, cast_types))
+        if patchy is not None:
+            scan_buckets = (
+                unanchored_buckets if has_anchor and unanchored_buckets
+                is not None else affected
+            )
+            cur = self._read_state(meta, scan_buckets)
+            if has_anchor:
+                # the patchy key set is small (n_unanchored rows) — shrink
+                # the state side before the resolve join
+                cur = cur.join(
+                    F.broadcast(patchy.select(*keys)), keys, "left_semi"
                 )
-                base = (
-                    F.when(
-                        ~exists
-                        | F.coalesce(F.col(f"t.{CDC_DELETED}"), F.lit(False)),
-                        F.lit(None),
-                    )
-                    .otherwise(tcol)
-                    .cast(typ)
-                )
-                out_cols.append(
-                    F.when(deleting, F.lit(None).cast(typ))
-                    .otherwise(F.coalesce(img_val, base))
-                    .alias(n)
-                )
-        out_cols.extend(
-            [
+            t = cur.alias("t")
+            s = patchy.alias("u")
+            cond = [F.col(f"t.{k}") == F.col(f"u.{k}") for k in keys]
+            joined = s.join(t, cond, "left_outer")
+
+            t_pos = F.struct(
+                F.col(f"t.{CDC_FILE}"), F.col(f"t.{CDC_POS}"),
+                F.col(f"t.{CDC_IDX}"),
+            )
+            u_pos = F.struct(
                 F.col("u.last_file").alias(CDC_FILE),
                 F.col("u.last_pos").alias(CDC_POS),
                 F.col("u.last_row_idx").alias(CDC_IDX),
-                deleting.alias(CDC_DELETED),
-            ]
-        )
-        delta = joined.where(take).select(*out_cols)
+            )
+            exists = F.col(f"t.{keys[0]}").isNotNull()
+            newer = F.col(f"t.{CDC_FILE}").isNull() | (u_pos > t_pos)
+            deleting = F.col("u.final_op") == F.lit("DELETE")
+            take = (~exists & ~deleting) | (exists & newer)
+
+            out_cols = []
+            for n, st in logical:
+                typ = _parse_type(st)
+                img_val = F.col("u.image").getItem(n)
+                if cast_types:
+                    img_val = img_val.cast(typ)
+                if n in keys:
+                    out_cols.append(F.col(f"u.{n}").cast(typ).alias(n))
+                else:
+                    tcol = (
+                        F.col(f"t.{n}") if n in cur.columns else F.lit(None)
+                    )
+                    base = (
+                        F.when(
+                            ~exists
+                            | F.coalesce(
+                                F.col(f"t.{CDC_DELETED}"), F.lit(False)
+                            ),
+                            F.lit(None),
+                        )
+                        .otherwise(tcol)
+                        .cast(typ)
+                    )
+                    out_cols.append(
+                        F.when(deleting, F.lit(None).cast(typ))
+                        .otherwise(F.coalesce(img_val, base))
+                        .alias(n)
+                    )
+            out_cols.extend(
+                [
+                    F.col("u.last_file").alias(CDC_FILE),
+                    F.col("u.last_pos").alias(CDC_POS),
+                    F.col("u.last_row_idx").alias(CDC_IDX),
+                    deleting.alias(CDC_DELETED),
+                ]
+            )
+            parts.append(joined.where(take).select(*out_cols))
+
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
 
         data_rel = f"data/d{version}-{uuid.uuid4().hex[:8]}"
         (
