@@ -1752,6 +1752,13 @@ def q_dedup_substring(spark, sf):
     return duplicated_window_spans(_docs(spark, sf), w=10, min_docs=2)
 
 
+def q_text_entropy(spark, sf):
+    """Char-level Shannon entropy per document — blob/spam screen."""
+    from mariadb_cdc_spark.functions.text import char_entropy
+
+    return char_entropy(_docs(spark, sf))
+
+
 def q_code_winnow_pairs(spark, sf):
     """Code near-duplicate pairs via winnowing-fingerprint Jaccard over the
     raw document text (documents contain genuine near-dups — the same set
@@ -1852,6 +1859,7 @@ QUERIES: dict[str, Callable] = {
     "code_winnow_fp": q_code_winnow_fp,
     "code_winnow_pairs": q_code_winnow_pairs,
     "dedup_substring": q_dedup_substring,
+    "text_entropy": q_text_entropy,
 }
 
 
@@ -3419,5 +3427,21 @@ def oracle_sql() -> dict[str, str]:
                coalesce(dup_tokens, 0) as dup_tokens,
                round(coalesce(n_dup_windows, 0) * 1.0 / b.nw, 6) as dup_frac
         from base b left join per_doc using (doc_id)
+    """
+    oracles["text_entropy"] = """
+        with occ as (
+          select doc_id as id, unnest(list_transform(
+                   generate_series(1, length(text)), i -> substr(text, i, 1)
+                 )) as ch
+          from documents where length(text) > 0),
+        counts as (select id, ch, count(*) as c from occ group by id, ch),
+        agg as (select id, sum(c) as n_chars_counted,
+                       count(*) as distinct_chars,
+                       sum(c * log2(c)) as clogc
+                from counts group by id)
+        select id as doc_id, n_chars_counted, distinct_chars,
+               round(log2(n_chars_counted) - clogc / n_chars_counted, 4)
+                 as entropy
+        from agg
     """
     return oracles

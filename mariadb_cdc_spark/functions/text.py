@@ -155,6 +155,49 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char) — the
+    standard cheap screen for base64/hex blobs (entropy near log2(16)=4+
+    with a tiny alphabet skew), repeated-character spam (entropy near 0),
+    and binary-as-text (high entropy, huge alphabet). CCNet/RefinedWeb-class
+    corpus filters carry exactly this signal.
+
+    Entropy is computed from integer counts as
+    log2(n) - sum(c*log2(c))/n — one (id, char) map-side-combined shuffle,
+    then one per-id agg; linear in corpus chars, no UDF.
+
+    Output: id_col, n_chars_counted, distinct_chars, entropy (round 4).
+    """
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(F.col(text_col))),
+        lambda i: F.substring(F.col(text_col), i, 1),
+    )
+    occ = df.where(F.length(F.col(text_col)) > 0).select(
+        F.col(id_col).alias("id"), F.explode(chars).alias("ch")
+    )
+    counts = occ.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("id")
+        .agg(
+            F.sum("c").alias("n_chars_counted"),
+            F.count(F.lit(1)).alias("distinct_chars"),
+            F.sum(F.col("c") * F.log2("c")).alias("_clogc"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_chars_counted",
+            "distinct_chars",
+            F.round(
+                F.log2("n_chars_counted")
+                - F.col("_clogc") / F.col("n_chars_counted"),
+                4,
+            ).alias("entropy"),
+        )
+    )
+
+
 def repetition_features(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
