@@ -56,14 +56,33 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # ----------------------------------------------------------- word shingles
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """n-gram word shingles of lowercased text as array<string>."""
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the cluster's core count before a
+    CPU-dense per-row kernel (shingling, winnowing, char histograms).
+
+    These kernels are ~100x heavier per input byte than a plain scan, so
+    Spark's size-based split planning under-parallelizes them: a corpus
+    arriving as one small parquet split would run the whole kernel on ONE
+    core (measured: 4.7 s single-threaded vs 0.3 s spread, sf0.1 docs).
+    The shuffle moves only the raw docs — cheap relative to the kernel —
+    and is a near-no-op at production file counts."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def shingles(col: Column, n: int = 3, distinct: bool = True) -> Column:
+    """n-gram word shingles of lowercased text as array<string>.
+
+    `distinct=False` skips the array_distinct pass — correct whenever the
+    consumer is dedup-insensitive (min-hash: min over a multiset == min
+    over its set), and meaningfully cheaper (array_distinct over string
+    arrays is quadratic-ish per row)."""
     toks = tokens(F.lower(col))
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    if distinct:
+        grams = F.array_distinct(grams)
     return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-        )
+        grams
     )
 
 
@@ -143,7 +162,7 @@ def passage_duplicates(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)),
     )
-    occ = df.select(
+    occ = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.when(n_chunks > 0, passages)).alias("passage"),
     ).select("id", F.md5(F.col("passage")).alias("ph"))
@@ -189,9 +208,11 @@ def minhash_signature(
     reproducible in the DuckDB oracle (no wrap-around: all products stay
     under 2^62).
     """
-    based = df.select(
+    based = _spread(df).select(
         F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), n)).alias("sh"),
+        # distinct=False: min over a multiset equals min over its set, and
+        # array_distinct is the priciest part of the shingle kernel
+        F.explode(shingles(F.col(text_col), n, distinct=False)).alias("sh"),
     ).select(
         "id",
         # materialized ONCE per shingle (a projection before the agg) so the
@@ -307,7 +328,7 @@ def simhash(
     sign -> bit. bits=16 keeps the oracle SQL tractable; the operator is
     O(tokens) with a map-side-combinable agg, so it scales linearly.
     """
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
     )
@@ -525,7 +546,7 @@ def duplicated_window_spans(
     # materialize the hash array in its own projection (see functions.code
     # winnow_fingerprints: inlining into the consumer re-evaluates the md5
     # stream per reference — interpreted HOF, no CSE)
-    hdf = df.select(
+    hdf = _spread(df).select(
         F.col(id_col).alias("id"),
         F.when(n_windows >= 1, hashes).otherwise(F.array()).alias("_hs"),
     )

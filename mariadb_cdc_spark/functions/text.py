@@ -174,7 +174,8 @@ def char_entropy(
         F.sequence(F.lit(1), F.length(F.col(text_col))),
         lambda i: F.substring(F.col(text_col), i, 1),
     )
-    occ = df.where(F.length(F.col(text_col)) > 0).select(
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    occ = spread.where(F.length(F.col(text_col)) > 0).select(
         F.col(id_col).alias("id"), F.explode(chars).alias("ch")
     )
     counts = occ.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("c"))
