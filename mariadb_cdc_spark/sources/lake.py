@@ -324,7 +324,11 @@ class LakeTable:
                             os.path.join(self.path, rel), ignore_errors=True
                         )
                     raise
-                attempt = _rebase(attempt, base_meta, latest, affected)
+                # always rebase the ORIGINAL commit (`meta`, built on
+                # base_meta) onto the new latest — rebasing a previous
+                # rebase would re-add the interim winner's n_rows delta,
+                # which the new latest already contains
+                attempt = _rebase(meta, base_meta, latest, affected)
                 expected = latest["version"]
 
     def metadata(self, version: int | None = None) -> dict:
