@@ -1702,9 +1702,20 @@ def _synth_code(df):
         F.col("doc_id") % 11 == 0,
         F.lit("// Code generated by cdcgen. DO NOT EDIT.\n"),
     ).otherwise(F.lit(""))
+    imp = F.concat(
+        F.lit("import lib_"), (F.col("doc_id") % 13).cast("string"), F.lit("\n"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("from pkg_"), (F.col("doc_id") % 5).cast("string"),
+                F.lit(" import util\n"),
+            ),
+        ).otherwise(F.lit("")),
+    )
     content = F.concat(
         lic,
         gen,
+        imp,
         F.lit("def handler_"), did, F.lit("():\n"),
         F.lit("    # "), F.col("text"), F.lit("\n"),
         F.lit("\n    value = "), F.col("n_chars").cast("string"), F.lit("\n"),
@@ -1750,6 +1761,14 @@ def q_dedup_substring(spark, sf):
     from mariadb_cdc_spark.functions.dedup import duplicated_window_spans
 
     return duplicated_window_spans(_docs(spark, sf), w=10, min_docs=2)
+
+
+def q_code_imports(spark, sf):
+    """Module fan-in over the synthetic code corpus (import extraction +
+    distinct-file rollup)."""
+    from mariadb_cdc_spark.functions.code import import_fanin
+
+    return import_fanin(_synth_code(_docs(spark, sf)))
 
 
 def q_text_entropy(spark, sf):
@@ -1860,6 +1879,7 @@ QUERIES: dict[str, Callable] = {
     "code_winnow_pairs": q_code_winnow_pairs,
     "dedup_substring": q_dedup_substring,
     "text_entropy": q_text_entropy,
+    "code_imports": q_code_imports,
 }
 
 
@@ -3294,6 +3314,10 @@ def oracle_sql() -> dict[str, str]:
             || (case when doc_id % 11 = 0
                   then '// Code generated by cdcgen. DO NOT EDIT.' || chr(10)
                   else '' end)
+            || 'import lib_' || (doc_id % 13) || chr(10)
+            || (case when doc_id % 3 = 0
+                  then 'from pkg_' || (doc_id % 5) || ' import util' || chr(10)
+                  else '' end)
             || 'def handler_' || doc_id || '():' || chr(10)
             || '    # ' || text || chr(10)
             || chr(10) || '    value = ' || n_chars || chr(10)
@@ -3443,5 +3467,16 @@ def oracle_sql() -> dict[str, str]:
                round(log2(n_chars_counted) - clogc / n_chars_counted, 4)
                  as entropy
         from agg
+    """
+    oracles["code_imports"] = f"""
+        with {code_cte},
+        imps as (
+          select distinct doc_id as id,
+                 unnest(regexp_extract_all(content,
+                   '(?m)^(?:import|from|#include)[ \t]+([A-Za-z0-9_./<>-]+)', 1))
+                   as module
+          from code)
+        select module, count(*) as n_files, sum(id) as id_sum
+        from imps group by module
     """
     return oracles
