@@ -921,17 +921,18 @@ def q_cdc_point_lookup(spark, sf):
     )
     apply_batch(events, table, CdcConfig(), stream_id="pt", batch_id=0)
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    want = [
-        {"repo": r["repo"], "path": r["path"]}
-        for r in docs.where(F.col("doc_id") % 97 == 0).select(
-            F.concat(F.lit("repo_"), F.col("source")).alias("repo"),
-            F.concat(
-                F.lit("src/"), F.col("lang"), F.lit("/doc_"),
-                F.lpad(F.col("doc_id").cast("string"), 8, "0"),
-                F.lit(".txt"),
-            ).alias("path"),
-        ).collect()
-    ]
+    # DISTRIBUTED want-list (r3 verdict task 4): the key set stays a
+    # DataFrame end-to-end — at 100x a 1%-of-corpus driver collect is real
+    # driver pressure; read_keys' DataFrame path materializes only the
+    # O(n_buckets) distinct bucket ids and semi-joins the keys.
+    want = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.concat(F.lit("repo_"), F.col("source")).alias("repo"),
+        F.concat(
+            F.lit("src/"), F.col("lang"), F.lit("/doc_"),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+            F.lit(".txt"),
+        ).alias("path"),
+    )
     return table.read_keys(want)
 
 
@@ -1544,23 +1545,48 @@ def q_events_rolling(spark, sf):
 
 def q_events_distinct_sketch(spark, sf):
     """Mergeable HLL distinct-user rollup: per-day sketches unioned to an
-    all-time row (day=-1) WITHOUT rescanning raw data — the 100 TB
-    distinct-count pattern. No DuckDB oracle (DataSketches binary is
-    engine-specific): declared non-SQL-expressible, pinned by pytest
-    (lossless union, error envelope)."""
-    from mariadb_cdc_spark.functions.sketches import (
-        distinct_rollup,
-        rollup_union,
-    )
+    all-time row (day='ALL') WITHOUT rescanning raw data — the 100 TB
+    distinct-count pattern.
 
+    Oracle-expressible form (round-3 verdict task 2): each row carries the
+    EXACT distinct count (DuckDB-computable) plus `within_envelope`, an
+    in-query boolean asserting the HLL estimate sits inside the published
+    error envelope of the exact count (3x the lg_k=12 relative standard
+    error 1.04/sqrt(2^12) ~ 1.6%, floored at an absolute slack of 16 for
+    tiny groups). The ALL row's estimate comes from the REGISTER-LEVEL
+    UNION of the daily sketches, so the envelope check also pins that the
+    union path is sane — the property pytest pins losslessly. The oracle
+    asserts within_envelope = true for every row."""
+    lg_k = 12
+    rel = 3 * 1.04 / (2 ** (lg_k / 2))  # 3 standard errors
+    envelope = lambda est, exact: (  # noqa: E731
+        F.abs(est - exact)
+        <= F.greatest(F.lit(rel) * exact, F.lit(16.0))
+    )
     ev = _ev(spark, sf).select(
         F.to_date("ts").cast("string").alias("day"), "user_id"
     )
-    daily = distinct_rollup(ev, ["day"], "user_id").cache()
-    total = rollup_union(daily, []).select(
-        F.lit("ALL").alias("day"), "n_distinct_est"
+    daily = ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("n_distinct"),
+        F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sketch"),
+    ).cache()
+    daily_out = daily.select(
+        "day",
+        "n_distinct",
+        envelope(
+            F.hll_sketch_estimate("sketch"), F.col("n_distinct")
+        ).alias("within_envelope"),
     )
-    return daily.select("day", "n_distinct_est").unionByName(total)
+    total_sketch = daily.agg(F.hll_union_agg("sketch").alias("sketch"))
+    total_exact = ev.agg(F.countDistinct("user_id").alias("n_distinct"))
+    total = total_exact.crossJoin(F.broadcast(total_sketch)).select(
+        F.lit("ALL").alias("day"),
+        "n_distinct",
+        envelope(
+            F.hll_sketch_estimate("sketch"), F.col("n_distinct")
+        ).alias("within_envelope"),
+    )
+    return daily_out.unionByName(total)
 
 
 def q_events_funnel(spark, sf):
@@ -1823,19 +1849,15 @@ QUERIES: dict[str, Callable] = {
     "cdc_multi_server": q_cdc_multi_server,
     "cdc_bootstrap": q_cdc_bootstrap,
     "cdc_type_overlap": q_cdc_type_overlap,
-    "sample_quota": q_sample_quota,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "ann_ivf_probe": q_ann_ivf_probe,
     "ann_recall": q_ann_recall,
     "emb_kmeans": q_emb_kmeans,
-    "emb_quantize": q_emb_quantize,
     "emb_neardup": q_emb_neardup,
-    "emb_diversity": q_emb_diversity,
     "media_audio_features": q_media_audio_features,
     "media_image_stats": q_media_image_stats,
-    "media_png_stats": q_media_png_stats,
     "media_jpeg_stats": q_media_jpeg_stats,
     "events_cohort_retention": q_events_cohort_retention,
     "events_funnel": q_events_funnel,
@@ -1844,10 +1866,25 @@ QUERIES: dict[str, Callable] = {
     "events_rolling": q_events_rolling,
     "events_distinct_sketch": q_events_distinct_sketch,
     "events_asof_enrich": q_events_asof_enrich,
+    # ---- rotated INTO the checked window in round 4 (r3 verdict task 1:
+    # judge parity passed all 7; the driver ledger is the hard signal)
+    "code_metrics": q_code_metrics,
+    "code_flags": q_code_flags,
+    "code_winnow_fp": q_code_winnow_fp,
+    "code_winnow_pairs": q_code_winnow_pairs,
+    "dedup_substring": q_dedup_substring,
+    "text_entropy": q_text_entropy,
+    "code_imports": q_code_imports,
+    # ---- position > 50: green in the r2/r3 ledgers, rotated out of the
+    # window (long-stable; r4 swapped out sample_quota, emb_quantize,
+    # emb_diversity, media_png_stats, text_bm25, agg_pricing, join_revenue)
+    "sample_quota": q_sample_quota,
+    "emb_quantize": q_emb_quantize,
+    "emb_diversity": q_emb_diversity,
+    "media_png_stats": q_media_png_stats,
     "text_bm25": q_text_bm25,
     "agg_pricing": q_agg_pricing,
     "join_revenue": q_join_revenue,
-    # ---- position > 50: green in the r2 ledger, rotated out of the window
     "cdc_point_lookup": q_cdc_point_lookup,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1872,14 +1909,6 @@ QUERIES: dict[str, Callable] = {
     "text_vocab": q_text_vocab,
     "text_unigram_lm": q_text_unigram_lm,
     "decontaminate": q_decontaminate,
-    # ---- round-3 additions (rotate into the checked window in round 4)
-    "code_metrics": q_code_metrics,
-    "code_flags": q_code_flags,
-    "code_winnow_fp": q_code_winnow_fp,
-    "code_winnow_pairs": q_code_winnow_pairs,
-    "dedup_substring": q_dedup_substring,
-    "text_entropy": q_text_entropy,
-    "code_imports": q_code_imports,
 }
 
 
@@ -3014,6 +3043,17 @@ def oracle_sql() -> dict[str, str]:
             from events
             window w as (partition by user_id order by event_id
                          rows between 2 preceding and current row)
+        """,
+        "events_distinct_sketch": """
+            with d as (select (ts::DATE)::VARCHAR as day, user_id
+                       from events)
+            select day, count(distinct user_id)::BIGINT as n_distinct,
+                   true as within_envelope
+            from d group by day
+            union all
+            select 'ALL' as day, count(distinct user_id)::BIGINT as n_distinct,
+                   true as within_envelope
+            from d
         """,
         "events_funnel": """
             with per as (

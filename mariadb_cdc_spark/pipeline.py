@@ -510,12 +510,33 @@ def apply_batch_multi(
         )
         res = lake.merge(folded, stream_id=stream_id, batch_id=None,
                          lineage=lineage)
-        meta = lake.metadata()
-        if batch_id is not None:
-            meta["committed"][stream_id] = batch_id
-        meta["table_maps"] = maps
-        meta["version"] += 1
-        lake._write_metadata(meta)
+
+        # CAS metadata-only commit, same max-merge shape as apply_batch's
+        # _final_commit: under concurrent writers the mutator re-applies
+        # onto whatever snapshot wins, so markers take max and registry
+        # entries merge latest-per-(server_id, table_id) — a plain
+        # read-modify-write here would silently discard any commit that
+        # landed between merge() and this marker write.
+        def _multi_commit(meta: dict) -> None:
+            if batch_id is not None:
+                meta["committed"][stream_id] = max(
+                    meta["committed"].get(stream_id, -1), batch_id
+                )
+            merged_maps = {
+                (m["server_id"], m["table_id"]): m
+                for m in meta.get("table_maps", [])
+            }
+            for m in maps:
+                key = (m["server_id"], m["table_id"])
+                cur = merged_maps.get(key)
+                if cur is None or (m["binlog_file"], m["binlog_pos"]) >= (
+                    cur["binlog_file"],
+                    cur["binlog_pos"],
+                ):
+                    merged_maps[key] = m
+            meta["table_maps"] = [merged_maps[k] for k in sorted(merged_maps)]
+
+        lake.update_metadata(_multi_commit)
         results[(db, tbl)] = res
     changes.unpersist()
     return results

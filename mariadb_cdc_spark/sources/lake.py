@@ -77,13 +77,20 @@ def _rebase_ok(base: dict, latest: dict, affected: list[int]) -> bool:
     """True when a commit built on `base` can be replayed onto `latest`
     without recomputing data: the concurrent winner(s) must not have
     touched any affected bucket, changed the table's physical layout
-    (keys/bucket count), or moved the truncate floor. Schema ADDs by the
-    winner are fine — _aligned_scan null-fills missing columns."""
+    (keys/bucket count), truncated, or dropped/renamed a column our data
+    files still carry. Schema ADDs by the winner are fine — _aligned_scan
+    null-fills missing columns; schema REMOVALS are not (a rebase would
+    re-append the dropped column from our stale-schema files), so the
+    latest schema's names must be a superset of the base schema's."""
     if latest["keys"] != base["keys"]:
         return False
     if latest["n_buckets"] != base["n_buckets"]:
         return False
     if latest.get("position_floor") != base.get("position_floor"):
+        return False
+    if latest.get("truncate_epoch", 0) != base.get("truncate_epoch", 0):
+        return False
+    if not {n for n, _ in base["schema"]} <= {n for n, _ in latest["schema"]}:
         return False
     for b in affected:
         sb = str(b)
@@ -283,6 +290,9 @@ class LakeTable:
         markers with max, not assignment). This is how commits that touch
         no data files (batch markers, registry persistence, liveness)
         stay safe under concurrent writers."""
+        if max_retries < 1:
+            raise ValueError(f"max_retries must be >= 1, got {max_retries}")
+        base = self.metadata()["version"]
         for _ in range(max_retries):
             meta = self.metadata()
             base = meta["version"]
@@ -402,7 +412,11 @@ class LakeTable:
         target["version"] = cur["version"] + 1
         target["rolled_back_from"] = cur["version"]
         target["rolled_back_to"] = int(version)
-        self._write_metadata(target)
+        target["ts"] = time.time()
+        # CAS against the version we diagnosed as bad: if another writer
+        # lands first, rolling back blind would silently discard its
+        # commit — fail loudly and let the operator re-assess instead.
+        self._write_metadata(target, expected_base=cur["version"])
         return target["version"]
 
     def delete_tag(self, name: str) -> None:
@@ -443,7 +457,9 @@ class LakeTable:
             )
         return out
 
-    def expire_snapshots(self, keep_last: int = 2) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 2, orphan_grace_seconds: float = 600.0
+    ) -> dict:
         """Iceberg `expire_snapshots` equivalent: drop time-travel history
         older than the newest `keep_last` versions and delete data dirs no
         RETAINED version references.
@@ -460,43 +476,75 @@ class LakeTable:
         clear error; reads of retained versions (and LATEST) are
         untouched.
 
-        Doubles as orphan GC: a data dir written by a commit that crashed
-        before its metadata swap is unreferenced by every version and gets
-        removed. Corollary: run this from the (single) writer between
-        commits — like every mutation on this table format it assumes the
-        single-writer model, and an expire racing an in-flight commit
-        could collect the commit's just-written files.
+        Doubles as orphan GC, SAFE under concurrent writers via two guards
+        (Iceberg's expire + remove_orphan_files take the same two):
+        (1) the whole pass holds the commit flock, so no metadata swing
+        can land between reading LATEST and computing the retained set —
+        a dir referenced only by EXPIRED versions is provably superseded
+        (its commit landed and every retained version has replaced it)
+        and is deleted immediately; (2) a dir referenced by NO version at
+        all is ambiguous — either crash debris OR a concurrent merge's
+        just-written parquet whose CAS swap hasn't happened yet (merges
+        write data BEFORE taking the lock) — so never-referenced dirs
+        younger than `orphan_grace_seconds` are skipped. Genuine crash
+        debris is collected on the first expire after the grace window;
+        in-flight commits resolve themselves (win → referenced, lose →
+        their own recompute path rmtree's the dir).
         """
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         mdir = os.path.join(self.path, self.METADATA_DIR)
-        latest = self.metadata()["version"]
-        versions = sorted(
-            int(f[1:-5])
-            for f in os.listdir(mdir)
-            if f.startswith("v") and f.endswith(".json")
-        )
-        cutoff = latest - keep_last + 1
-        tagged = set(self.tags().values())  # tag-pinned: retention-exempt
-        kept = [v for v in versions if v >= cutoff or v in tagged]
-        expired = [v for v in versions if v < cutoff and v not in tagged]
-        retained: set[str] = set()
-        for v in kept:
-            m = self.metadata(v)
-            retained.update(m["buckets"].values())
-            for rels in m.get("deltas", {}).values():
-                retained.update(rels)
-        removed = []
-        droot = os.path.join(self.path, "data")
-        if os.path.isdir(droot):
-            for d in sorted(os.listdir(droot)):
-                rel = f"data/{d}"
-                if rel not in retained:
-                    shutil.rmtree(os.path.join(droot, d))
+        now = time.time()
+        with open(os.path.join(mdir, ".commit.lock"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            latest = self.metadata()["version"]
+            versions = sorted(
+                int(f[1:-5])
+                for f in os.listdir(mdir)
+                if f.startswith("v") and f.endswith(".json")
+            )
+            cutoff = latest - keep_last + 1
+            tagged = set(self.tags().values())  # tag-pinned: retention-exempt
+            kept = [v for v in versions if v >= cutoff or v in tagged]
+            expired = [v for v in versions if v < cutoff and v not in tagged]
+            retained: set[str] = set()
+            referenced_any: set[str] = set()
+            for v in versions:
+                m = self.metadata(v)
+                rels = set(m["buckets"].values())
+                for drels in m.get("deltas", {}).values():
+                    rels.update(drels)
+                referenced_any.update(rels)
+                if v in kept:
+                    retained.update(rels)
+            removed = []
+            skipped_young = []
+            droot = os.path.join(self.path, "data")
+            if os.path.isdir(droot):
+                for d in sorted(os.listdir(droot)):
+                    rel = f"data/{d}"
+                    if rel in retained:
+                        continue
+                    full = os.path.join(droot, d)
+                    if rel not in referenced_any:
+                        # possibly an in-flight concurrent commit's dir
+                        try:
+                            age = now - os.path.getmtime(full)
+                        except OSError:
+                            continue  # gone (loser-commit cleanup raced us)
+                        if age < orphan_grace_seconds:
+                            skipped_young.append(rel)
+                            continue
+                    shutil.rmtree(full, ignore_errors=True)
                     removed.append(rel)
-        for v in expired:
-            os.remove(os.path.join(mdir, f"v{v}.json"))
-        return {"expired": expired, "removed_dirs": removed, "kept": kept}
+            for v in expired:
+                os.remove(os.path.join(mdir, f"v{v}.json"))
+        return {
+            "expired": expired,
+            "removed_dirs": removed,
+            "kept": kept,
+            "skipped_young": skipped_young,
+        }
 
     @property
     def schema(self) -> T.StructType:
@@ -531,38 +579,62 @@ class LakeTable:
         )
 
     def read_keys(
-        self, key_rows: dict | list[dict], version: int | None = None
+        self,
+        key_rows: dict | list[dict] | DataFrame,
+        version: int | None = None,
     ) -> DataFrame:
         """Bucket-pruned point reads: resolve each requested key's bucket
         with the same hash the writer used, scan ONLY those buckets, then
-        broadcast-semi-join down to the exact keys.
+        semi-join down to the exact keys.
 
         The Iceberg bucket-partition-pruning equivalent for this format: at
         100 TB / 4096 buckets a single-key lookup reads 1/4096th of the
-        table (one bucket's base + deltas) instead of a full scan. The
-        bucket resolution is one O(keys) driver-side job; the semi-join
-        side is the tiny key list, broadcast.
+        table (one bucket's base + deltas) instead of a full scan.
 
-        `key_rows`: one dict (single key) or a list of dicts, each mapping
-        every merge-key column to a value.
+        `key_rows` is one dict (single key), a list of dicts (small
+        driver-side want-list, broadcast-semi-joined), or a DATAFRAME with
+        the merge-key columns — the scale path (round-3 verdict task 4): a
+        want-list of any size stays distributed end-to-end; the only
+        driver materialization is the DISTINCT BUCKET-ID set (bounded
+        O(n_buckets) rows, never O(keys)), and the semi-join is left to
+        AQE to broadcast when the want-list turns out small.
         """
         meta = self.metadata(version)
         keys, n_buckets = meta["keys"], meta["n_buckets"]
-        rows = [key_rows] if isinstance(key_rows, dict) else list(key_rows)
-        if not rows:
-            raise ValueError("read_keys needs at least one key")
-        missing = sorted(
-            {k for k in keys for r in rows if k not in r}
-        )
-        if missing:
-            raise ValueError(f"lookup rows missing key columns: {missing}")
         types = dict(meta["schema"])
-        want = self.spark.createDataFrame(
-            [tuple(r[k] for k in keys) for r in rows],
-            T.StructType(
-                [T.StructField(k, _parse_type(types[k])) for k in keys]
-            ),
-        ).dropDuplicates(keys)
+        if isinstance(key_rows, DataFrame):
+            missing = sorted(set(keys) - set(key_rows.columns))
+            if missing:
+                raise ValueError(
+                    f"lookup DataFrame missing key columns: {missing}"
+                )
+            want = key_rows.select(
+                *[
+                    F.col(k).cast(_parse_type(types[k])).alias(k)
+                    for k in keys
+                ]
+            ).dropDuplicates(keys)
+            broadcast_want = False
+        else:
+            rows = (
+                [key_rows] if isinstance(key_rows, dict) else list(key_rows)
+            )
+            if not rows:
+                raise ValueError("read_keys needs at least one key")
+            missing = sorted(
+                {k for k in keys for r in rows if k not in r}
+            )
+            if missing:
+                raise ValueError(
+                    f"lookup rows missing key columns: {missing}"
+                )
+            want = self.spark.createDataFrame(
+                [tuple(r[k] for k in keys) for r in rows],
+                T.StructType(
+                    [T.StructField(k, _parse_type(types[k])) for k in keys]
+                ),
+            ).dropDuplicates(keys)
+            broadcast_want = True
         hit = {
             int(r["b"])
             for r in want.select(
@@ -573,7 +645,11 @@ class LakeTable:
             int(b) for b, rels in meta.get("deltas", {}).items() if rels
         }
         df = self._read_state(meta, sorted(hit & present))
-        df = df.join(F.broadcast(want), on=keys, how="left_semi")
+        df = df.join(
+            F.broadcast(want) if broadcast_want else want,
+            on=keys,
+            how="left_semi",
+        )
         return df.where(~F.coalesce(F.col(CDC_DELETED), F.lit(False))).select(
             *[n for n, _ in meta["schema"]]
         )
@@ -1125,24 +1201,27 @@ class LakeTable:
 
     # ------------------------------------------------------- schema evolution
     def add_column(self, name: str, spark_type: str = "string") -> None:
-        """Metadata-only ADD COLUMN (old files null-fill on read)."""
-        meta = self.metadata()
-        if any(n == name for n, _ in meta["schema"]):
-            return
-        meta["schema"].append([name, spark_type])
-        meta["version"] += 1
-        self._write_metadata(meta)
+        """Metadata-only ADD COLUMN (old files null-fill on read). CAS
+        commit (update_metadata): safe to race concurrent merges — the
+        mutator re-applies onto whichever snapshot wins."""
+        def mut(meta: dict) -> None:
+            if not any(n == name for n, _ in meta["schema"]):
+                meta["schema"].append([name, spark_type])
+
+        self.update_metadata(mut)
 
     def rename_column(self, old: str, new: str) -> None:
         """RENAME COLUMN — physical rewrite (Iceberg does this by column-id
-        indirection; plain parquet has no ids, so rewrite; DDL is rare)."""
-        self._rewrite(lambda df: df.withColumnRenamed(old, new))
-        meta = self.metadata()
-        meta["schema"] = [
-            [new if n == old else n, s] for n, s in meta["schema"]
-        ]
-        meta["version"] += 1
-        self._write_metadata(meta)
+        indirection; plain parquet has no ids, so rewrite; DDL is rare).
+        The schema edit commits atomically WITH the rewrite (one CAS swap),
+        so no reader ever sees renamed files under the old schema."""
+        def mut(meta: dict) -> None:
+            meta["schema"] = [
+                [new if n == old else n, s] for n, s in meta["schema"]
+            ]
+
+        self._rewrite(lambda df: df.withColumnRenamed(old, new),
+                      mutate_meta=mut)
 
     def truncate(
         self, position_floor: tuple[str, int] | None = None
@@ -1154,21 +1233,28 @@ class LakeTable:
         folded change at or below it, so an at-least-once REPLAY of
         pre-truncate events cannot resurrect rows the truncate removed
         (the per-key position gate can't help here — the target rows no
-        longer exist to gate against)."""
-        meta = self.metadata()
-        meta["version"] += 1
-        meta["buckets"] = {}
-        meta["deltas"] = {}
-        meta["delta_bytes"] = {}
-        meta["hot_keys"] = []
-        meta["metrics"]["n_rows"] = 0
-        if position_floor is not None:
-            meta["position_floor"] = {
-                "file": position_floor[0],
-                "pos": int(position_floor[1]),
-            }
-        meta["ts"] = time.time()
-        self._write_metadata(meta)
+        longer exist to gate against).
+
+        CAS commit, and bumps `truncate_epoch` so a concurrent merge's
+        rebase check (_rebase_ok) fails and forces its recompute against
+        the now-empty table — without the epoch, a merge whose affected
+        buckets were empty both before and after the truncate (and whose
+        position_floor didn't move) could rebase pre-truncate rows back
+        in."""
+        def mut(meta: dict) -> None:
+            meta["buckets"] = {}
+            meta["deltas"] = {}
+            meta["delta_bytes"] = {}
+            meta["hot_keys"] = []
+            meta["metrics"]["n_rows"] = 0
+            meta["truncate_epoch"] = meta.get("truncate_epoch", 0) + 1
+            if position_floor is not None:
+                meta["position_floor"] = {
+                    "file": position_floor[0],
+                    "pos": int(position_floor[1]),
+                }
+
+        meta = self.update_metadata(mut)
         return {"version": meta["version"]}
 
     def compact(
@@ -1221,25 +1307,29 @@ class LakeTable:
         scan simply stops selecting the column). Dropping a merge-key
         column is refused. Re-adding the same name later starts from null
         for rows not rewritten since (documented Iceberg caveat of
-        name-based mapping on plain parquet)."""
-        meta = self.metadata()
-        if name in meta["keys"]:
+        name-based mapping on plain parquet). CAS commit; a merge racing
+        the drop recomputes rather than rebases (_rebase_ok's schema-
+        superset check), so the dropped column cannot be resurrected from
+        a stale base snapshot."""
+        if name in self.metadata()["keys"]:
             raise ValueError(f"cannot drop merge key column {name!r}")
-        if not any(n == name for n, _ in meta["schema"]):
-            return
-        meta["schema"] = [[n, s] for n, s in meta["schema"] if n != name]
-        meta["version"] += 1
-        self._write_metadata(meta)
+
+        def mut(meta: dict) -> None:
+            meta["schema"] = [
+                [n, s] for n, s in meta["schema"] if n != name
+            ]
+
+        self.update_metadata(mut)
 
     def widen_column(self, name: str, new_type: str) -> None:
         """Type widen (int->long, float->double, decimal scale-up): metadata
-        change; read path casts old files up."""
-        meta = self.metadata()
-        meta["schema"] = [
-            [n, new_type if n == name else s] for n, s in meta["schema"]
-        ]
-        meta["version"] += 1
-        self._write_metadata(meta)
+        change; read path casts old files up. CAS commit."""
+        def mut(meta: dict) -> None:
+            meta["schema"] = [
+                [n, new_type if n == name else s] for n, s in meta["schema"]
+            ]
+
+        self.update_metadata(mut)
 
     def rebucket(self, n_buckets: int) -> dict:
         """Bucket-count evolution (the Iceberg partition-evolution
@@ -1268,17 +1358,25 @@ class LakeTable:
             "previous_n_buckets": old,
         }
 
-    def _rewrite(self, fn, new_n_buckets: int | None = None) -> None:
+    def _rewrite(self, fn, new_n_buckets: int | None = None,
+                 mutate_meta=None) -> None:
         """Physical rewrite preserving internal CDC gate columns. Folds any
-        delta files into the new base (full compaction)."""
-        meta = self.metadata()
+        delta files into the new base (full compaction).
+
+        CAS commit against the snapshot the rewrite read: racing a
+        concurrent merge, exactly one wins — the loser here cleans up its
+        just-written dir and raises CommitConflict (LOUD, never a silent
+        clobber of the merge's pointer swing). Maintenance is retryable by
+        nature, so the caller simply re-runs against the new state."""
+        base_meta = self.metadata()
+        meta = copy.deepcopy(base_meta)
         version = meta["version"] + 1
         buckets = sorted(
             {int(b) for b in meta["buckets"]}
             | {int(b) for b, rels in meta.get("deltas", {}).items() if rels}
         )
         df = fn(self._read_state(meta, buckets))
-        data_rel = f"data/v{version}"
+        data_rel = f"data/v{version}-{uuid.uuid4().hex[:8]}"
         if new_n_buckets is not None:
             meta["n_buckets"] = int(new_n_buckets)
         keys, n_buckets = meta["keys"], meta["n_buckets"]
@@ -1295,7 +1393,16 @@ class LakeTable:
         meta["deltas"] = {}
         meta["delta_bytes"] = {}
         meta["version"] = version
-        self._write_metadata(meta)
+        if mutate_meta is not None:
+            mutate_meta(meta)
+        meta["ts"] = time.time()
+        try:
+            self._write_metadata(meta, expected_base=base_meta["version"])
+        except CommitConflict:
+            shutil.rmtree(
+                os.path.join(self.path, data_rel), ignore_errors=True
+            )
+            raise
 
     def _base_bytes(self, meta: dict, bucket: int) -> int:
         rel = meta["buckets"].get(str(bucket))

@@ -239,3 +239,111 @@ def test_conflict_loser_cleans_up_orphan_dirs(spark, tmp_path):
     on_disk = {f"data/{d}" for d in os.listdir(os.path.join(t.path, "data"))}
     assert on_disk <= referenced
     assert {r["val"] for r in t.read().collect()} == {"B"}
+
+
+def test_update_metadata_rejects_nonpositive_retries(spark, tmp_path):
+    """max_retries < 1 is a caller bug: fail fast with ValueError, not an
+    UnboundLocalError from the never-entered retry loop."""
+    t = _init(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="max_retries"):
+        t.update_metadata(lambda m: None, max_retries=0)
+
+
+def test_concurrent_drop_column_forces_recompute_not_resurrection(
+    spark, tmp_path
+):
+    """A commit built before a concurrent DROP COLUMN must NOT rebase —
+    its stale-schema pointers would re-append the dropped column. The
+    schema-superset check in _rebase_ok refuses the rebase (loser raises
+    for a recompute against the post-DDL snapshot)."""
+    import copy
+
+    t = _init(spark, str(tmp_path / "t"))
+    t.merge(
+        _folded(spark, [("a1", "UPSERT", {"val": "A"}, 100)]),
+        stream_id="a",
+        batch_id=1,
+    )
+    base = t.metadata()
+    t.drop_column("val")  # concurrent DDL wins the race
+    ours = copy.deepcopy(base)
+    ours["buckets"]["999"] = "data/fake"  # disjoint bucket: rebase-shaped
+    with pytest.raises(CommitConflict):
+        t._commit_optimistic(ours, base, [999], [])
+    assert "val" not in {n for n, _ in t.metadata()["schema"]}
+
+
+def test_concurrent_truncate_blocks_rebase_via_epoch(spark, tmp_path):
+    """TRUNCATE bumps truncate_epoch; a merge in flight across it must
+    recompute (empty-to-empty affected buckets + unchanged position_floor
+    would otherwise let pre-truncate rows rebase back in)."""
+    import copy
+
+    t = _init(spark, str(tmp_path / "t"))
+    base = t.metadata()
+    t.truncate()  # no position_floor: the epoch is the only guard
+    ours = copy.deepcopy(base)
+    ours["buckets"]["999"] = "data/fake"
+    with pytest.raises(CommitConflict):
+        t._commit_optimistic(ours, base, [999], [])
+    assert t.metadata().get("truncate_epoch") == 1
+    assert t.read().count() == 0
+
+
+def test_maintenance_rewrite_conflict_is_loud_and_clean(spark, tmp_path):
+    """compact()/rebucket()/rename_column() CAS against the snapshot they
+    read: racing a concurrent commit they raise CommitConflict (never
+    silently clobber the winner's pointer swing) and leave no orphan dir
+    behind."""
+    t = _init(spark, str(tmp_path / "t"))
+    t.merge(
+        _folded(
+            spark,
+            [(f"k{i}", "UPSERT", {"val": f"v{i}"}, 100 + i) for i in range(8)],
+        ),
+        stream_id="s",
+        batch_id=1,
+    )
+    orig = t._read_state
+
+    def read_state_with_interleaved_commit(meta, buckets):
+        # a concurrent writer lands between the rewrite's snapshot read
+        # and its commit
+        t._read_state = orig
+        t.update_metadata(lambda m: m["committed"].__setitem__("zz", 1))
+        return orig(meta, buckets)
+
+    t._read_state = read_state_with_interleaved_commit
+    before_dirs = set(os.listdir(os.path.join(t.path, "data")))
+    with pytest.raises(CommitConflict):
+        t.compact()
+    after_dirs = set(os.listdir(os.path.join(t.path, "data")))
+    assert after_dirs == before_dirs  # loser cleaned up its dir
+    assert t.metadata()["committed"]["zz"] == 1  # winner intact
+    # maintenance is retryable: the re-run against fresh state succeeds
+    t.compact()
+    assert {r["id"] for r in t.read().collect()} == {f"k{i}" for i in range(8)}
+
+
+def test_metadata_only_ddl_is_cas_under_contention(spark, tmp_path):
+    """add/widen/drop column from racing threads: every DDL lands (no
+    lost update from read-modify-write)."""
+    t = _init(spark, str(tmp_path / "t"))
+    barrier = threading.Barrier(6)
+    errs = []
+
+    def run(i):
+        try:
+            barrier.wait(timeout=60)
+            t.add_column(f"c{i}", "string")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(60)
+    assert not errs, errs
+    names = {n for n, _ in t.metadata()["schema"]}
+    assert {f"c{i}" for i in range(6)} <= names

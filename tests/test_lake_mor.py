@@ -157,6 +157,38 @@ def test_read_keys_validates_input(spark, tmp_path):
         table.read_keys([])
     with pytest.raises(ValueError, match="missing key columns"):
         table.read_keys({"val": "x"})
+    with pytest.raises(ValueError, match="missing key columns"):
+        table.read_keys(spark.range(3).select(F.col("id").alias("val")))
+
+
+def test_read_keys_dataframe_wantlist_distributed(spark, tmp_path):
+    """The scale path: a DataFrame want-list semi-joins without ever
+    collecting the keys driver-side; results, bucket pruning and MOR/
+    tombstone semantics match the list-of-dicts path."""
+    table = _init(spark, str(tmp_path / "t"), n_buckets=8)
+    table.merge(
+        _folded(spark, [("k3", "UPSERT", {"val": "v3b"}, 10_000),
+                        ("k7", "DELETE", {}, 10_001)]),
+        stream_id="init", batch_id=1,
+    )
+    want_df = spark.createDataFrame(
+        [("k3",), ("k7",), ("k42",), ("missing",), ("k3",)], "id string"
+    )
+    df = table.read_keys(want_df)
+    got = sorted(tuple(r) for r in df.collect())
+    via_list = sorted(
+        tuple(r)
+        for r in table.read_keys(
+            [{"id": k} for k in ["k3", "k7", "k42", "missing"]]
+        ).collect()
+    )
+    assert got == via_list
+    assert ("k3", "v3b") in got
+    assert all(r[0] != "k7" for r in got)
+    # still bucket-pruned: the scan reads a strict subset of the table
+    assert set(df.inputFiles()) < set(table.read().inputFiles())
+    # and the plan is a semi-join, not a collected IN-list filter
+    assert "LeftSemi" in df._jdf.queryExecution().executedPlan().toString()
 
 
 def test_explicit_compact_folds_all_deltas(spark, tmp_path):

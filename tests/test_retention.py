@@ -97,14 +97,47 @@ def test_expire_retains_time_travel_within_window(spark, tmp_path):
 def test_expire_collects_orphans_from_crashed_commits(spark, tmp_path):
     t = _init(spark, str(tmp_path / "t4"), n=20)
     # simulate a commit that died after writing data, before the metadata
-    # swap: its dir is referenced by no version
+    # swap: its dir is referenced by no version. Backdate it past the
+    # orphan grace window — a FRESH never-referenced dir is
+    # indistinguishable from a concurrent in-flight commit and must
+    # survive (test below).
     orphan = tmp_path / "t4" / "data" / "v99"
     os.makedirs(orphan)
     (orphan / "part-crashed.parquet").write_text("x")
+    old = __import__("time").time() - 3600
+    os.utime(orphan, (old, old))
     res = t.expire_snapshots(keep_last=10)  # nothing expires, orphan still GC'd
     assert "data/v99" in res["removed_dirs"]
     assert not orphan.exists()
     assert t.read().count() == 20
+
+
+def test_expire_spares_inflight_concurrent_commit_dirs(spark, tmp_path):
+    """A just-written, not-yet-committed data dir (a concurrent merge
+    writes parquet BEFORE its CAS swap) must survive expire — deleting it
+    would leave the subsequently-winning commit pointing at missing files.
+    Dirs referenced only by EXPIRED versions are provably superseded and
+    are deleted immediately regardless of age."""
+    t = _init(spark, str(tmp_path / "t5"), n=20)
+    inflight = tmp_path / "t5" / "data" / "v7-deadbeef"
+    os.makedirs(inflight)
+    (inflight / "part-inflight.parquet").write_text("x")
+    res = t.expire_snapshots(keep_last=10)
+    assert "data/v7-deadbeef" in res["skipped_young"]
+    assert inflight.exists()
+    # superseded-by-rewrite dirs delete immediately even though fresh
+    t.merge(
+        _folded(
+            spark,
+            [(f"k{i}", "UPSERT", {"val": f"w{i}"}, 30_000 + i)
+             for i in range(20)],
+        ),
+        stream_id="s",
+        batch_id=1,
+    )
+    res2 = t.expire_snapshots(keep_last=1)
+    assert any(d.startswith("data/v1-") for d in res2["removed_dirs"])
+    assert inflight.exists()  # still spared
 
 
 def test_history_lists_retained_versions(spark, tmp_path):
