@@ -189,3 +189,37 @@ def maintain(
         },
     )
     return {"skipped": False, "agg_version": agg_version}
+
+
+def rebuild(table: LakeTable, view: AggView, version: int | None = None) -> dict:
+    """Full recompute of the view from table state at `version`.
+
+    Used at data-reset boundaries (TRUNCATE epochs): the incremental diff in
+    `maintain` only retracts contributions of the batch's FOLDED keys, but a
+    truncate removes EVERY key, so the correct move is to re-derive the view
+    from the post-truncate snapshot — which is cheap precisely there, because
+    the table is empty (or near-empty) at the truncate floor. The rebuild is
+    one contributions() aggregation over the snapshot, O(table-at-version),
+    and writes a new view version carrying `table_version=version` so the
+    next incremental maintain diffs forward from the reset point.
+
+    Idempotent by full recompute: a replayed truncate epoch re-derives the
+    identical view contents for the same snapshot version.
+    """
+    if version is None:
+        version = table.metadata()["version"]
+    state = table.read(version=version)
+    full = contributions(state, view, 1).where(F.col("n_rows") > 0)
+    meta = _load_meta(view)
+    agg_version = (meta["agg_version"] + 1) if meta else 1
+    data_rel = f"v{agg_version}"
+    full.write.mode("overwrite").parquet(os.path.join(view.path, data_rel))
+    _write_meta(
+        view,
+        {
+            "agg_version": agg_version,
+            "table_version": version,
+            "data": data_rel,
+        },
+    )
+    return {"skipped": False, "agg_version": agg_version, "rebuilt": True}

@@ -310,15 +310,6 @@ def apply_batch(
         table_maps, has_wire, all_named = _f_registry.result()
         ddls = _f_ddls.result() if _f_ddls is not None else []
 
-    if agg_views and any(kind == "truncate" for _, kind in ddls):
-        # IVM maintenance diffs only the batch's FOLDED keys; a truncate
-        # removes every key, so the views would go silently stale. Fail
-        # loudly until truncate-aware view reset is implemented.
-        raise NotImplementedError(
-            "agg_views cannot be maintained across a TRUNCATE epoch; "
-            "rebuild the views from the post-truncate table instead"
-        )
-
     changes = decoded_changes(
         events,
         cfg,
@@ -380,6 +371,19 @@ def apply_batch(
                     position_floor=(row["binlog_file"], row["binlog_pos"])
                 )
                 total["version"] = table.metadata()["version"]
+                if agg_views:
+                    # Data-reset boundary for maintained views too: the
+                    # incremental diff only covers FOLDED keys, but truncate
+                    # removed every key, so rebuild each view from the
+                    # (empty) post-truncate snapshot and restart the diff
+                    # basis there. Pre-truncate epochs' keys are now
+                    # irrelevant — drop them from the final maintenance pass.
+                    from .operators.ivm import rebuild as _ivm_rebuild
+
+                    for view in agg_views:
+                        _ivm_rebuild(table, view, version=total["version"])
+                    pre_version = total["version"]
+                    affected_parts = []
             else:
                 _apply_ddl(table, row["sql"])
                 if names_cache is not None:

@@ -185,3 +185,119 @@ def test_scd2_current_rows_match_fold(spark, sf_dir):
     assert hist_current.exceptAll(folded_final).isEmpty()
     assert folded_final.exceptAll(hist_current).isEmpty()
     keyed.unpersist()
+
+
+def _raw_events(spark, rows):
+    from mariadb_cdc_spark.schema import EVENT_SCHEMA
+
+    full = []
+    for r in rows:
+        d = {f.name: None for f in EVENT_SCHEMA.fields}
+        d.update(r)
+        full.append(tuple(d[f.name] for f in EVENT_SCHEMA.fields))
+    return spark.createDataFrame(full, EVENT_SCHEMA)
+
+
+def _ev(pos, etype, **kw):
+    return {
+        "server_id": 1,
+        "binlog_file": "bin.000001",
+        "binlog_pos": pos,
+        "event_type": etype,
+        **kw,
+    }
+
+
+def test_agg_view_consistent_across_truncate_epoch(spark, tmp_table_path, tmp_path):
+    """A TRUNCATE mid-batch resets the maintained view (ivm.rebuild at the
+    data-reset boundary) instead of raising; the view stays equal to a full
+    recompute before, across, and after the truncate epoch."""
+    tmap = _ev(10, "TABLE_MAP", table_id=7, database="codehub",
+               table="repo_files", column_types=[15, 15, 15],
+               column_names=["repo", "path", "content"])
+    table = LakeTable.create(
+        spark, tmp_table_path,
+        T.StructType([T.StructField(c, T.StringType())
+                      for c in ["repo", "path", "content"]]),
+        ["repo", "path"], n_buckets=2,
+    )
+    view = AggView(
+        str(tmp_path / "aggt"), ["repo"], {"total_chars": "length(content)"}
+    )
+    cfg = CdcConfig()
+
+    # batch 0: plain inserts, view established incrementally
+    b0 = [
+        tmap,
+        _ev(20, "WRITE_ROWS", table_id=7,
+            rows_after=[{"repo": "r1", "path": "a", "content": "one"},
+                        {"repo": "r2", "path": "b", "content": "twotwo"}]),
+    ]
+    apply_batch(_raw_events(spark, b0), table, cfg, stream_id="t",
+                batch_id=0, agg_views=[view])
+    assert _view_dict(spark, view) == {"r1": (1, 3), "r2": (1, 6)}
+
+    # batch 1: more rows, TRUNCATE, then post-truncate rows — the view must
+    # reflect only the post-truncate state
+    b1 = [
+        tmap,
+        _ev(30, "WRITE_ROWS", table_id=7,
+            rows_after=[{"repo": "r1", "path": "c", "content": "xxxx"}]),
+        _ev(40, "QUERY", sql="truncate table codehub.repo_files"),
+        dict(tmap, binlog_pos=50),
+        _ev(60, "WRITE_ROWS", table_id=7,
+            rows_after=[{"repo": "r3", "path": "d", "content": "12345"}]),
+    ]
+    res = apply_batch(_raw_events(spark, b1), table, cfg, stream_id="t",
+                      batch_id=1, agg_views=[view])
+    assert res["epochs"] == 2
+    assert {r["path"] for r in table.read().collect()} == {"d"}
+    assert _view_dict(spark, view) == {"r3": (1, 5)}
+    assert _view_dict(spark, view) == _recompute(table, view)
+
+    # replay of batch 1 is exactly-once-skipped -> view untouched
+    apply_batch(_raw_events(spark, b1), table, cfg, stream_id="t",
+                batch_id=1, agg_views=[view])
+    assert _view_dict(spark, view) == {"r3": (1, 5)}
+
+    # batch 2 after the truncate maintains incrementally from the reset basis
+    b2 = [
+        dict(tmap, binlog_pos=70),
+        _ev(80, "WRITE_ROWS", table_id=7,
+            rows_after=[{"repo": "r3", "path": "e", "content": "67"}]),
+        _ev(90, "DELETE_ROWS", table_id=7,
+            rows_before=[{"repo": "r3", "path": "d", "content": "12345"}]),
+    ]
+    apply_batch(_raw_events(spark, b2), table, cfg, stream_id="t",
+                batch_id=2, agg_views=[view])
+    assert _view_dict(spark, view) == {"r3": (1, 2)}
+    assert _view_dict(spark, view) == _recompute(table, view)
+
+
+def test_truncate_as_last_statement_resets_view(spark, tmp_table_path, tmp_path):
+    """TRUNCATE with nothing after it: the final (empty) epoch must leave the
+    rebuilt-empty view intact, not resurrect pre-truncate groups."""
+    tmap = _ev(10, "TABLE_MAP", table_id=7, database="codehub",
+               table="repo_files", column_types=[15, 15, 15],
+               column_names=["repo", "path", "content"])
+    table = LakeTable.create(
+        spark, tmp_table_path,
+        T.StructType([T.StructField(c, T.StringType())
+                      for c in ["repo", "path", "content"]]),
+        ["repo", "path"], n_buckets=2,
+    )
+    view = AggView(str(tmp_path / "aggt2"), ["repo"], {})
+    rows = [
+        tmap,
+        _ev(20, "WRITE_ROWS", table_id=7,
+            rows_after=[{"repo": "r1", "path": "a", "content": "one"}]),
+        _ev(30, "QUERY", sql="truncate table codehub.repo_files"),
+    ]
+    apply_batch(_raw_events(spark, rows), table, CdcConfig(), stream_id="t",
+                batch_id=0, agg_views=[view])
+    assert table.read().isEmpty()
+    assert _view_dict2(spark, view) == {}
+
+
+def _view_dict2(spark, view):
+    return {r["repo"]: r["n_rows"] for r in read_view(spark, view).collect()}
