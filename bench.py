@@ -105,7 +105,8 @@ def materialize_events(spark, sf_dir: str, repeat: int = 1) -> tuple[str, int]:
 
     repo = bench_repo_table(spark, sf_dir, repeat=repeat)
     events = generate_events(
-        repo, rows_per_event=4, include_audit=False, n_buckets=256
+        repo, rows_per_event=4, include_audit=False, n_buckets=256,
+        include_query_noise=True,
     )
     path = tempfile.mkdtemp(prefix="cdc_events_") + "/events"
     events.repartition(32 * repeat).write.parquet(path)
@@ -137,8 +138,11 @@ def run_cdc_apply(
         spark, f"{tmp}/t", REPO_SCHEMA, MERGE_KEYS, n_buckets=n_buckets
     )
     t0 = time.time()
-    apply_batch(events, table, CdcConfig(apply_ddl=False), stream_id="bench",
-                batch_id=0)
+    # Production config: apply_ddl stays ON, so the timed path includes all
+    # four control-plane jobs (lineage, liveness, registry, DDL classify)
+    # over an event mix carrying per-transaction BEGIN noise + unrelated
+    # DDLs — the rlike prefilter keeps the classify O(DDL), bench-invisible.
+    apply_batch(events, table, CdcConfig(), stream_id="bench", batch_id=0)
     dt = time.time() - t0
     n_rows = table.read().count()
     shutil.rmtree(tmp, ignore_errors=True)
@@ -375,7 +379,7 @@ def sustained():
             .write.parquet(f"{tmp}/ep{i}")
         )
 
-    cfg = CdcConfig(apply_ddl=False)
+    cfg = CdcConfig()  # production config: DDL classify on per epoch
     # JIT warm-up on the smoke SF (sustained metric = steady state)
     warm_sf = SF_DIR.replace("sf0.1", "sf0.01")
     if os.path.isdir(warm_sf):

@@ -25,6 +25,7 @@ from .schema import (
     EVT_ANNOTATE,
     EVT_FORMAT_DESCRIPTION,
     EVT_HEARTBEAT,
+    EVT_QUERY,
     EVT_ROTATE,
     EVT_STOP,
     EVT_TABLE_MAP,
@@ -182,6 +183,7 @@ def generate_events(
     include_audit: bool = True,
     include_stop: bool = False,
     include_annotate: bool = False,
+    include_query_noise: bool = False,
     extra_events: DataFrame | None = None,
 ) -> DataFrame:
     """Build the full binlog-shaped event table (EVENT_SCHEMA).
@@ -362,6 +364,49 @@ def generate_events(
     )
 
     parts = [rows_events, xids, hbs, fd, rot, tmap_main]
+
+    if include_query_noise:
+        # Realistic QUERY-event mix. A real row-format binlog delivers one
+        # BEGIN QUERY event per transaction — the reference receives EVERY
+        # query event (shyikobinlog/BinaryLogEventProcessor.java:67-69) —
+        # so the engine's DDL classify must shrug the noise off in-plan
+        # (the rlike prefilter in pipeline._DDL_CANDIDATE_RE). Transactions
+        # here are the XID grouping (5 rows events per commit); BEGIN sits
+        # strictly before the first rows event of each group (pos - 101 is
+        # between the previous event's +29 heartbeat slot and this event's
+        # -13 annotate slot).
+        begins = rows_events.where(
+            F.pmod(F.col("binlog_pos") / 256, F.lit(5)) == 1
+        ).select(
+            "server_id",
+            "binlog_file",
+            (F.col("binlog_pos") - 101).alias("binlog_pos"),
+            F.lit(EVT_QUERY).alias("event_type"),
+            "ts",
+            F.lit(None).cast("string").alias("gtid"),
+        )
+        begins = _pad_envelope(begins, {"sql": F.lit("BEGIN")})
+        # A few DDLs that DO survive the prefilter but target an unrelated
+        # table: they reach the driver-side classifier (QueryDecider golden
+        # semantics) and are discarded without an epoch split — the
+        # production cost of apply_ddl=True, exercised end-to-end.
+        other_ddl = files.select(
+            F.lit(server_id).cast("long").alias("server_id"),
+            "binlog_file",
+            F.lit(5).cast("long").alias("binlog_pos"),
+            F.lit(EVT_QUERY).alias("event_type"),
+            F.timestamp_seconds(F.lit(BASE_EPOCH)).alias("ts"),
+            F.lit(None).cast("string").alias("gtid"),
+        )
+        other_ddl = _pad_envelope(
+            other_ddl,
+            {
+                "sql": F.lit(
+                    "alter table otherdb.audit_mirror add column note varchar(32)"
+                )
+            },
+        )
+        parts.extend([begins, other_ddl])
 
     if include_annotate:
         # ANNOTATE_ROWS (binlog_annotate_row_events=ON): one statement per

@@ -396,3 +396,28 @@ def test_debezium_roundtrip_feeds_fold(spark):
     out = {(r["repo"], r["path"]): r for r in folded}
     assert out[("r1", "a")]["image"]["content"] == "v2"
     assert out[("r2", "b")]["final_op"] == "DELETE"
+
+
+def test_query_noise_is_inert(spark, sf_dir, tmp_path):
+    """Per-transaction BEGIN QUERY events + unrelated-table DDLs (the
+    production event mix, gen include_query_noise) must not change the
+    final table state, epoch count, or schema under apply_ddl=True — the
+    rlike prefilter drops the BEGINs in-plan and the classifier discards
+    the foreign DDLs without an epoch split."""
+    repo = repo_table(spark, sf_dir)
+    plain = generate_events(repo, include_audit=False)
+    noisy = generate_events(repo, include_audit=False, include_query_noise=True)
+    assert noisy.count() > plain.count()  # the noise is really there
+
+    out = {}
+    for name, ev in [("plain", plain), ("noisy", noisy)]:
+        table = LakeTable.create(
+            spark, str(tmp_path / name), REPO_SCHEMA, MERGE_KEYS, n_buckets=4
+        )
+        res = apply_batch(ev, table, CdcConfig(), stream_id="t", batch_id=0)
+        assert res["epochs"] == 1  # no split for BEGIN/foreign DDL
+        assert [n for n, _ in table.metadata()["schema"]] == [
+            "repo", "path", "commit", "lang", "content",
+        ]
+        out[name] = _lake_hashes(table)
+    assert out["noisy"] == out["plain"]
