@@ -586,3 +586,26 @@ def test_jpeg_stats_distributed(spark):
     )
     (bad,) = mm.jpeg_stats(corrupt).collect()
     assert bad["media_id"] == 99 and bad["decode_ok"] is None
+
+
+def test_progressive_jpeg_contained_in_media_flow(spark):
+    """A progressive (SOF2) JPEG — valid file, unsupported variant — must
+    yield a null-feature row through the distributed media_jpeg_stats flow,
+    never a task failure: the declared NotImplementedError is a contained
+    capability boundary (_DECODE_ERRORS)."""
+    import pandas as pd
+
+    from mariadb_cdc_spark.functions import multimodal as mm
+    from mariadb_cdc_spark.functions.jpeg import encode_jpeg
+    from mariadb_cdc_spark.functions.multimodal import _jpeg_truth
+
+    prog = bytearray(encode_jpeg(_jpeg_truth(7), 90))
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    good = encode_jpeg(_jpeg_truth(8), 90)
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [7, 8], "payload": [bytes(prog), good]})
+    )
+    rows = {r["media_id"]: r for r in mm.jpeg_stats(media).collect()}
+    assert rows[7]["decode_ok"] is None and rows[7]["width"] is None
+    assert rows[8]["decode_ok"] and rows[8]["within_tol"]

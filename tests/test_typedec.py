@@ -376,3 +376,46 @@ def test_charset_aware_varchar_and_string_decode():
 
     # unknown charset name degrades to utf-8-with-replacement, never raises
     assert "caf" in td.decode_varchar(wire, 80, "klingon")
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "charset,sample",
+    [
+        ("cp1251", "Привет, мир — Вова"),          # Cyrillic, 1-byte high
+        ("gbk", "你好，世界"),                      # Simplified Chinese, 2-byte
+        ("big5", "繁體中文測試"),                   # Traditional Chinese
+        ("euckr", "안녕하세요 세계"),               # Korean
+        ("ujis", "こんにちは世界"),                 # Japanese EUC-JP
+        ("cp932", "日本語テスト①"),                # Shift-JIS incl. NEC ①
+        ("latin2", "Příliš žluťoučký kůň"),        # Central European
+        ("ascii", "plain ascii only"),
+        ("utf8mb4", "emoji 🚀 + combining é"),
+    ],
+)
+def test_charset_roundtrip_breadth(charset, sample):
+    """The common MySQL charset set round-trips through both the VARCHAR and
+    the packed-metadata STRING wire paths (CHARSET_CODECS breadth)."""
+    from mariadb_cdc_spark.functions import typedec as td
+
+    w = td.encode_varchar(sample, 400, charset)
+    assert td.decode_varchar(w, 400, charset) == sample
+    meta = 0xEE2C  # CHAR(300), 2-byte prefixes
+    ws = td.encode_string(sample, meta, charset)
+    assert td.decode_string(ws, meta, None, charset) == sample
+    # dispatch surface
+    assert td.decode_wire_value(15, 400, w, None, charset) == sample
+
+
+def test_binary_charset_is_lossless_byte_passthrough():
+    """CHAR BYTE / BINARY columns: every byte value 0..255 survives the
+    decode->encode cycle unchanged (latin-1 is the identity byte codec)."""
+    from mariadb_cdc_spark.functions import typedec as td
+
+    raw = bytes(range(256))
+    wire = len(raw).to_bytes(2, "little") + raw
+    s = td.decode_varchar(wire, 400, "binary")
+    assert s.encode("latin-1") == raw
+    assert td.encode_varchar(s, 400, "binary") == wire
