@@ -2,9 +2,10 @@
 
 The Spark-side architecture is real and tested — schema, partition-preserving
 mapInPandas with Arrow batches — and so are the WAV/PPM/PNG codecs below and
-the baseline JPEG codec in functions.jpeg (stdlib struct + zlib + numpy; no
-external image/audio libraries needed — JPEG included: DCT + Huffman
-entropy coding in-repo). Only MP4/video remains a declared stub: swap
+the JPEG codec in functions.jpeg (stdlib struct + zlib + numpy; no external
+image/audio libraries needed — JPEG included: DCT + Huffman entropy coding
+in-repo, both baseline SOF0 and progressive SOF2). Only video FRAME DECODE
+remains a declared stub (MP4 container metadata parses for real below): swap
 `_decode_image_stub` for PIL/torchvision/pyav etc. on a real cluster;
 nothing else changes.
 
@@ -443,19 +444,23 @@ def _jpeg_truth(d: int) -> "np.ndarray":
 
 
 def synthesize_jpeg_media(docs: DataFrame, quality: int = 90) -> DataFrame:
-    """Deterministic REAL baseline JPEGs (functions.jpeg encoder: DCT +
-    quantization + canonical Huffman + byte stuffing) — the entropy-coded
-    leg of the multimodal column, previously a declared stub."""
-    from .jpeg import encode_jpeg
+    """Deterministic REAL JPEGs (functions.jpeg codec: DCT + quantization +
+    canonical Huffman + byte stuffing) — the entropy-coded leg of the
+    multimodal column, previously a declared stub. Even doc_ids encode as
+    baseline SOF0, odd ones as PROGRESSIVE SOF2 (successive-approximation
+    scan script), so the driver-checked media_jpeg_stats query exercises
+    both entropy-coded frame types end to end."""
+    from .jpeg import encode_jpeg, encode_jpeg_progressive
 
     def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for d in pdf["doc_id"]:
                 d = int(d)
+                enc = encode_jpeg if d % 2 == 0 else encode_jpeg_progressive
                 out.append(
                     (d, "image", "image/jpeg",
-                     encode_jpeg(_jpeg_truth(d), quality))
+                     enc(_jpeg_truth(d), quality))
                 )
             yield pd.DataFrame(
                 out, columns=["media_id", "kind", "mime", "payload"]

@@ -551,17 +551,59 @@ def test_jpeg_codec_roundtrip_and_containment():
     assert og.shape == (20, 16, 3)
     assert (og[:, :, 0] == og[:, :, 1]).all()
 
-    # containment: bad magic, truncation, progressive marker
+    # containment: bad magic, truncation, malformed scan script,
+    # genuinely-unsupported frame type (arithmetic coding)
     with pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
     good = encode_jpeg(_jpeg_truth(3), 90)
     with pytest.raises((ValueError, IndexError, Exception)):
         decode_jpeg(good[: len(good) // 3])
-    progressive = bytearray(good)
-    sof = progressive.find(b"\xff\xc0")
-    progressive[sof + 1] = 0xC2  # SOF0 -> SOF2
+    flipped = bytearray(good)
+    sof = flipped.find(b"\xff\xc0")
+    flipped[sof + 1] = 0xC2  # SOF0 -> SOF2 but scan header stays Ss=0,Se=63
+    with pytest.raises(ValueError):  # illegal progressive scan script
+        decode_jpeg(bytes(flipped))
+    arith = bytearray(good)
+    arith[sof + 1] = 0xC9  # SOF9: arithmetic-coded sequential
     with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(progressive))
+        decode_jpeg(bytes(arith))
+
+
+def test_progressive_jpeg_roundtrip():
+    """Progressive (SOF2) encode/decode: successive-approximation DC + AC
+    first/refinement scans with EOB-run coding must reconstruct EXACTLY the
+    same pixels as the baseline path (both carry identical quantized
+    coefficients), across smooth, noisy, sparse, constant, odd-dimension,
+    and grayscale inputs."""
+    import numpy as np
+
+    from mariadb_cdc_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from mariadb_cdc_spark.functions.multimodal import _jpeg_truth
+
+    rng = np.random.default_rng(42)
+    cases = [_jpeg_truth(d) for d in (0, 21, 337)]
+    cases.append(np.full((64, 80, 3), 130, dtype=np.uint8))  # EOBRUN-heavy
+    sparse = np.full((96, 128, 3), 128, dtype=np.uint8)
+    for _ in range(40):
+        y, x = rng.integers(0, 96), rng.integers(0, 128)
+        sparse[y, x] = rng.integers(0, 256, 3)
+    cases.append(sparse)
+    cases.append(rng.integers(0, 256, (72, 56, 3), dtype=np.uint8))  # noise
+    cases.append(rng.integers(0, 256, (13, 9, 3), dtype=np.uint8))  # odd
+    for q in (35, 90):
+        for t in cases:
+            prog = decode_jpeg(encode_jpeg_progressive(t, q))
+            base = decode_jpeg(encode_jpeg(t, q))
+            assert (prog == base).all()
+
+    g = (np.arange(20 * 16).reshape(20, 16) % 200).astype(np.uint8)
+    og = decode_jpeg(encode_jpeg_progressive(g, 95))
+    assert og.shape == (20, 16, 3)
+    assert (og[:, :, 0] == og[:, :, 1]).all()
 
 
 def test_jpeg_stats_distributed(spark):
@@ -588,24 +630,32 @@ def test_jpeg_stats_distributed(spark):
     assert bad["media_id"] == 99 and bad["decode_ok"] is None
 
 
-def test_progressive_jpeg_contained_in_media_flow(spark):
-    """A progressive (SOF2) JPEG — valid file, unsupported variant — must
-    yield a null-feature row through the distributed media_jpeg_stats flow,
-    never a task failure: the declared NotImplementedError is a contained
-    capability boundary (_DECODE_ERRORS)."""
+def test_progressive_jpeg_in_media_flow(spark):
+    """Progressive (SOF2) JPEGs decode for REAL through the distributed
+    media_jpeg_stats flow — same quality bound as baseline — while a
+    genuinely-unsupported variant (arithmetic-coded SOF9) still degrades to
+    a null-feature row, never a task failure (contained capability
+    boundary, _DECODE_ERRORS)."""
     import pandas as pd
 
     from mariadb_cdc_spark.functions import multimodal as mm
-    from mariadb_cdc_spark.functions.jpeg import encode_jpeg
+    from mariadb_cdc_spark.functions.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
     from mariadb_cdc_spark.functions.multimodal import _jpeg_truth
 
-    prog = bytearray(encode_jpeg(_jpeg_truth(7), 90))
-    sof = prog.find(b"\xff\xc0")
-    prog[sof + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    prog = encode_jpeg_progressive(_jpeg_truth(7), 90)
     good = encode_jpeg(_jpeg_truth(8), 90)
+    arith = bytearray(good)
+    arith[arith.find(b"\xff\xc0") + 1] = 0xC9  # arithmetic-coded SOF9
     media = spark.createDataFrame(
-        pd.DataFrame({"media_id": [7, 8], "payload": [bytes(prog), good]})
+        pd.DataFrame(
+            {"media_id": [7, 8, 9],
+             "payload": [prog, good, bytes(arith)]}
+        )
     )
     rows = {r["media_id"]: r for r in mm.jpeg_stats(media).collect()}
-    assert rows[7]["decode_ok"] is None and rows[7]["width"] is None
+    assert rows[7]["decode_ok"] and rows[7]["within_tol"]  # SOF2 decodes
     assert rows[8]["decode_ok"] and rows[8]["within_tol"]
+    assert rows[9]["decode_ok"] is None and rows[9]["width"] is None
