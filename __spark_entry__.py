@@ -1323,6 +1323,22 @@ def q_media_jpeg_stats(spark, sf):
     return jpeg_stats(synthesize_jpeg_media(_docs(spark, sf)))
 
 
+def q_media_mp4_stats(spark, sf):
+    """Multimodal VIDEO-CONTAINER path, REAL in-repo ISO-BMFF support
+    (functions/multimodal.py encode_mp4_skeleton/parse_mp4: box-tree walk,
+    mvhd/tkhd/mdhd version-0/1 fields, stsd fourcc, stts frame count +
+    uniform-fps derivation): deterministic MP4 skeletons are synthesized
+    per doc_id and parsed back; every field has a closed form the oracle
+    reproduces exactly. Only the codec-sample decode inside mdat stays
+    stubbed (no av library in-container)."""
+    from mariadb_cdc_spark.functions.multimodal import (
+        mp4_stats,
+        synthesize_mp4_media,
+    )
+
+    return mp4_stats(synthesize_mp4_media(_docs(spark, sf))).drop("n_bytes")
+
+
 def q_text_unigram_lm(spark, sf):
     """Unigram-LM bits/token per document (text.unigram_logprob): the
     CCNet-style perplexity-proxy quality signal — corpus unigram counts
@@ -1855,10 +1871,10 @@ QUERIES: dict[str, Callable] = {
     "ann_ivf_probe": q_ann_ivf_probe,
     "ann_recall": q_ann_recall,
     "emb_kmeans": q_emb_kmeans,
-    "emb_neardup": q_emb_neardup,
     "media_audio_features": q_media_audio_features,
     "media_image_stats": q_media_image_stats,
     "media_jpeg_stats": q_media_jpeg_stats,
+    "media_mp4_stats": q_media_mp4_stats,
     "events_cohort_retention": q_events_cohort_retention,
     "events_funnel": q_events_funnel,
     "events_props_json": q_events_props_json,
@@ -1877,7 +1893,9 @@ QUERIES: dict[str, Callable] = {
     "code_imports": q_code_imports,
     # ---- position > 50: green in the r2/r3 ledgers, rotated out of the
     # window (long-stable; r4 swapped out sample_quota, emb_quantize,
-    # emb_diversity, media_png_stats, text_bm25, agg_pricing, join_revenue)
+    # emb_diversity, media_png_stats, text_bm25, agg_pricing, join_revenue,
+    # and emb_neardup — which made room for the new media_mp4_stats)
+    "emb_neardup": q_emb_neardup,
     "sample_quota": q_sample_quota,
     "emb_quantize": q_emb_quantize,
     "emb_diversity": q_emb_diversity,
@@ -2873,6 +2891,29 @@ def oracle_sql() -> dict[str, str]:
                    true as decode_ok,
                    true as within_tol
             from documents
+        """,
+        "media_mp4_stats": """
+            -- every container field is a closed form in doc_id (the
+            -- synthesizer's parameters); the parser must recover them all
+            -- from the box tree. duration = n_frames * (90000 // fps)
+            -- media ticks, floored to ms on the 1000-tick movie clock.
+            with p as (
+              select doc_id,
+                     case doc_id % 5 when 0 then 10 when 1 then 15
+                          when 2 then 24 when 3 then 25 else 30 end as fps,
+                     8 + doc_id % 120 as n_frames
+              from documents)
+            select doc_id::BIGINT as media_id,
+                   'isom' as brand,
+                   case doc_id % 3 when 0 then 'avc1' when 1 then 'hev1'
+                        else 'mp4v' end as codec,
+                   (160 + (doc_id % 32) * 8)::INT as width,
+                   (120 + ((doc_id * 3) % 24) * 8)::INT as height,
+                   (n_frames * (90000 // fps) * 1000 // 90000)::BIGINT
+                     as duration_ms,
+                   n_frames::INT as n_frames,
+                   fps::INT as fps
+            from p
         """,
         "text_unigram_lm": r"""
             with toks as (

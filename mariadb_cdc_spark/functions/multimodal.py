@@ -143,9 +143,10 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 #   WAV (RIFF PCM16), PPM (P6), and PNG (8-bit RGB: full None/Sub/Up/
 #   Average/Paeth filter matrix + CRC-checked chunks over zlib).
 # JPEG (entropy-coded) is real too — functions/jpeg.py hand-rolls the
-# baseline DCT+Huffman codec (see synthesize_jpeg_media / jpeg_stats below).
-# Only MP4/video stays behind _decode_image_stub until av exists on the
-# cluster; nothing else in the pipeline changes.
+# baseline AND progressive DCT+Huffman codec (see synthesize_jpeg_media /
+# jpeg_stats below) — and the MP4 section at the bottom parses the ISO-BMFF
+# container for real. Only the video SAMPLE decode stays behind
+# _decode_image_stub until av exists on the cluster.
 
 import struct
 
@@ -626,3 +627,274 @@ def image_stats(media: DataFrame, thumb_factor: int = 2) -> DataFrame:
     return media.where(F.col("kind") == "image").select(
         "media_id", "payload"
     ).mapInPandas(_fn, IMAGE_STATS_SCHEMA)
+
+
+# --------------------------------------------------- MP4 (ISO BMFF)
+# Real container-level support (ISO/IEC 14496-12 box structure): a writer
+# producing minimal-but-conforming MP4 skeletons (ftyp + moov with a full
+# video-track box tree + stub mdat) and a parser walking the box tree to
+# typed metadata. Only the SAMPLE DECODE (the codec payload inside mdat)
+# stays behind _decode_image_stub — the container plumbing a frame
+# extractor needs (dimensions, timescale math, sample table walk) is real.
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(payload), typ) + payload
+
+
+def _full_box(typ: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(typ, struct.pack(">B3s", version, flags.to_bytes(3, "big"))
+                + payload)
+
+
+MP4_MEDIA_TIMESCALE = 90000  # the conventional 90 kHz video clock
+
+
+def encode_mp4_skeleton(
+    *,
+    width: int,
+    height: int,
+    fps: int,
+    n_frames: int,
+    codec: bytes = b"avc1",
+    brand: bytes = b"isom",
+) -> bytes:
+    """Minimal conforming ISO-BMFF skeleton: ftyp + moov(mvhd, trak(tkhd,
+    mdia(mdhd, hdlr, minf(stbl(stsd, stts, stsz, stco))))) + a stub mdat.
+    Sample payloads are fake (the container ships no encoder) but every
+    structural field a downstream frame extractor reads is real and
+    self-consistent."""
+    if MP4_MEDIA_TIMESCALE % fps:
+        raise ValueError(f"fps {fps} must divide {MP4_MEDIA_TIMESCALE}")
+    delta = MP4_MEDIA_TIMESCALE // fps
+    media_dur = n_frames * delta
+    movie_dur_ms = media_dur * 1000 // MP4_MEDIA_TIMESCALE
+
+    ftyp = _box(b"ftyp", struct.pack(">4sI4s4s", brand, 0, brand, b"mp41"))
+    mvhd = _full_box(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, 1000, movie_dur_ms)  # ts=1000 => ms
+        + struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = _full_box(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, movie_dur_ms)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    mdhd = _full_box(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, MP4_MEDIA_TIMESCALE, media_dur)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = _full_box(
+        b"hdlr", 0, 0,
+        struct.pack(">I4s", 0, b"vide") + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    sample_entry = struct.pack(">I4s", 86, codec) + b"\x00" * 6 + struct.pack(
+        ">H", 1
+    ) + b"\x00" * 16 + struct.pack(">HH", width, height) + struct.pack(
+        ">IIIH", 0x00480000, 0x00480000, 0, 1
+    ) + b"\x00" * 32 + struct.pack(">hH", 24, 0xFFFF)
+    stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, n_frames, delta))
+    stsz = _full_box(b"stsz", 0, 0, struct.pack(">III", 16, n_frames, 0))
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n_frames, 1))
+    stco = _full_box(b"stco", 0, 0, struct.pack(">II", 1, 0))
+    stbl = _box(b"stbl", stsd + stts + stsz + stsc + stco)
+    vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full_box(
+        b"dref", 0, 0, struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b"")
+    )
+    minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    mdat = _box(b"mdat", b"\x00" * (16 * min(n_frames, 8)))  # stub samples
+    return ftyp + moov + mdat
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for the top-level boxes in
+    data[start:end]; raises ValueError on malformed sizes."""
+    pos = start
+    while pos + 8 <= end:
+        size, typ = struct.unpack(">I4s", data[pos : pos + 8])
+        body = pos + 8
+        if size == 1:
+            (size,) = struct.unpack(">Q", data[body : body + 8])
+            body += 8
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"malformed box {typ!r} at {pos}")
+        yield typ, body, pos + size
+        pos += size
+
+
+def _find_box(data: bytes, start: int, end: int, typ: bytes):
+    for t, b, e in _walk_boxes(data, start, end):
+        if t == typ:
+            return b, e
+    return None
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """Parse an ISO-BMFF container to typed metadata: major brand, movie
+    duration_ms, first video track's width/height (tkhd 16.16 fixed),
+    sample-entry codec fourcc, frame count and uniform fps from stts.
+    Handles version-0 and version-1 mvhd/mdhd. Raises ValueError on
+    non-MP4 / malformed payloads (contained to null rows upstream)."""
+    if payload is None or len(payload) < 16:
+        raise ValueError("not an MP4 payload")
+    n = len(payload)
+    brand = None
+    out: dict = {}
+    moov = None
+    for typ, b, e in _walk_boxes(payload, 0, n):
+        if typ == b"ftyp":
+            brand = payload[b : b + 4].decode("latin-1")
+        elif typ == b"moov":
+            moov = (b, e)
+    if brand is None or moov is None:
+        raise ValueError("missing ftyp/moov")
+    out["brand"] = brand
+
+    mvhd = _find_box(payload, *moov, b"mvhd")
+    if mvhd is None:
+        raise ValueError("missing mvhd")
+    version = payload[mvhd[0]]
+    p = mvhd[0] + 4
+    if version == 1:
+        ts, dur = struct.unpack(">IQ", payload[p + 16 : p + 28])
+    else:
+        ts, dur = struct.unpack(">II", payload[p + 8 : p + 16])
+    if ts == 0:
+        raise ValueError("zero movie timescale")
+    out["duration_ms"] = dur * 1000 // ts
+
+    for typ, tb, te in _walk_boxes(payload, *moov):
+        if typ != b"trak":
+            continue
+        mdia = _find_box(payload, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find_box(payload, *mdia, b"hdlr")
+        handler = payload[hdlr[0] + 8 : hdlr[0] + 12] if hdlr else b""
+        if handler != b"vide":
+            continue
+        tkhd = _find_box(payload, tb, te, b"tkhd")
+        if tkhd is not None:
+            v = payload[tkhd[0]]
+            wh = payload[tkhd[1] - 8 : tkhd[1]]  # width/height end the box
+            w_fx, h_fx = struct.unpack(">II", wh)
+            out["width"], out["height"] = w_fx >> 16, h_fx >> 16
+            del v
+        mdhd = _find_box(payload, *mdia, b"mdhd")
+        media_ts = None
+        if mdhd is not None:
+            v = payload[mdhd[0]]
+            q = mdhd[0] + 4
+            if v == 1:
+                (media_ts,) = struct.unpack(">I", payload[q + 16 : q + 20])
+            else:
+                (media_ts,) = struct.unpack(">I", payload[q + 8 : q + 12])
+        minf = _find_box(payload, *mdia, b"minf")
+        stbl = _find_box(payload, *minf, b"stbl") if minf else None
+        if stbl is None:
+            continue
+        stsd = _find_box(payload, *stbl, b"stsd")
+        if stsd is not None:
+            out["codec"] = payload[stsd[0] + 12 : stsd[0] + 16].decode(
+                "latin-1"
+            )
+        stts = _find_box(payload, *stbl, b"stts")
+        if stts is not None:
+            (n_ent,) = struct.unpack(
+                ">I", payload[stts[0] + 4 : stts[0] + 8]
+            )
+            counts_deltas = struct.unpack(
+                f">{2 * n_ent}I",
+                payload[stts[0] + 8 : stts[0] + 8 + 8 * n_ent],
+            )
+            n_frames = sum(counts_deltas[0::2])
+            out["n_frames"] = n_frames
+            deltas = set(counts_deltas[1::2])
+            if media_ts and len(deltas) == 1:
+                (delta,) = deltas
+                if delta and media_ts % delta == 0:
+                    out["fps"] = media_ts // delta
+        break  # first video track wins
+    return out
+
+
+_MP4_FPS = [10, 15, 24, 25, 30]  # all divide the 90 kHz clock
+_MP4_CODECS = ["avc1", "hev1", "mp4v"]
+
+
+def synthesize_mp4_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL MP4 skeletons: every structural parameter has a
+    closed form in doc_id so a DuckDB oracle reproduces the parsed metadata
+    exactly (query media_mp4_stats)."""
+
+    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                payload = encode_mp4_skeleton(
+                    width=160 + (d % 32) * 8,
+                    height=120 + ((d * 3) % 24) * 8,
+                    fps=_MP4_FPS[d % 5],
+                    n_frames=8 + d % 120,
+                    codec=_MP4_CODECS[d % 3].encode(),
+                )
+                out.append((d, "video", "video/mp4", payload))
+            yield pd.DataFrame(
+                out, columns=["media_id", "kind", "mime", "payload"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _fn,
+        "media_id long, kind string, mime string, payload binary",
+    )
+
+
+MP4_STATS_SCHEMA = (
+    "media_id long, brand string, codec string, width int, height int,"
+    " duration_ms long, n_frames int, fps int, n_bytes int"
+)
+
+
+def mp4_stats(media: DataFrame) -> DataFrame:
+    """Parse MP4 payloads -> container metadata (mapInPandas, Arrow
+    batches, partition-preserving). Corrupt payloads emit a null-feature
+    row instead of failing the task."""
+
+    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                try:
+                    m = parse_mp4(bytes(payload))
+                except _DECODE_ERRORS:
+                    rows.append((mid,) + (None,) * 8)
+                    continue
+                rows.append(
+                    (mid, m.get("brand"), m.get("codec"), m.get("width"),
+                     m.get("height"), m.get("duration_ms"),
+                     m.get("n_frames"), m.get("fps"), len(payload))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "brand", "codec", "width", "height",
+                         "duration_ms", "n_frames", "fps", "n_bytes"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _fn, MP4_STATS_SCHEMA
+    )

@@ -659,3 +659,72 @@ def test_progressive_jpeg_in_media_flow(spark):
     assert rows[7]["decode_ok"] and rows[7]["within_tol"]  # SOF2 decodes
     assert rows[8]["decode_ok"] and rows[8]["within_tol"]
     assert rows[9]["decode_ok"] is None and rows[9]["width"] is None
+
+
+def test_mp4_container_roundtrip_and_containment(spark):
+    """ISO-BMFF support: the skeleton writer and parser agree on every
+    structural field; version-1 (64-bit) mvhd/mdhd parse too; corrupt or
+    non-MP4 payloads degrade to null-feature rows through the distributed
+    mp4_stats flow, never a task failure."""
+    import struct
+
+    import pandas as pd
+    import pytest
+
+    from mariadb_cdc_spark.functions import multimodal as mm
+
+    p = mm.encode_mp4_skeleton(
+        width=640, height=352, fps=30, n_frames=90, codec=b"mp4v",
+        brand=b"mp42",
+    )
+    m = mm.parse_mp4(p)
+    assert m == {
+        "brand": "mp42", "codec": "mp4v", "width": 640, "height": 352,
+        "duration_ms": 3000, "n_frames": 90, "fps": 30,
+    }
+
+    # version-1 mvhd (64-bit times): hand-build and parse
+    mvhd_v1 = mm._full_box(
+        b"mvhd", 1, 0,
+        struct.pack(">QQIQ", 0, 0, 600, 1800)  # ts=600, dur=1800 -> 3000ms
+        + struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    ftyp = mm._box(b"ftyp", struct.pack(">4sI4s", b"isom", 0, b"isom"))
+    v1 = ftyp + mm._box(b"moov", mvhd_v1)
+    assert mm.parse_mp4(v1)["duration_ms"] == 3000
+
+    with pytest.raises(ValueError):
+        mm.parse_mp4(b"RIFF not an mp4 at all, longer than 16")
+    with pytest.raises(ValueError):
+        mm.parse_mp4(p[:40])  # truncated mid-moov
+
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1, 2], "payload": [p, b"x" * 32]})
+    )
+    rows = {r["media_id"]: r for r in mm.mp4_stats(media).collect()}
+    assert rows[1]["codec"] == "mp4v" and rows[1]["n_frames"] == 90
+    assert rows[2]["brand"] is None and rows[2]["width"] is None
+
+
+def test_mp4_synthesized_corpus_closed_forms(spark):
+    """mp4_stats over the synthesized corpus matches the doc_id closed
+    forms the DuckDB oracle uses (the in-Spark half of media_mp4_stats)."""
+    from mariadb_cdc_spark.functions import multimodal as mm
+
+    docs = spark.range(30).selectExpr("id as doc_id")
+    rows = {
+        r["media_id"]: r
+        for r in mm.mp4_stats(mm.synthesize_mp4_media(docs)).collect()
+    }
+    fps_tab = [10, 15, 24, 25, 30]
+    codecs = ["avc1", "hev1", "mp4v"]
+    for d, r in rows.items():
+        fps = fps_tab[d % 5]
+        n = 8 + d % 120
+        assert r["width"] == 160 + (d % 32) * 8
+        assert r["height"] == 120 + ((d * 3) % 24) * 8
+        assert r["fps"] == fps and r["n_frames"] == n
+        assert r["codec"] == codecs[d % 3] and r["brand"] == "isom"
+        assert r["duration_ms"] == n * (90000 // fps) * 1000 // 90000
