@@ -1339,6 +1339,23 @@ def q_media_mp4_stats(spark, sf):
     return mp4_stats(synthesize_mp4_media(_docs(spark, sf))).drop("n_bytes")
 
 
+def q_media_video_frames(spark, sf):
+    """REAL distributed video frame extraction (no stub in this path):
+    Motion-JPEG MP4s are synthesized per doc_id (one real baseline JPEG per
+    frame in mdat), then extract_video_frames walks the stsc x stco x stsz
+    x stts sample tables to each frame's byte range, decodes the JPEG with
+    the in-repo codec, and verifies it against the per-(doc, frame)
+    closed-form truth. One row per frame; pts from the 90 kHz media clock.
+    The oracle reproduces frame counts, dimensions, pts, and asserts the
+    decode/quality booleans."""
+    from mariadb_cdc_spark.functions.multimodal import (
+        extract_video_frames,
+        synthesize_mjpeg_media,
+    )
+
+    return extract_video_frames(synthesize_mjpeg_media(_docs(spark, sf)))
+
+
 def q_text_unigram_lm(spark, sf):
     """Unigram-LM bits/token per document (text.unigram_logprob): the
     CCNet-style perplexity-proxy quality signal — corpus unigram counts
@@ -1868,13 +1885,13 @@ QUERIES: dict[str, Callable] = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
-    "ann_ivf_probe": q_ann_ivf_probe,
     "ann_recall": q_ann_recall,
     "emb_kmeans": q_emb_kmeans,
     "media_audio_features": q_media_audio_features,
     "media_image_stats": q_media_image_stats,
     "media_jpeg_stats": q_media_jpeg_stats,
     "media_mp4_stats": q_media_mp4_stats,
+    "media_video_frames": q_media_video_frames,
     "events_cohort_retention": q_events_cohort_retention,
     "events_funnel": q_events_funnel,
     "events_props_json": q_events_props_json,
@@ -1894,8 +1911,10 @@ QUERIES: dict[str, Callable] = {
     # ---- position > 50: green in the r2/r3 ledgers, rotated out of the
     # window (long-stable; r4 swapped out sample_quota, emb_quantize,
     # emb_diversity, media_png_stats, text_bm25, agg_pricing, join_revenue,
-    # and emb_neardup — which made room for the new media_mp4_stats)
+    # and emb_neardup + ann_ivf_probe — which made room for the new
+    # media_mp4_stats and media_video_frames)
     "emb_neardup": q_emb_neardup,
+    "ann_ivf_probe": q_ann_ivf_probe,
     "sample_quota": q_sample_quota,
     "emb_quantize": q_emb_quantize,
     "emb_diversity": q_emb_diversity,
@@ -2914,6 +2933,29 @@ def oracle_sql() -> dict[str, str]:
                    n_frames::INT as n_frames,
                    fps::INT as fps
             from p
+        """,
+        "media_video_frames": """
+            -- one row per (doc, frame): counts, dims, and pts are closed
+            -- forms; the lossy decode contract is the boolean pair the UDF
+            -- computed against the per-frame ground truth
+            with p as (
+              select doc_id,
+                     case doc_id % 5 when 0 then 10 when 1 then 15
+                          when 2 then 24 when 3 then 25 else 30 end as fps,
+                     2 + doc_id % 4 as n_frames
+              from documents),
+            fr as (select doc_id, fps,
+                          unnest(range(0, n_frames)) as frame_idx
+                   from p)
+            select doc_id::BIGINT as media_id,
+                   frame_idx::INT as frame_idx,
+                   (frame_idx * (90000 // fps) * 1000 // 90000)::BIGINT
+                     as pts_ms,
+                   (16 + doc_id % 24)::INT as width,
+                   (16 + (doc_id * 3) % 16)::INT as height,
+                   true as decode_ok,
+                   true as within_tol
+            from fr
         """,
         "text_unigram_lm": r"""
             with toks as (

@@ -4,10 +4,12 @@ The Spark-side architecture is real and tested — schema, partition-preserving
 mapInPandas with Arrow batches — and so are the WAV/PPM/PNG codecs below and
 the JPEG codec in functions.jpeg (stdlib struct + zlib + numpy; no external
 image/audio libraries needed — JPEG included: DCT + Huffman entropy coding
-in-repo, both baseline SOF0 and progressive SOF2). Only video FRAME DECODE
-remains a declared stub (MP4 container metadata parses for real below): swap
-`_decode_image_stub` for PIL/torchvision/pyav etc. on a real cluster;
-nothing else changes.
+in-repo, both baseline SOF0 and progressive SOF2) — and VIDEO: the ISO-BMFF
+(MP4) container parses for real (box tree, sample tables), and Motion-JPEG
+tracks decode frame-by-frame through the in-repo JPEG codec
+(extract_video_frames below). Only inter-coded codecs (avc1/hev1) keep a
+declared stub: swap `_decode_image_stub` for pyav etc. on a real cluster;
+the container plumbing is identical.
 
 Design rules for 100 TB of binary payloads:
   - binary stays opaque in Spark (no per-row Python objects crossing the
@@ -145,7 +147,8 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 # JPEG (entropy-coded) is real too — functions/jpeg.py hand-rolls the
 # baseline AND progressive DCT+Huffman codec (see synthesize_jpeg_media /
 # jpeg_stats below) — and the MP4 section at the bottom parses the ISO-BMFF
-# container for real. Only the video SAMPLE decode stays behind
+# container for real, with Motion-JPEG sample decode through the in-repo
+# JPEG codec. Only inter-coded video samples (avc1/hev1) stay behind
 # _decode_image_stub until av exists on the cluster.
 
 import struct
@@ -897,4 +900,267 @@ def mp4_stats(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         _fn, MP4_STATS_SCHEMA
+    )
+
+
+# --------------------------------------------- Motion-JPEG video (real)
+# With a real in-repo JPEG codec (functions/jpeg.py), video stops being a
+# stub: Motion-JPEG-in-MP4 carries one real JPEG per frame in mdat, the
+# sample table (stsc/stco/stsz/stts) locates each frame's byte range, and
+# frame extraction decodes them — the full distributed video path
+# (container parse -> sample walk -> frame decode -> per-frame features)
+# runs end to end in-container. Inter-coded codecs (avc1/hev1) remain the
+# declared stub; their CONTAINER plumbing is identical.
+
+
+def encode_mp4_mjpeg(frames: list, fps: int, brand: bytes = b"isom") -> bytes:
+    """Real playable-layout MP4: one baseline-JPEG sample per frame, all in
+    one chunk; stsz carries true sample sizes, stco the true absolute mdat
+    body offset. `frames` is a list of HxWx3 uint8 arrays (equal dims)."""
+    from .jpeg import encode_jpeg
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    if MP4_MEDIA_TIMESCALE % fps:
+        raise ValueError(f"fps {fps} must divide {MP4_MEDIA_TIMESCALE}")
+    samples = [encode_jpeg(f, 90) for f in frames]
+    h, w = frames[0].shape[:2]
+    n = len(samples)
+    delta = MP4_MEDIA_TIMESCALE // fps
+    media_dur = n * delta
+    movie_dur_ms = media_dur * 1000 // MP4_MEDIA_TIMESCALE
+
+    def _moov(chunk_offset: int) -> bytes:
+        mvhd = _full_box(
+            b"mvhd", 0, 0,
+            struct.pack(">IIII", 0, 0, 1000, movie_dur_ms)
+            + struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
+            + struct.pack(
+                ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+            )
+            + b"\x00" * 24 + struct.pack(">I", 2),
+        )
+        tkhd = _full_box(
+            b"tkhd", 0, 7,
+            struct.pack(">IIIII", 0, 0, 1, 0, movie_dur_ms)
+            + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+            + struct.pack(
+                ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+            )
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        mdhd = _full_box(
+            b"mdhd", 0, 0,
+            struct.pack(">IIII", 0, 0, MP4_MEDIA_TIMESCALE, media_dur)
+            + struct.pack(">HH", 0x55C4, 0),
+        )
+        hdlr = _full_box(
+            b"hdlr", 0, 0,
+            struct.pack(">I4s", 0, b"vide") + b"\x00" * 12
+            + b"VideoHandler\x00",
+        )
+        entry = struct.pack(">I4s", 86, b"jpeg") + b"\x00" * 6 + struct.pack(
+            ">H", 1
+        ) + b"\x00" * 16 + struct.pack(">HH", w, h) + struct.pack(
+            ">IIIH", 0x00480000, 0x00480000, 0, 1
+        ) + b"\x00" * 32 + struct.pack(">hH", 24, 0xFFFF)
+        stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+        stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+        stsz = _full_box(
+            b"stsz", 0, 0,
+            struct.pack(">II", 0, n)
+            + struct.pack(f">{n}I", *(len(s) for s in samples)),
+        )
+        stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+        stco = _full_box(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset))
+        stbl = _box(b"stbl", stsd + stts + stsz + stsc + stco)
+        vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        dref = _full_box(
+            b"dref", 0, 0,
+            struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b""),
+        )
+        minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        return _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+
+    ftyp = _box(b"ftyp", struct.pack(">4sI4s4s", brand, 0, brand, b"mp41"))
+    moov_len = len(_moov(0))  # fixed-width offset field: length is stable
+    moov = _moov(len(ftyp) + moov_len + 8)
+    return ftyp + moov + _box(b"mdat", b"".join(samples))
+
+
+def mp4_sample_table(payload: bytes) -> list[tuple[int, int, int]]:
+    """Walk the first video track's sample tables to (abs_offset, size,
+    pts_ticks) per sample — the real stsc (samples-per-chunk runs) x stco
+    (chunk offsets) x stsz (sizes) x stts (deltas) join a frame extractor
+    performs. Raises ValueError on inconsistent tables."""
+    n = len(payload)
+    moov = _find_box(payload, 0, n, b"moov")
+    if moov is None:
+        raise ValueError("missing moov")
+    for typ, tb, te in _walk_boxes(payload, *moov):
+        if typ != b"trak":
+            continue
+        mdia = _find_box(payload, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find_box(payload, *mdia, b"hdlr")
+        if not hdlr or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        minf = _find_box(payload, *mdia, b"minf")
+        stbl = _find_box(payload, *minf, b"stbl") if minf else None
+        if stbl is None:
+            raise ValueError("video trak without stbl")
+
+        def _u32s(box, skip, count):
+            return struct.unpack(
+                f">{count}I", payload[box[0] + skip : box[0] + skip + 4 * count]
+            )
+
+        stsz = _find_box(payload, *stbl, b"stsz")
+        fixed, n_samples = _u32s(stsz, 4, 2)
+        sizes = (
+            [fixed] * n_samples
+            if fixed
+            else list(_u32s(stsz, 12, n_samples))
+        )
+        stco = _find_box(payload, *stbl, b"stco")
+        (n_chunks,) = _u32s(stco, 4, 1)
+        offsets = list(_u32s(stco, 8, n_chunks))
+        stsc = _find_box(payload, *stbl, b"stsc")
+        (n_runs,) = _u32s(stsc, 4, 1)
+        runs = list(_u32s(stsc, 8, 3 * n_runs))  # (first_chunk, spc, desc)*
+        stts = _find_box(payload, *stbl, b"stts")
+        (n_tt,) = _u32s(stts, 4, 1)
+        tt = list(_u32s(stts, 8, 2 * n_tt))
+
+        # expand stsc runs -> samples-per-chunk for every chunk
+        spc = []
+        for i in range(n_runs):
+            first = runs[3 * i] - 1
+            count = runs[3 * i + 1]
+            last = (runs[3 * (i + 1)] - 1) if i + 1 < n_runs else n_chunks
+            spc.extend([count] * (last - first))
+        # expand stts -> per-sample pts
+        pts, t = [], 0
+        for i in range(n_tt):
+            for _ in range(tt[2 * i]):
+                pts.append(t)
+                t += tt[2 * i + 1]
+        out = []
+        si = 0
+        for ci, chunk_off in enumerate(offsets):
+            off = chunk_off
+            for _ in range(spc[ci] if ci < len(spc) else 0):
+                if si >= n_samples:
+                    break
+                out.append((off, sizes[si], pts[si] if si < len(pts) else 0))
+                off += sizes[si]
+                si += 1
+        if si != n_samples:
+            raise ValueError("sample table inconsistent")
+        return out
+    raise ValueError("no video track")
+
+
+def _mjpeg_frame_truth(d: int, f: int) -> "np.ndarray":
+    """Closed-form ground truth for frame f of doc d: the jpeg_stats
+    sinusoid with a per-frame phase, so motion is real and every frame is
+    independently verifiable."""
+    w = 16 + d % 24
+    h = 16 + (d * 3) % 16
+    x = np.arange(w).reshape(1, w, 1)
+    y = np.arange(h).reshape(h, 1, 1)
+    c = np.arange(3).reshape(1, 1, 3)
+    val = 127.5 + 100.0 * np.sin((x + 2 * y + 10 * c + d + 7 * f) / 5.0)
+    return np.rint(val).astype(np.uint8)
+
+
+def synthesize_mjpeg_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL Motion-JPEG MP4s: 2 + doc_id % 4 frames of the
+    closed-form sinusoid, fps from the same table as synthesize_mp4_media."""
+
+    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n_frames = 2 + d % 4
+                payload = encode_mp4_mjpeg(
+                    [_mjpeg_frame_truth(d, f) for f in range(n_frames)],
+                    fps=_MP4_FPS[d % 5],
+                )
+                out.append((d, "video", "video/mp4", payload))
+            yield pd.DataFrame(
+                out, columns=["media_id", "kind", "mime", "payload"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _fn,
+        "media_id long, kind string, mime string, payload binary",
+    )
+
+
+VIDEO_FRAME_SCHEMA = (
+    "media_id long, frame_idx int, pts_ms long, width int, height int,"
+    " decode_ok boolean, within_tol boolean"
+)
+
+
+def extract_video_frames(
+    media: DataFrame, max_err: int = 24, mean_err: float = 4.0
+) -> DataFrame:
+    """REAL distributed video frame extraction: per payload, walk the
+    ISO-BMFF sample table, slice each frame's bytes out of mdat, decode the
+    JPEG, and (here) verify it against the closed-form truth — where a
+    production job would run its per-frame featurizer. One output row per
+    frame; corrupt payloads or non-MJPEG codecs degrade to a single
+    null-feature row (media_id, nulls) instead of failing the task."""
+    from .jpeg import decode_jpeg
+
+    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                try:
+                    payload = bytes(payload)
+                    meta = parse_mp4(payload)
+                    if meta.get("codec") != "jpeg":
+                        raise NotImplementedError(
+                            "only MJPEG samples decode in-container"
+                        )
+                    table = mp4_sample_table(payload)
+                except _DECODE_ERRORS:
+                    rows.append((mid,) + (None,) * 6)
+                    continue
+                for f, (off, size, pts) in enumerate(table):
+                    try:
+                        px = decode_jpeg(payload[off : off + size])
+                    except _DECODE_ERRORS:
+                        rows.append((mid, f) + (None,) * 5)
+                        continue
+                    hh, ww, _ = px.shape
+                    truth = _mjpeg_frame_truth(mid, f)
+                    if truth.shape == px.shape:
+                        err = np.abs(
+                            px.astype(np.int64) - truth.astype(np.int64)
+                        )
+                        tol = bool(
+                            err.max() <= max_err and err.mean() <= mean_err
+                        )
+                    else:
+                        tol = False
+                    rows.append(
+                        (mid, f, pts * 1000 // MP4_MEDIA_TIMESCALE,
+                         ww, hh, True, tol)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "pts_ms", "width",
+                         "height", "decode_ok", "within_tol"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _fn, VIDEO_FRAME_SCHEMA
     )

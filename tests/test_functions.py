@@ -728,3 +728,48 @@ def test_mp4_synthesized_corpus_closed_forms(spark):
         assert r["fps"] == fps and r["n_frames"] == n
         assert r["codec"] == codecs[d % 3] and r["brand"] == "isom"
         assert r["duration_ms"] == n * (90000 // fps) * 1000 // 90000
+
+
+def test_mjpeg_video_frames_real_decode(spark):
+    """REAL video frame extraction: Motion-JPEG MP4s decode frame-by-frame
+    through the in-repo JPEG codec via the sample-table walk; an
+    inter-coded (avc1) container degrades to a null-feature row and a
+    corrupt sample to a per-frame null row — never a task failure."""
+    import pandas as pd
+
+    from mariadb_cdc_spark.functions import multimodal as mm
+
+    docs = spark.range(12).selectExpr("id as doc_id")
+    media = mm.synthesize_mjpeg_media(docs)
+    rows = mm.extract_video_frames(media).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["media_id"], []).append(r)
+    assert set(by_doc) == set(range(12))
+    fps_tab = [10, 15, 24, 25, 30]
+    for d, rs in by_doc.items():
+        assert len(rs) == 2 + d % 4
+        for r in sorted(rs, key=lambda r: r["frame_idx"]):
+            assert r["decode_ok"] and r["within_tol"]
+            assert r["width"] == 16 + d % 24
+            assert r["height"] == 16 + (d * 3) % 16
+            fps = fps_tab[d % 5]
+            assert r["pts_ms"] == (
+                r["frame_idx"] * (90000 // fps) * 1000 // 90000
+            )
+
+    # avc1 container (no decodable samples) and a corrupt-sample MJPEG
+    avc = mm.encode_mp4_skeleton(
+        width=64, height=48, fps=25, n_frames=4, codec=b"avc1"
+    )
+    mj = bytearray(
+        mm.encode_mp4_mjpeg([mm._mjpeg_frame_truth(3, 0)], fps=25)
+    )
+    off, size, _ = mm.mp4_sample_table(bytes(mj))[0]
+    mj[off : off + 2] = b"XX"  # smash the frame's SOI
+    bad = spark.createDataFrame(
+        pd.DataFrame({"media_id": [50, 51], "payload": [avc, bytes(mj)]})
+    )
+    got = {r["media_id"]: r for r in mm.extract_video_frames(bad).collect()}
+    assert got[50]["frame_idx"] is None and got[50]["decode_ok"] is None
+    assert got[51]["frame_idx"] == 0 and got[51]["decode_ok"] is None
