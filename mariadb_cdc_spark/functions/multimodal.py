@@ -156,34 +156,85 @@ import struct
 import numpy as np
 
 
-def encode_wav(samples: "np.ndarray", sample_rate: int) -> bytes:
-    """Minimal RIFF/WAVE writer: PCM16 mono."""
-    data = samples.astype("<i2").tobytes()
+def encode_wav(
+    samples: "np.ndarray", sample_rate: int, bits: int = 16
+) -> bytes:
+    """RIFF/WAVE PCM writer: mono or stereo (samples shaped (n,) or
+    (n, 2)), 8-bit unsigned / 16- / 24- / 32-bit signed little-endian."""
+    s = np.asarray(samples)
+    n_ch = 1 if s.ndim == 1 else s.shape[1]
+    flat = s.reshape(-1)  # interleaved frames
+    if bits == 8:
+        data = (flat.astype(np.int64) + 128).clip(0, 255).astype(
+            np.uint8
+        ).tobytes()
+    elif bits == 16:
+        data = flat.astype("<i2").tobytes()
+    elif bits == 24:
+        as32 = flat.astype("<i4").view(np.uint8).reshape(-1, 4)
+        data = as32[:, :3].tobytes()  # low 3 bytes of the LE int32
+    elif bits == 32:
+        data = flat.astype("<i4").tobytes()
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    block = n_ch * bits // 8
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
         b"RIFF", 36 + len(data), b"WAVE",
-        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"fmt ", 16, 1, n_ch, sample_rate, sample_rate * block, block, bits,
         b"data", len(data),
     )
     return hdr + data
 
 
 def decode_wav(payload: bytes) -> dict:
-    """RIFF/WAVE PCM16 mono parser -> sample_rate, n_samples, duration_ms,
-    peak, rms. Raises ValueError on malformed containers."""
-    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF":
+    """RIFF/WAVE PCM parser — real chunk walk (fmt /data located by id, so
+    LIST/fact/cue chunks in between are fine), mono or stereo, 8/16/24/32-
+    bit PCM (24-bit = packed 3-byte LE, sign-extended vectorized) ->
+    sample_rate, n_channels, bits, n_samples (frames), duration_ms, peak,
+    rms (across channels). Raises ValueError on malformed containers,
+    NotImplementedError on non-PCM codecs (e.g. float, ADPCM, mu-law)."""
+    if payload is None or len(payload) < 20 or payload[:4] != b"RIFF":
         raise ValueError("not a RIFF/WAVE payload")
-    (
-        _riff, _size, _wave, _fmt, _fmtlen, audio_fmt, n_ch,
-        sr, _brate, _align, bits, _data, data_len,
-    ) = struct.unpack("<4sI4s4sIHHIIHH4sI", payload[:44])
-    if audio_fmt != 1 or bits != 16 or n_ch != 1:
-        raise NotImplementedError("only PCM16 mono supported in-container")
-    samples = np.frombuffer(payload[44 : 44 + data_len], dtype="<i2")
-    x = samples.astype(np.float64)
-    n = len(samples)
+    if payload[8:12] != b"WAVE":
+        raise ValueError("RIFF without WAVE form type")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack("<4sI", payload[pos : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt /data chunk")
+    audio_fmt, n_ch, sr, _brate, _align, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_fmt != 1:
+        raise NotImplementedError(f"non-PCM WAVE format {audio_fmt}")
+    if n_ch not in (1, 2) or bits not in (8, 16, 24, 32):
+        raise NotImplementedError(
+            f"unsupported PCM layout ({n_ch} ch, {bits}-bit)"
+        )
+    if bits == 8:
+        x = np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+    elif bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    elif bits == 24:
+        raw = np.frombuffer(data[: len(data) - len(data) % 3], np.uint8)
+        tri = raw.reshape(-1, 3).astype(np.int64)
+        v = tri[:, 0] | (tri[:, 1] << 8) | (tri[:, 2] << 16)
+        x = np.where(v >= 1 << 23, v - (1 << 24), v).astype(np.float64)
+    else:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float64)
+    n = len(x) // n_ch
     return {
         "sample_rate": sr,
+        "n_channels": n_ch,
+        "bits": bits,
         "n_samples": n,
         "duration_ms": n * 1000 // sr if sr else 0,
         "peak": float(np.max(np.abs(x))) if n else 0.0,

@@ -773,3 +773,45 @@ def test_mjpeg_video_frames_real_decode(spark):
     got = {r["media_id"]: r for r in mm.extract_video_frames(bad).collect()}
     assert got[50]["frame_idx"] is None and got[50]["decode_ok"] is None
     assert got[51]["frame_idx"] == 0 and got[51]["decode_ok"] is None
+
+
+def test_wav_all_depths_and_stereo():
+    """WAV decode across the PCM matrix: 8/16/24/32-bit x mono/stereo
+    round-trip exactly (24-bit = packed 3-byte sign extension), chunk walk
+    skips LIST chunks, and non-PCM formats stay loud."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest
+    from mariadb_cdc_spark.functions import multimodal as mm
+
+    rng = np.random.default_rng(3)
+    for bits, lim in ((8, 127), (16, 30000), (24, 8_000_000), (32, 2**30)):
+        mono = rng.integers(-lim, lim, 400)
+        f = mm.decode_wav(mm.encode_wav(mono, 16000, bits=bits))
+        assert (f["bits"], f["n_channels"], f["n_samples"]) == (bits, 1, 400)
+        assert f["peak"] == float(np.max(np.abs(mono)))
+        stereo = rng.integers(-lim, lim, (300, 2))
+        f2 = mm.decode_wav(mm.encode_wav(stereo, 8000, bits=bits))
+        assert (f2["n_channels"], f2["n_samples"]) == (2, 300)
+        assert f2["duration_ms"] == 300 * 1000 // 8000
+        assert f2["rms"] == float(
+            np.sqrt(np.mean(stereo.astype(np.float64) ** 2))
+        )
+
+    # LIST chunk between fmt and data parses fine (real chunk walk)
+    wav = bytearray(mm.encode_wav(np.arange(-50, 50), 8000))
+    lst = _struct.pack("<4sI", b"LIST", 6) + b"INFOab"
+    spliced = bytes(wav[:36]) + lst + bytes(wav[36:])
+    spliced = (
+        spliced[:4]
+        + _struct.pack("<I", len(spliced) - 8)
+        + spliced[8:]
+    )
+    assert mm.decode_wav(spliced)["n_samples"] == 100
+
+    # IEEE-float format (3) is a declared, contained boundary
+    flt = bytearray(mm.encode_wav(np.arange(10), 8000))
+    flt[20] = 3
+    with pytest.raises(NotImplementedError):
+        mm.decode_wav(bytes(flt))
