@@ -465,6 +465,26 @@ CHARSET_CODECS = {
     "gbk": "gbk",
     "big5": "big5",
     "cp1251": "cp1251",
+    "cp1250": "cp1250",
+    "cp1256": "cp1256",
+    "cp1257": "cp1257",
+    "cp850": "cp850",
+    "cp852": "cp852",
+    "cp866": "cp866",
+    "greek": "iso8859-7",
+    "hebrew": "iso8859-8",
+    "latin5": "iso8859-9",
+    "latin7": "iso8859-13",
+    "koi8r": "koi8-r",
+    "koi8u": "koi8-u",
+    "gb2312": "gb2312",
+    "gb18030": "gb18030",
+    "tis620": "tis-620",
+    # MySQL's utf16/ucs2/utf32 are big-endian, no BOM
+    "utf16": "utf-16-be",
+    "utf16le": "utf-16-le",
+    "ucs2": "utf-16-be",
+    "utf32": "utf-32-be",
     "binary": "latin-1",  # lossless byte passthrough for BINARY/CHAR BYTE
 }
 

@@ -393,6 +393,19 @@ import pytest as _pytest
         ("latin2", "Příliš žluťoučký kůň"),        # Central European
         ("ascii", "plain ascii only"),
         ("utf8mb4", "emoji 🚀 + combining é"),
+        ("cp1250", "Zażółć gęślą jaźń"),           # Polish, Windows CE
+        ("cp1256", "مرحبا بالعالم"),                # Arabic
+        ("greek", "Γειά σου Κόσμε"),               # ISO 8859-7
+        ("hebrew", "שלום עולם"),                   # ISO 8859-8
+        ("latin5", "İstanbul'da ğüşıöç"),          # Turkish
+        ("koi8r", "Съешь же ещё этих булок"),      # Russian KOI8-R
+        ("koi8u", "Ґанок і ґудзик"),               # Ukrainian KOI8-U
+        ("gb18030", "你好𠀀扩展字符"),              # GB18030 4-byte ext
+        ("tis620", "สวัสดีชาวโลก"),                  # Thai
+        ("cp866", "Привет ДОС"),                   # DOS Cyrillic
+        ("utf16", "UTF-16 БЕ 测试 🚀"),            # MySQL utf16 = BE
+        ("ucs2", "UCS-2 БМП 测试"),                # BMP only
+        ("utf32", "UTF-32 БЕ 测试 🚀"),
     ],
 )
 def test_charset_roundtrip_breadth(charset, sample):
