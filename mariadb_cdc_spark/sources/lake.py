@@ -50,6 +50,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mariadb_cdc_spark.sources import stats as file_stats
+
 
 def _bucket_col(keys: list[str], n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
@@ -122,6 +124,12 @@ def _rebase(ours: dict, base: dict, latest: dict, affected: list[int]) -> dict:
                 out.setdefault(fld, {})[sb] = ours[fld][sb]
             else:
                 out.setdefault(fld, {}).pop(sb, None)
+    # file stats ride with their (uniquely-named) data relations: bring
+    # ours along, then drop entries for rels the merged snapshot no longer
+    # references (superseded by either side's pointer moves)
+    for rel, st in ours.get("stats", {}).items():
+        out.setdefault("stats", {}).setdefault(rel, st)
+    file_stats.gc_stats(out)
     for sid, bid in ours.get("committed", {}).items():
         out["committed"][sid] = max(out["committed"].get(sid, -1), bid)
     for sid, pos in ours.get("lineage", {}).items():
@@ -213,6 +221,7 @@ class LakeTable:
             "committed": {},
             "lineage": {},
             "metrics": {"n_rows": 0},
+            "stats": {},        # data_rel -> bucket -> file -> col bounds
             "ts": time.time(),
         }
         if initial is not None:
@@ -227,6 +236,9 @@ class LakeTable:
             meta["buckets"] = {
                 str(b): data_rel for b in t._present_buckets(data_rel)
             }
+            meta["stats"][data_rel] = file_stats.collect_rel_stats(
+                spark, t.path, data_rel
+            )
             meta["metrics"]["n_rows"] = initial.count()
         t._write_metadata(meta)
         return t
@@ -653,6 +665,118 @@ class LakeTable:
         return df.where(~F.coalesce(F.col(CDC_DELETED), F.lit(False))).select(
             *[n for n, _ in meta["schema"]]
         )
+
+    def _plan_where(self, filters: list[tuple], version: int | None):
+        meta = self.metadata(version)
+        filters = file_stats.validate_filters(filters)
+        schema_cols = {n for n, _ in meta["schema"]}
+        bad = sorted({c for c, _, _ in filters} - schema_cols)
+        if bad:
+            raise ValueError(f"unknown filter columns: {bad}")
+        live = sorted(
+            {int(b) for b in meta["buckets"]}
+            | {int(b) for b, r in meta.get("deltas", {}).items() if r}
+        )
+        return meta, filters, live, file_stats.prune(meta, live, filters)
+
+    def read_where(
+        self, filters: list[tuple], version: int | None = None
+    ) -> DataFrame:
+        """Stats-pruned predicate scan (the Iceberg planFiles path): skip
+        every bucket — and, inside clean buckets, every FILE — whose
+        recorded min/max bounds (stats.py; collected from parquet footers
+        at commit time) prove the AND-of-filters predicate cannot match.
+        The exact predicate is re-applied in Spark, so pruning only ever
+        saves IO. At 100 TB this is the difference between "scan the
+        table" and "open the handful of files whose [lo, hi] overlaps the
+        ask" for any selective non-key predicate — the complement of
+        read_keys' hash-bucket pruning, which only serves exact key
+        lookups.
+
+        `filters`: [(col, op, value), ...] ANDed; op in {=, <, <=, >, >=,
+        between, in, prefix}. Dirty (delta-carrying) buckets are scanned
+        whole and latest-per-key resolved BEFORE filtering — anchored
+        delta appends mean a stale matching row must lose to its newer
+        non-matching version, so per-file pruning inside such buckets
+        would be unsound (stats.py module docstring)."""
+        meta, filters, _, plan = self._plan_where(filters, version)
+        logical = list(meta["schema"]) + _INTERNAL
+        deltas = meta.get("deltas", {})
+        clean_paths: list[str] = []
+        dirty_buckets: list[int] = []
+        for b, entry in plan.items():
+            if deltas.get(str(b)):
+                dirty_buckets.append(b)
+                continue
+            for rel, names in entry["rel_files"].items():
+                d = os.path.join(self.path, rel, f"_bucket={b}")
+                if names is None:
+                    clean_paths.append(d)
+                else:
+                    clean_paths.extend(os.path.join(d, f) for f in names)
+        parts: list[DataFrame] = []
+        if clean_paths:
+            parts.append(
+                file_stats.residual_filter(
+                    self._aligned_scan(clean_paths, logical), filters
+                )
+            )
+        if dirty_buckets:
+            parts.append(
+                file_stats.residual_filter(
+                    self._read_state(meta, sorted(dirty_buckets)), filters
+                )
+            )
+        if not parts:
+            parts = [self._read_buckets(meta, [], internal=True)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.where(
+            ~F.coalesce(F.col(CDC_DELETED), F.lit(False))
+        ).select(*[n for n, _ in meta["schema"]])
+
+    def pruning_plan(
+        self, filters: list[tuple], version: int | None = None
+    ) -> dict:
+        """What read_where would scan vs what is live — the explain/probe
+        companion (files and bytes from the recorded stats; relations
+        without stats count as fully scanned)."""
+        meta, filters, live, plan = self._plan_where(filters, version)
+        deltas = meta.get("deltas", {})
+        stats = meta.get("stats", {})
+
+        def rel_files(rel: str, sb: str) -> dict:
+            return stats.get(rel, {}).get(sb, {})
+
+        tot_f = tot_b = scan_f = scan_b = 0
+        for b in live:
+            sb = str(b)
+            rels = ([meta["buckets"][sb]] if meta["buckets"].get(sb) else [])
+            rels += deltas.get(sb, [])
+            for rel in rels:
+                fmap = rel_files(rel, sb)
+                tot_f += len(fmap)
+                tot_b += sum(e["size"] for e in fmap.values())
+                entry = plan.get(b)
+                if entry is None:
+                    continue
+                names = entry["rel_files"].get(rel)
+                if names is None:
+                    if rel in entry["rel_files"]:
+                        scan_f += len(fmap)
+                        scan_b += sum(e["size"] for e in fmap.values())
+                else:
+                    scan_f += len(names)
+                    scan_b += sum(fmap[f]["size"] for f in names)
+        return {
+            "buckets_live": len(live),
+            "buckets_scanned": len(plan),
+            "files_live": tot_f,
+            "files_scanned": scan_f,
+            "bytes_live": tot_b,
+            "bytes_scanned": scan_b,
+        }
 
     def changes(
         self, from_version: int, to_version: int | None = None
@@ -1132,6 +1256,11 @@ class LakeTable:
             # COW rewrite folded any deltas of this bucket into the new base
             meta.setdefault("deltas", {}).pop(str(b), None)
             meta.setdefault("delta_bytes", {}).pop(str(b), None)
+        if written:
+            meta.setdefault("stats", {})[data_rel] = (
+                file_stats.collect_rel_stats(self.spark, self.path, data_rel)
+            )
+        file_stats.gc_stats(meta)
         if batch_id is not None:
             meta["committed"][stream_id] = batch_id
         if lineage:
@@ -1245,6 +1374,7 @@ class LakeTable:
             meta["buckets"] = {}
             meta["deltas"] = {}
             meta["delta_bytes"] = {}
+            meta["stats"] = {}
             meta["hot_keys"] = []
             meta["metrics"]["n_rows"] = 0
             meta["truncate_epoch"] = meta.get("truncate_epoch", 0) + 1
@@ -1258,7 +1388,10 @@ class LakeTable:
         return {"version": meta["version"]}
 
     def compact(
-        self, retire_tombstones_before: tuple[str, int] | None = None
+        self,
+        retire_tombstones_before: tuple[str, int] | None = None,
+        sort_by: list[str] | None = None,
+        files_per_bucket: int = 4,
     ) -> dict:
         """Full compaction (Iceberg rewrite_data_files equivalent): one COW
         rewrite folding every bucket's delta files into a fresh base —
@@ -1293,7 +1426,7 @@ class LakeTable:
             )
             return df.where(~stale_tomb)
 
-        self._rewrite(fn)
+        self._rewrite(fn, sort_by=sort_by, files_per_bucket=files_per_bucket)
         return {
             "version": self.metadata()["version"],
             "deltas_folded": n_deltas,
@@ -1359,9 +1492,18 @@ class LakeTable:
         }
 
     def _rewrite(self, fn, new_n_buckets: int | None = None,
-                 mutate_meta=None) -> None:
+                 mutate_meta=None, sort_by: list[str] | None = None,
+                 files_per_bucket: int = 4) -> None:
         """Physical rewrite preserving internal CDC gate columns. Folds any
         delta files into the new base (full compaction).
+
+        `sort_by` clusters rows WITHIN each bucket before writing (Iceberg
+        rewrite_data_files with a sort strategy / z-order-lite): a
+        sortWithinPartitions — no extra shuffle beyond the bucket
+        repartition — that makes each output file's min/max bounds on the
+        sort columns narrow and disjoint, which is what turns the
+        file-level stats pruning (stats.py / read_where) from "skips
+        nothing inside a bucket" into "reads 1/files_per_bucket of it".
 
         CAS commit against the snapshot the rewrite read: racing a
         concurrent merge, exactly one wins — the loser here cleans up its
@@ -1380,18 +1522,44 @@ class LakeTable:
         if new_n_buckets is not None:
             meta["n_buckets"] = int(new_n_buckets)
         keys, n_buckets = meta["keys"], meta["n_buckets"]
-        (
-            df.withColumn("_bucket", _bucket_col(keys, n_buckets))
-            .repartition(n_buckets, "_bucket")
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(os.path.join(self.path, data_rel))
+        df = df.withColumn("_bucket", _bucket_col(keys, n_buckets))
+        if sort_by:
+            # maxRecordsPerFile splits each sorted bucket into several
+            # files so the sort actually yields DISJOINT per-file ranges
+            # (one giant file per bucket would leave nothing to prune —
+            # hash-bucketing spreads every value range across every
+            # bucket, so bucket-level bounds never exclude anything; ALL
+            # the skipping power is per-file, within the sorted bucket).
+            # Iceberg sizes by bytes (write.target-file-size-bytes); rows
+            # stand in for bytes here via the table's row estimate.
+            rows_est = max(meta["metrics"].get("n_rows", 0), 1)
+            per_file = max(
+                -(-rows_est // (n_buckets * max(files_per_bucket, 1))), 1
+            )
+            writer = (
+                df.repartition(n_buckets, "_bucket")
+                .sortWithinPartitions("_bucket", *sort_by)
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", per_file)
+            )
+        else:
+            writer = (
+                df.repartition(n_buckets, "_bucket")
+                .write.mode("overwrite")
+            )
+        writer.partitionBy("_bucket").parquet(
+            os.path.join(self.path, data_rel)
         )
         meta["buckets"] = {
             str(b): data_rel for b in self._present_buckets(data_rel)
         }
         meta["deltas"] = {}
         meta["delta_bytes"] = {}
+        meta["stats"] = {
+            data_rel: file_stats.collect_rel_stats(
+                self.spark, self.path, data_rel
+            )
+        }
         meta["version"] = version
         if mutate_meta is not None:
             mutate_meta(meta)
@@ -1548,7 +1716,8 @@ class LakeTable:
         )
         u.unpersist()
 
-        for b in self._present_buckets(data_rel):
+        written_deltas = self._present_buckets(data_rel)
+        for b in written_deltas:
             meta.setdefault("deltas", {}).setdefault(str(b), []).append(
                 data_rel
             )
@@ -1556,6 +1725,10 @@ class LakeTable:
                 "delta_bytes"
             ].get(str(b), 0) + _dir_bytes(
                 os.path.join(self.path, data_rel, f"_bucket={b}")
+            )
+        if written_deltas:
+            meta.setdefault("stats", {})[data_rel] = (
+                file_stats.collect_rel_stats(self.spark, self.path, data_rel)
             )
         if batch_id is not None:
             meta["committed"][stream_id] = batch_id
