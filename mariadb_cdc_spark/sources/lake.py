@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mariadb_cdc_spark.sources import stats as file_stats
+from mariadb_cdc_spark.sources import zorder
 
 
 def _bucket_col(keys: list[str], n_buckets: int) -> F.Column:
@@ -1391,6 +1392,7 @@ class LakeTable:
         self,
         retire_tombstones_before: tuple[str, int] | None = None,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
         files_per_bucket: int = 4,
     ) -> dict:
         """Full compaction (Iceberg rewrite_data_files equivalent): one COW
@@ -1426,7 +1428,8 @@ class LakeTable:
             )
             return df.where(~stale_tomb)
 
-        self._rewrite(fn, sort_by=sort_by, files_per_bucket=files_per_bucket)
+        self._rewrite(fn, sort_by=sort_by, zorder_by=zorder_by,
+                      files_per_bucket=files_per_bucket)
         return {
             "version": self.metadata()["version"],
             "deltas_folded": n_deltas,
@@ -1493,6 +1496,7 @@ class LakeTable:
 
     def _rewrite(self, fn, new_n_buckets: int | None = None,
                  mutate_meta=None, sort_by: list[str] | None = None,
+                 zorder_by: list[str] | None = None,
                  files_per_bucket: int = 4) -> None:
         """Physical rewrite preserving internal CDC gate columns. Folds any
         delta files into the new base (full compaction).
@@ -1523,7 +1527,22 @@ class LakeTable:
             meta["n_buckets"] = int(new_n_buckets)
         keys, n_buckets = meta["keys"], meta["n_buckets"]
         df = df.withColumn("_bucket", _bucket_col(keys, n_buckets))
-        if sort_by:
+        if sort_by and zorder_by:
+            raise ValueError("pass sort_by OR zorder_by, not both")
+        cluster: list = list(sort_by) if sort_by else []
+        if zorder_by:
+            # Morton-interleaved ranks (zorder.py): files cut from the
+            # sorted order stay range-compact in EVERY zorder_by column,
+            # so stats pruning works on each of them independently. One
+            # bounded sampling pass for the rank boundaries, then a plain
+            # sort EXPRESSION — the key is never written.
+            bounds = zorder.compute_boundaries(
+                df,
+                zorder_by,
+                row_estimate=max(meta["metrics"].get("n_rows", 0), 1),
+            )
+            cluster = [zorder.zorder_key(bounds)]
+        if cluster:
             # maxRecordsPerFile splits each sorted bucket into several
             # files so the sort actually yields DISJOINT per-file ranges
             # (one giant file per bucket would leave nothing to prune —
@@ -1538,7 +1557,7 @@ class LakeTable:
             )
             writer = (
                 df.repartition(n_buckets, "_bucket")
-                .sortWithinPartitions("_bucket", *sort_by)
+                .sortWithinPartitions("_bucket", *cluster)
                 .write.mode("overwrite")
                 .option("maxRecordsPerFile", per_file)
             )
