@@ -240,6 +240,10 @@ class LakeTable:
             meta["stats"][data_rel] = file_stats.collect_rel_stats(
                 spark, t.path, data_rel
             )
+            file_stats.attach_blooms(
+                spark, t.path, data_rel, keys, meta["stats"][data_rel],
+                level="base",
+            )
             meta["metrics"]["n_rows"] = initial.count()
         t._write_metadata(meta)
         return t
@@ -648,16 +652,50 @@ class LakeTable:
                 ),
             ).dropDuplicates(keys)
             broadcast_want = True
-        hit = {
-            int(r["b"])
-            for r in want.select(
-                _bucket_col(keys, n_buckets).alias("b")
-            ).distinct().collect()
-        }
+        pairs: list[tuple[int, int]] | None = None
+        key_filters: list[tuple] = []
+        if broadcast_want:
+            # Driver-provided want-list: the key values are already in
+            # driver memory, so FILE-granular pruning costs nothing extra.
+            # One tiny job resolves bucket ids AND the bloom hash pairs
+            # (JVM xxhash64 — the same expression attach_blooms hashed the
+            # files with, so writer and reader agree by construction).
+            sel = want.select(
+                _bucket_col(keys, n_buckets).alias("b"),
+                *file_stats._hash_cols(keys),
+            ).collect()
+            hit = {int(r["b"]) for r in sel}
+            u64 = (1 << 64) - 1
+            pairs = [(r["h1"] & u64, r["h2"] & u64) for r in sel]
+            vals = {
+                k: sorted({r[k] for r in rows}, key=repr) for k in keys
+            }
+            if all(None not in v for v in vals.values()):
+                key_filters = file_stats.validate_filters(
+                    [(k, "in", v) for k, v in vals.items() if v]
+                )
+        else:
+            # DataFrame want-list (the scale path): bucket granularity
+            # only — file pruning would need the key set on the driver,
+            # exactly the O(keys) materialization this path exists to
+            # avoid.
+            hit = {
+                int(r["b"])
+                for r in want.select(
+                    _bucket_col(keys, n_buckets).alias("b")
+                ).distinct().collect()
+            }
         present = {int(b) for b in meta["buckets"]} | {
             int(b) for b, rels in meta.get("deltas", {}).items() if rels
         }
-        df = self._read_state(meta, sorted(hit & present))
+        live = sorted(hit & present)
+        if pairs is not None:
+            # exact-key file skipping: recorded min/max bounds + per-file
+            # key blooms; sound in dirty buckets (stats.prune_point)
+            plan = file_stats.prune_point(meta, live, key_filters, pairs)
+            df = self._read_state_plan(meta, plan)
+        else:
+            df = self._read_state(meta, live)
         df = df.join(
             F.broadcast(want) if broadcast_want else want,
             on=keys,
@@ -906,6 +944,114 @@ class LakeTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _read_state_plan(self, meta: dict, plan: dict) -> DataFrame:
+        """_read_state over an explicit FILE-level scan plan
+        ({bucket: {"rel_files": {rel: [filename] | None}}}, the
+        stats.prune_point shape). Only valid for exact-key reads: inside a
+        dirty bucket the plan may legitimately drop files, which is sound
+        there only because the caller semi-joins to the wanted keys and
+        no file containing a wanted key is ever dropped (stats.py bloom
+        soundness note). Per-rel aligned scans (schema may differ across
+        relations), one latest-per-key resolution over all dirty rows."""
+        deltas = meta.get("deltas", {})
+        logical = list(meta["schema"]) + _INTERNAL
+        plain_by_rel: dict[str, list[str]] = {}
+        dirty_by_rel: dict[str, list[str]] = {}
+        for b, entry in plan.items():
+            tgt = dirty_by_rel if deltas.get(str(b)) else plain_by_rel
+            for rel, names in entry["rel_files"].items():
+                d = os.path.join(self.path, rel, f"_bucket={b}")
+                tgt.setdefault(rel, []).extend(
+                    [d]
+                    if names is None
+                    else [os.path.join(d, f) for f in names]
+                )
+        parts: list[DataFrame] = []
+        for paths in plain_by_rel.values():
+            parts.append(self._aligned_scan(paths, logical))
+        dirty_parts = [
+            self._aligned_scan(paths, logical)
+            for paths in dirty_by_rel.values()
+        ]
+        if dirty_parts:
+            stack = dirty_parts[0]
+            for p in dirty_parts[1:]:
+                stack = stack.unionByName(p)
+            parts.append(_latest_per_key(stack, meta["keys"]))
+        if not parts:
+            return self._read_buckets(meta, [], internal=True)  # typed empty
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def point_plan(
+        self, key_rows: dict | list[dict], version: int | None = None
+    ) -> dict:
+        """What read_keys would scan for this want-list vs what is live —
+        the explain/probe companion of pruning_plan for exact-key reads
+        (bucket hash pruning + min/max bounds + per-file key blooms)."""
+        meta = self.metadata(version)
+        keys, n_buckets = meta["keys"], meta["n_buckets"]
+        types = dict(meta["schema"])
+        rows = [key_rows] if isinstance(key_rows, dict) else list(key_rows)
+        want = self.spark.createDataFrame(
+            [tuple(r[k] for k in keys) for r in rows],
+            T.StructType(
+                [T.StructField(k, _parse_type(types[k])) for k in keys]
+            ),
+        ).dropDuplicates(keys)
+        sel = want.select(
+            _bucket_col(keys, n_buckets).alias("b"),
+            *file_stats._hash_cols(keys),
+        ).collect()
+        u64 = (1 << 64) - 1
+        pairs = [(r["h1"] & u64, r["h2"] & u64) for r in sel]
+        vals = {k: sorted({r[k] for r in rows}, key=repr) for k in keys}
+        key_filters = (
+            file_stats.validate_filters(
+                [(k, "in", v) for k, v in vals.items() if v]
+            )
+            if all(None not in v for v in vals.values())
+            else []
+        )
+        present = {int(b) for b in meta["buckets"]} | {
+            int(b) for b, rels in meta.get("deltas", {}).items() if rels
+        }
+        hit = sorted({int(r["b"]) for r in sel} & present)
+        plan = file_stats.prune_point(meta, hit, key_filters, pairs)
+        stats = meta.get("stats", {})
+        deltas = meta.get("deltas", {})
+        tot_f = tot_b = scan_f = scan_b = 0
+        for b in sorted(present):
+            sb = str(b)
+            rels = ([meta["buckets"][sb]] if meta["buckets"].get(sb) else [])
+            rels += deltas.get(sb, [])
+            entry = plan.get(b)
+            for rel in rels:
+                fmap = stats.get(rel, {}).get(sb, {})
+                tot_f += len(fmap)
+                tot_b += sum(e["size"] for e in fmap.values())
+                if entry is None:
+                    continue
+                names = entry["rel_files"].get(rel)
+                if names is None:
+                    if rel in entry["rel_files"]:
+                        scan_f += len(fmap)
+                        scan_b += sum(e["size"] for e in fmap.values())
+                elif names:
+                    scan_f += len(names)
+                    scan_b += sum(fmap[f]["size"] for f in names)
+        return {
+            "buckets_live": len(present),
+            "buckets_hit": len(hit),
+            "buckets_scanned": len(plan),
+            "files_live": tot_f,
+            "files_scanned": scan_f,
+            "bytes_live": tot_b,
+            "bytes_scanned": scan_b,
+        }
 
     # ----------------------------------------------------------------- merge
     def merge(
@@ -1261,6 +1407,10 @@ class LakeTable:
             meta.setdefault("stats", {})[data_rel] = (
                 file_stats.collect_rel_stats(self.spark, self.path, data_rel)
             )
+            file_stats.attach_blooms(
+                self.spark, self.path, data_rel, keys,
+                meta["stats"][data_rel], level="base",
+            )
         file_stats.gc_stats(meta)
         if batch_id is not None:
             meta["committed"][stream_id] = batch_id
@@ -1579,6 +1729,10 @@ class LakeTable:
                 self.spark, self.path, data_rel
             )
         }
+        file_stats.attach_blooms(
+            self.spark, self.path, data_rel, keys, meta["stats"][data_rel],
+            level="base",
+        )
         meta["version"] = version
         if mutate_meta is not None:
             mutate_meta(meta)
@@ -1748,6 +1902,10 @@ class LakeTable:
         if written_deltas:
             meta.setdefault("stats", {})[data_rel] = (
                 file_stats.collect_rel_stats(self.spark, self.path, data_rel)
+            )
+            file_stats.attach_blooms(
+                self.spark, self.path, data_rel, keys,
+                meta["stats"][data_rel],
             )
         if batch_id is not None:
             meta["committed"][stream_id] = batch_id

@@ -44,6 +44,7 @@ codepoint the upper bound degrades to "unbounded" rather than lying.
 
 from __future__ import annotations
 
+import base64
 import datetime
 import os
 from typing import Any
@@ -427,6 +428,197 @@ def residual_filter(df: DataFrame, filters: list[tuple]) -> DataFrame:
         elif op == "prefix":
             df = df.where(c.startswith(v))
     return df
+
+
+# ------------------------------------------------------- key bloom filters
+
+# Iceberg records per-data-file bloom filters (puffin blobs / parquet
+# bloom headers) so point lookups skip files inside a partition. This is
+# that plane: at commit time ONE distributed job hashes the merge keys of
+# every just-written file (JVM xxhash64 — the very expression read_keys
+# evaluates over its want-list at lookup time, so writer and reader agree
+# by construction, no Python re-implementation of the hash) and records a
+# ~10-bits/key blocked bitset per file in the same stats entry the min/max
+# bounds live in.
+#
+# Soundness is STRONGER than min/max pruning's (stats.py header): a bloom
+# can only produce false POSITIVES (keep a file the key isn't in), never
+# false negatives, so dropping a no-hit file provably removes zero rows of
+# any wanted key — which means file-granular skipping is sound even inside
+# DIRTY (delta-carrying) buckets: a wanted key's latest-position resolution
+# sees every row of that key regardless, and non-wanted keys are dropped by
+# read_keys' semi-join whatever their (now possibly partial) resolution
+# produced.
+BLOOM_SEED2 = "cdc-bloom-h2"
+BLOOM_BITS_PER_KEY = 10
+BLOOM_K = 7  # ~0.8% FPR at 10 bits/key
+BLOOM_MAX_FILE_ROWS = 2_000_000  # bigger files skip blooms (metadata size)
+_U64 = (1 << 64) - 1
+
+
+def _hash_cols(keys: list[str]) -> list[F.Column]:
+    return [
+        F.xxhash64(*[F.col(k) for k in keys]).alias("h1"),
+        F.xxhash64(F.lit(BLOOM_SEED2), *[F.col(k) for k in keys]).alias(
+            "h2"
+        ),
+    ]
+
+
+def attach_blooms(
+    spark,
+    table_path: str,
+    data_rel: str,
+    keys: list[str],
+    rel_stats: dict,
+    level: str = "delta",
+) -> None:
+    """Attach per-file merge-key blooms to a freshly collected stats dict
+    (mutates `rel_stats[bucket][file]["bloom"]`). One short column-pruned
+    executor job over the commit's own files — O(written keys), same
+    asymptote as writing them.
+
+    Default policy (CDC_LAKE_BLOOMS=delta): only DELTA commits build
+    blooms — they are small (the job is noise next to the merge) and they
+    are where point reads need membership info, because a dirty bucket
+    accumulates many small files an exact key is in at most one of. BASE
+    relations skip the bloom (measured ~13% on the single-big-COW bench
+    apply) and are served by the free key min/max bounds instead, which
+    compaction's sort_by=keys makes tight — the same split Iceberg
+    reaches via write.parquet.bloom-filter-enabled on specific columns +
+    sorted data files. CDC_LAKE_BLOOMS=all blooms every commit;
+    CDC_LAKE_BLOOMS=0 disables."""
+    mode = os.environ.get("CDC_LAKE_BLOOMS", "delta")
+    if not rel_stats or mode == "0":
+        return
+    if level == "base" and mode != "all":
+        return
+    base = os.path.join(table_path, data_rel)
+    if not os.path.isdir(base):
+        return
+    df = spark.read.parquet(base).select(
+        F.input_file_name().alias("_f"), *_hash_cols(keys)
+    )
+
+    def build(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n == 0 or n > BLOOM_MAX_FILE_ROWS:
+            return pd.DataFrame({"f": [], "m": [], "b64": []})
+        m = max(64, ((BLOOM_BITS_PER_KEY * n + 7) // 8) * 8)
+        h1 = pdf["h1"].to_numpy().astype(np.uint64)
+        h2 = pdf["h2"].to_numpy().astype(np.uint64)
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        for i in range(BLOOM_K):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            np.bitwise_or.at(
+                bits,
+                (pos >> np.uint64(3)).astype(np.int64),
+                np.left_shift(
+                    np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+                ),
+            )
+        return pd.DataFrame(
+            {
+                "f": [str(pdf["_f"].iloc[0])],
+                "m": [m],
+                "b64": [base64.b64encode(bits.tobytes()).decode("ascii")],
+            }
+        )
+
+    rows = (
+        df.groupBy("_f")
+        .applyInPandas(build, "f string, m long, b64 string")
+        .collect()
+    )
+    for r in rows:
+        parts = r["f"].split("/")
+        fname = parts[-1]
+        bparts = [p for p in parts if p.startswith("_bucket=")]
+        if not bparts:
+            continue
+        sb = bparts[-1].split("=", 1)[1]
+        entry = rel_stats.get(sb, {}).get(fname)
+        if entry is not None:
+            entry["bloom"] = {
+                "m": int(r["m"]),
+                "k": BLOOM_K,
+                "b64": r["b64"],
+            }
+
+
+def bloom_may_contain(bloom: dict, pairs: list[tuple[int, int]]) -> bool:
+    """True iff ANY wanted (h1, h2) pair may be in the file. Arithmetic
+    mirrors the numpy writer exactly: uint64 wraparound, k probes at
+    (h1 + i*h2) mod m."""
+    m, k = bloom["m"], bloom.get("k", BLOOM_K)
+    bits = base64.b64decode(bloom["b64"])
+    for h1, h2 in pairs:
+        for i in range(k):
+            p = ((h1 + i * h2) & _U64) % m
+            if not (bits[p >> 3] >> (p & 7)) & 1:
+                break
+        else:
+            return True
+    return False
+
+
+def prune_point(
+    meta: dict,
+    buckets: list[int],
+    key_filters: list[tuple],
+    hash_pairs: list[tuple[int, int]] | None,
+) -> dict:
+    """Scan plan for an exact-key want-list, same shape as prune()'s
+    rel_files maps: {bucket: {rel: [filename,...] | None}}; skipped
+    buckets absent. Unlike prune(), files drop INSIDE dirty buckets too
+    (see the bloom soundness note above — exact-key pruning can never
+    change a wanted key's resolution). Two independent gates per file,
+    both conservative: recorded min/max bounds vs per-key-column IN-lists,
+    then the key bloom vs the want-list's hash pairs."""
+    stats = meta.get("stats", {})
+    deltas = meta.get("deltas", {})
+    plan: dict[int, dict] = {}
+    for b in buckets:
+        sb = str(b)
+        rels = []
+        if meta["buckets"].get(sb):
+            rels.append(meta["buckets"][sb])
+        rels.extend(deltas.get(sb, []))
+        keep: dict[str, list | None] = {}
+        any_survivor = False
+        for rel in rels:
+            fmap = stats.get(rel, {}).get(sb)
+            if fmap is None:
+                keep[rel] = None  # no stats recorded: keep whole dir
+                any_survivor = True
+                continue
+            names = []
+            for f, entry in sorted(fmap.items()):
+                if key_filters and not file_might_match(
+                    entry["cols"], key_filters
+                ):
+                    continue
+                bl = entry.get("bloom")
+                if (
+                    bl is not None
+                    and hash_pairs is not None
+                    and not bloom_may_contain(bl, hash_pairs)
+                ):
+                    continue
+                names.append(f)
+            if names:
+                keep[rel] = names
+                any_survivor = True
+        if any_survivor:
+            plan[b] = {
+                "rel_files": {
+                    rel: n for rel, n in keep.items() if n is None or n
+                }
+            }
+    return plan
 
 
 def gc_stats(meta: dict) -> None:
