@@ -194,6 +194,11 @@ def main():
     # driver's own jobs; min wall time = least interference (scaling()
     # applies the same protocol with 3 legs)
     ev_path, _ = materialize_events(spark, SF_DIR)
+    # One untimed warm run at FULL scale first: the sf0.01 warm-up alone
+    # leaves the 32-partition code paths half-compiled (measured: first
+    # full-scale rep 20-33 s vs 10 s steady state on identical input), and
+    # the metric is sustained throughput, not first-invocation JIT.
+    run_cdc_apply(spark, SF_DIR, events_path=ev_path)
     cdc = min(
         (run_cdc_apply(spark, SF_DIR, events_path=ev_path) for _ in range(2)),
         key=lambda r: r["sec"],
