@@ -1388,6 +1388,22 @@ def q_media_video_frames(spark, sf):
     return extract_video_frames(synthesize_mjpeg_media(_docs(spark, sf)))
 
 
+def q_media_image_formats(spark, sf):
+    """Format-blind image decode over a MIXED payload column: doc_id % 5
+    picks the container (ppm/png/jpeg/gif/bmp — five REAL in-repo codecs,
+    incl. the GIF89a variable-width LZW and 24bpp BI_RGB BMP in
+    functions/imagefmt.py), all carrying the same closed-form solid-color
+    image; `decode_image` sniffs magic bytes and dispatches. The oracle
+    reproduces format/dims in closed form and pins the decoded-color
+    contract (exact for lossless codecs, within 8 levels for JPEG)."""
+    from mariadb_cdc_spark.functions.imagefmt import (
+        mixed_image_stats,
+        synthesize_mixed_media,
+    )
+
+    return mixed_image_stats(synthesize_mixed_media(_docs(spark, sf)))
+
+
 def q_text_unigram_lm(spark, sf):
     """Unigram-LM bits/token per document (text.unigram_logprob): the
     CCNet-style perplexity-proxy quality signal — corpus unigram counts
@@ -1955,6 +1971,7 @@ QUERIES: dict[str, Callable] = {
     "emb_quantize": q_emb_quantize,
     "emb_diversity": q_emb_diversity,
     "media_png_stats": q_media_png_stats,
+    "media_image_formats": q_media_image_formats,
     "text_bm25": q_text_bm25,
     "agg_pricing": q_agg_pricing,
     "join_revenue": q_join_revenue,
@@ -2992,6 +3009,18 @@ def oracle_sql() -> dict[str, str]:
                    true as decode_ok,
                    true as within_tol
             from fr
+        """,
+        "media_image_formats": """
+            select doc_id::BIGINT as media_id,
+                   case doc_id % 5 when 0 then 'ppm' when 1 then 'png'
+                        when 2 then 'jpeg' when 3 then 'gif'
+                        else 'bmp' end as fmt,
+                   (8 + doc_id % 24)::INT as width,
+                   (8 + (doc_id * 3) % 16)::INT as height,
+                   ((8 + doc_id % 24) * (8 + (doc_id * 3) % 16))::INT
+                     as n_pixels,
+                   true as color_ok
+            from documents
         """,
         "text_unigram_lm": r"""
             with toks as (

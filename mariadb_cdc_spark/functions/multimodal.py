@@ -78,11 +78,15 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
 
 
 def _decode_image_stub(payload: bytes) -> "object":
-    """STUB: real impl would be PIL.Image.open(io.BytesIO(payload)).
-    Raises to make accidental use in this container explicit."""
+    """STUB for INTER-CODED VIDEO SAMPLES only (avc1/hev1 inside mdat —
+    real impl would be pyav on a real cluster). Still-image decode is NOT
+    stubbed anywhere: functions.imagefmt.decode_image dispatches on magic
+    bytes to five real in-repo codecs (PPM, PNG, baseline+progressive
+    JPEG, GIF89a LZW, 24bpp BMP)."""
     raise NotImplementedError(
-        "image codec not available in this container; "
-        "replace with PIL/torchvision decode on a real cluster"
+        "inter-frame video codec not available in this container; "
+        "replace with pyav decode on a real cluster "
+        "(still images: use functions.imagefmt.decode_image)"
     )
 
 

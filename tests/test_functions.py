@@ -1,6 +1,8 @@
 """Training-data operators: local sanity tests (the value-exact gate vs
 DuckDB runs via tools/parity.py and the driver's CORRECTNESS check)."""
 
+import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from mariadb_cdc_spark.functions.dedup import (
@@ -815,3 +817,134 @@ def test_wav_all_depths_and_stereo():
     flt[20] = 3
     with pytest.raises(NotImplementedError):
         mm.decode_wav(bytes(flt))
+
+
+# ------------------------------------------- generic image decode (r4)
+
+
+def test_bmp_roundtrip_and_variants():
+    """24bpp BI_RGB round-trip incl. row padding (odd widths), top-down
+    row order, and contained rejection of unsupported depths."""
+    import struct as _struct
+
+    from mariadb_cdc_spark.functions import imagefmt as im
+
+    rng = np.random.RandomState(3)
+    for h, w in [(1, 1), (3, 5), (17, 31), (2, 3)]:
+        px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (im.decode_bmp(im.encode_bmp(px)) == px).all()
+
+    # top-down variant (negative height) decodes to the same pixels
+    px = rng.randint(0, 256, (4, 6, 3), dtype=np.uint8)
+    b = bytearray(im.encode_bmp(px))
+    flipped = im.encode_bmp(px[::-1])
+    b = bytearray(flipped)
+    b[22:26] = _struct.pack("<i", -4)
+    assert (im.decode_bmp(bytes(b)) == px).all()
+
+    # 8bpp is a declared boundary, not a crash
+    b = bytearray(im.encode_bmp(px))
+    b[28:30] = _struct.pack("<H", 8)
+    with pytest.raises(NotImplementedError):
+        im.decode_bmp(bytes(b))
+    with pytest.raises(ValueError):
+        im.decode_bmp(b"XXnot a bmp")
+
+
+def test_gif_roundtrip_including_lzw_table_reset():
+    """GIF89a LZW round-trip: solid, binary, 200-color gradient big
+    enough to overflow the 4096-entry LZW table (clear/reset path), and
+    the <=256-color encode contract."""
+    from mariadb_cdc_spark.functions import imagefmt as im
+
+    cases = [
+        np.full((5, 7, 3), 200, np.uint8),
+        np.tile(
+            np.array([[0, 0, 0], [255, 255, 255]], np.uint8), (20, 5, 1)
+        ).reshape(40, 5, 3),
+        (np.indices((200, 300)).sum(0) % 200).astype(np.uint8)[
+            ..., None
+        ].repeat(3, 2),
+    ]
+    for px in cases:
+        assert (im.decode_gif(im.encode_gif(px)) == px).all()
+
+    with pytest.raises(ValueError):
+        im.encode_gif(
+            np.random.RandomState(0).randint(0, 256, (32, 32, 3), np.uint8)
+        )
+    # extension blocks are skipped; interlace is a declared boundary
+    g = bytearray(im.encode_gif(cases[0]))
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE before image block
+    gct_end = 13 + (1 << ((g[10] & 7) + 1)) * 3
+    spliced = bytes(g[:gct_end]) + ext + bytes(g[gct_end:])
+    assert (im.decode_gif(spliced) == cases[0]).all()
+    h = bytearray(spliced)
+    h[gct_end + len(ext) + 9] |= 0x40  # set interlace flag
+    with pytest.raises(NotImplementedError):
+        im.decode_gif(bytes(h))
+
+
+def test_decode_image_dispatch_all_formats():
+    """decode_image sniffs magic bytes and routes to all five in-repo
+    codecs, returning the same (h, w, 3) contract; unknown payloads
+    raise ValueError (contained by the media flow)."""
+    from mariadb_cdc_spark.functions import imagefmt as im
+    from mariadb_cdc_spark.functions import multimodal as mm
+    from mariadb_cdc_spark.functions.jpeg import encode_jpeg
+
+    px = np.full((16, 24, 3), 99, np.uint8)
+    payloads = {
+        "ppm": mm.encode_ppm(px),
+        "png": mm.encode_png(px),
+        "jpeg": encode_jpeg(px),
+        "gif": im.encode_gif(px),
+        "bmp": im.encode_bmp(px),
+    }
+    for fmt, payload in payloads.items():
+        assert im.sniff_image_format(payload) == fmt
+        out = im.decode_image(payload)
+        assert out.shape == (16, 24, 3)
+        err = np.abs(out.astype(int) - 99).max()
+        assert err <= (6 if fmt == "jpeg" else 0), fmt
+    with pytest.raises(ValueError):
+        im.decode_image(b"\x00\x01nonsense")
+    with pytest.raises(ValueError):
+        im.sniff_image_format(None)
+
+
+def test_mixed_image_stats_distributed(spark):
+    """The format-blind media query end to end: 5 formats in one binary
+    column, decoded per-partition via mapInPandas; closed-form dims and
+    exact/tolerance color contract hold; a corrupt payload yields a
+    null-feature row, not a task failure."""
+    from pyspark.sql import functions as F
+
+    from mariadb_cdc_spark.functions.imagefmt import (
+        mixed_image_stats,
+        synthesize_mixed_media,
+    )
+
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    media = synthesize_mixed_media(docs)
+    stats = mixed_image_stats(media).collect()
+    assert len(stats) == 40
+    fmts = {"ppm", "png", "jpeg", "gif", "bmp"}
+    for r in stats:
+        d = r["media_id"]
+        assert r["fmt"] == ["ppm", "png", "jpeg", "gif", "bmp"][d % 5]
+        assert r["width"] == 8 + d % 24
+        assert r["height"] == 8 + (d * 3) % 16
+        assert r["n_pixels"] == r["width"] * r["height"]
+        assert r["color_ok"] is True
+    assert {r["fmt"] for r in stats} == fmts
+
+    corrupt = media.withColumn(
+        "payload",
+        F.when(F.col("media_id") == 7, F.lit(b"\xff\xd8garbage")).otherwise(
+            F.col("payload")
+        ),
+    )
+    rows = {r["media_id"]: r for r in mixed_image_stats(corrupt).collect()}
+    assert rows[7]["fmt"] is None and rows[7]["color_ok"] is None
+    assert rows[8]["color_ok"] is True
