@@ -898,6 +898,84 @@ def q_cdc_bootstrap(spark, sf):
     return table.read().select("repo", "path", "commit", "lang", "content")
 
 
+def q_cdc_incremental_snapshot(spark, sf):
+    """DBLog-style incremental chunked snapshot under BOUNDED BINLOG
+    RETENTION (operators.bootstrap.incremental_bootstrap): the binlog only
+    reaches back to the wave-2 boundary — every key's INSERT and the 60%
+    full-UPDATE wave are GONE, so plain stream replay cannot reconstruct
+    state (40% of keys have no retained events at all). The operator
+    interleaves watermark-windowed chunk reads of the live source (simulated
+    here by folding the full history to a per-key read instant inside each
+    [lo, hi] window) with the retained change stream: anchored in-window
+    keys are dropped from their chunk (the stream is authoritative),
+    patch-only in-window keys keep their chunk row (the position-gated
+    merge re-applies their patches idempotently — the refinement literal
+    DBLog can't do). Final state must equal the full-replay closed-form
+    oracle. No global lock, no full-table scan, O(n_chunks) driver state."""
+    from mariadb_cdc_spark.gen import MERGE_KEYS, generate_events, repo_table
+    from mariadb_cdc_spark.operators.bootstrap import (
+        chunk_of,
+        incremental_bootstrap,
+    )
+    from mariadb_cdc_spark.operators.fold import extract_keys, fold_changes
+    from mariadb_cdc_spark.pipeline import (
+        CdcConfig,
+        _pos_lit,
+        decoded_changes,
+    )
+    from mariadb_cdc_spark.sources.lake import LakeTable
+    from pyspark.sql import types as T
+
+    repo = repo_table(spark, sf)
+    events = generate_events(repo, include_audit=False)
+    # bounded retention: waves 0-1 fell off the binlog; control events
+    # (TABLE_MAPs) replicate into the retained stream as a server would
+    # re-emit them
+    _lost, retained = _split_events_by_wave(
+        events, repo.count(), max_wave_b0=1
+    )
+    cfg = CdcConfig()
+    value_cols = ["commit", "lang", "content"]
+    full_changes = extract_keys(decoded_changes(events, cfg), MERGE_KEYS)
+
+    def read_chunk(i, n, lo, hi):
+        # simulated chunked SELECT from the live source: each key is read
+        # at a per-key instant inside [lo, hi] (parity-chosen endpoint, so
+        # both "read before the in-window change" and "read after it"
+        # happen), its state = the fold of the FULL history to that instant
+        parity = F.pmod(
+            F.xxhash64(
+                F.lit("readpos"), *[F.col(k) for k in MERGE_KEYS]
+            ),
+            F.lit(2),
+        )
+        rpos = F.when(parity == 0, _pos_lit(lo)).otherwise(_pos_lit(hi))
+        sub = full_changes.where(
+            (chunk_of(MERGE_KEYS, n) == i)
+            & (F.struct("binlog_file", "binlog_pos") <= rpos)
+        )
+        st = fold_changes(sub, MERGE_KEYS).where(
+            F.col("final_op") == "UPSERT"
+        )
+        return st.select(
+            *MERGE_KEYS,
+            *[F.col("image")[c].alias(c) for c in value_cols],
+        )
+
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_q_inc_")
+    table = LakeTable.create(
+        spark, f"{tmp}/repo_files", schema, MERGE_KEYS, n_buckets=8
+    )
+    incremental_bootstrap(
+        retained, read_chunk, table, cfg, n_chunks=3, stream_id="inc"
+    )
+    return table.read().select("repo", "path", "commit", "lang", "content")
+
+
 def q_cdc_point_lookup(spark, sf):
     """Bucket-pruned point reads (LakeTable.read_keys): build the e2e final
     state, then look up a deterministic key set (doc_id % 97 == 0 — some of
@@ -1929,6 +2007,7 @@ QUERIES: dict[str, Callable] = {
     "cdc_changelog": q_cdc_changelog,
     "cdc_multi_server": q_cdc_multi_server,
     "cdc_bootstrap": q_cdc_bootstrap,
+    "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
     "cdc_type_overlap": q_cdc_type_overlap,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,
@@ -3404,6 +3483,9 @@ def oracle_sql() -> dict[str, str]:
     # Bootstrap converges to the same final state as the full replay: the
     # snapshot is exactly the wave-0 state and the tail applies waves 1+.
     oracles["cdc_bootstrap"] = oracles["cdc_pipeline_e2e"]
+    # incremental snapshot rebuilds the SAME final state from bounded
+    # retention + chunk reads — the closed form is identical
+    oracles["cdc_incremental_snapshot"] = oracles["cdc_pipeline_e2e"]
     # Two sharded servers partition the key space, so their union's final
     # state is exactly the single-server closed form.
     oracles["cdc_multi_server"] = oracles["cdc_pipeline_e2e"]
