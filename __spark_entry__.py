@@ -510,6 +510,68 @@ def q_cdc_typed_agg(spark, sf):
     )
 
 
+def q_cdc_quarantine(spark, sf):
+    """Dead-letter observability end-to-end (operators.decode
+    quarantine_stats over decode_wire_images(with_errors=True)): the typed
+    wire stream gets DETERMINISTIC corruption injected — doc_id%13==0
+    insert images carry an odd-length-hex NEWDECIMAL (`price` -> 'f'),
+    doc_id%17==0 a non-hex DATETIME2 (`updated_at` -> 'zz') — both trip
+    the fromhex ValueError containment. Containment keeps every row alive (raw hex
+    lands inspectable, the batch never dies — the poison-pill contract);
+    this query proves the failures are also COUNTABLE: per
+    (database, table, image, column) failure counts with the first
+    affected position for triage. Oracle reproduces the counts and first
+    positions in closed form from doc_id. One map-side-combinable agg
+    over the (rare) error rows — O(errors), not O(stream), at any scale."""
+    from mariadb_cdc_spark.gen import generate_typed_events
+    from mariadb_cdc_spark.operators.decode import (
+        apply_column_bitmaps,
+        decode_rows_events,
+        decode_wire_images,
+        quarantine_stats,
+    )
+    from mariadb_cdc_spark.operators.registry import (
+        resolve_table_metadata,
+        table_map_registry,
+    )
+
+    events = generate_typed_events(spark, sf)
+    doc_id = ((F.col("binlog_pos") - 64) / F.lit(256)).cast("long")
+    is_ins = (F.col("event_type") == "WRITE_ROWS") & (
+        F.col("binlog_file") == "typ.000001"
+    )
+    bad_price = is_ins & (doc_id % 13 == 0)
+    bad_ts = is_ins & (doc_id % 17 == 0)
+
+    def garble(m):
+        return F.map_from_entries(
+            F.transform(
+                F.map_entries(m),
+                lambda e: F.struct(
+                    e["key"].alias("key"),
+                    F.when(bad_price & (e["key"] == "price"), F.lit("f"))
+                    .when(bad_ts & (e["key"] == "updated_at"), F.lit("zz"))
+                    .otherwise(e["value"])
+                    .alias("value"),
+                ),
+            )
+        )
+
+    events = events.withColumn(
+        "rows_after",
+        F.when(
+            bad_price | bad_ts,
+            F.transform("rows_after", garble),
+        ).otherwise(F.col("rows_after")),
+    )
+    changes = resolve_table_metadata(
+        decode_rows_events(events), table_map_registry(events)
+    )
+    changes = apply_column_bitmaps(changes).drop("before_used", "after_used")
+    decoded = decode_wire_images(changes, with_errors=True)
+    return quarantine_stats(decoded)
+
+
 def q_cdc_names_channel(spark, sf):
     """J2 end-to-end over the ENGINE: a pre-10.5 stream (TABLE_MAP without
     column names) flows nameless images through positional col<i> fallback
@@ -1999,6 +2061,7 @@ QUERIES: dict[str, Callable] = {
     "cdc_change_rates": q_cdc_change_rates,
     "cdc_typed_decode": q_cdc_typed_decode,
     "cdc_typed_agg": q_cdc_typed_agg,
+    "cdc_quarantine": q_cdc_quarantine,
     "cdc_names_channel": q_cdc_names_channel,
     "cdc_truncate": q_cdc_truncate,
     "cdc_scd2_history": q_cdc_scd2_history,
@@ -3418,6 +3481,23 @@ def oracle_sql() -> dict[str, str]:
                sum(case when regexp_matches(tags, '(^|,)write(,|$)')
                         then 1 else 0 end)::BIGINT as n_writable
         from typed group by status
+    """
+    # Quarantine counts are pure doc_id arithmetic: the query corrupts
+    # exactly the doc_id%13==0 insert prices and doc_id%17==0 insert
+    # updated_at values (positions doc_id*256+64 in typ.000001).
+    oracles["cdc_quarantine"] = """
+        select 'codehub' as "database", 'metrics' as "table",
+               'after' as image, col as "column",
+               count(*)::BIGINT as n_failures,
+               'typ.000001' as first_file,
+               (min(doc_id) * 256 + 64)::BIGINT as first_pos
+        from (
+            select doc_id, 'price' as col from documents
+            where doc_id % 13 = 0
+            union all
+            select doc_id, 'updated_at' as col from documents
+            where doc_id % 17 = 0
+        ) group by col
     """
     # The registered decode query string-renders its decimal price column
     # (fixed scale 4) so the driver hasher compares identical serializations;

@@ -432,3 +432,37 @@ def test_binary_charset_is_lossless_byte_passthrough():
     s = td.decode_varchar(wire, 400, "binary")
     assert s.encode("latin-1") == raw
     assert td.encode_varchar(s, 400, "binary") == wire
+
+
+def test_quarantine_stats_counts_contained_failures(spark):
+    """Dead-letter aggregation: decode_wire_images(with_errors=True) keeps
+    corrupt values as raw hex (containment) AND surfaces them countable;
+    quarantine_stats groups per (database, table, image, column) with the
+    first affected position."""
+    from mariadb_cdc_spark.operators.decode import quarantine_stats
+
+    rows = [
+        # two price failures in the after image, one before-image failure
+        ("db", "t", "bin.1", 10, ["after.price"]),
+        ("db", "t", "bin.1", 30, ["after.price", "before.ts"]),
+        ("db", "t", "bin.1", 20, []),
+        ("db", "u", "bin.2", 5, ["after.price"]),
+    ]
+    decoded = spark.createDataFrame(
+        rows,
+        "database string, table string, binlog_file string,"
+        " binlog_pos long, decode_errors array<string>",
+    )
+    got = {
+        (r["database"], r["table"], r["image"], r["column"]): (
+            r["n_failures"],
+            r["first_file"],
+            r["first_pos"],
+        )
+        for r in quarantine_stats(decoded).collect()
+    }
+    assert got == {
+        ("db", "t", "after", "price"): (2, "bin.1", 10),
+        ("db", "t", "before", "ts"): (1, "bin.1", 30),
+        ("db", "u", "after", "price"): (1, "bin.2", 5),
+    }
