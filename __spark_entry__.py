@@ -1038,6 +1038,62 @@ def q_cdc_incremental_snapshot(spark, sf):
     return table.read().select("repo", "path", "commit", "lang", "content")
 
 
+def q_cdc_drift_audit(spark, sf):
+    """Hierarchical source-vs-lake consistency audit (operators.audit —
+    the pt-table-checksum pattern, distributed): build the e2e lake state,
+    synthesize a live-source view with DETERMINISTIC drift (doc_id%41
+    content modified; doc_id%53 rows absent from source -> lake 'extra';
+    10 phantom source-only keys -> 'missing'), then audit: phase-1
+    order-independent per-slice XOR digests (two scans, O(n_slices) rows),
+    phase-2 key-level full outer join RESTRICTED to disagreeing slices.
+    Steady state costs no join at all; the oracle reproduces every drifted
+    key and class in closed form from the wave plan."""
+    from mariadb_cdc_spark.gen import MERGE_KEYS, generate_events, repo_table
+    from mariadb_cdc_spark.operators.audit import drift_report
+    from mariadb_cdc_spark.pipeline import CdcConfig, apply_batch
+    from mariadb_cdc_spark.sources.lake import LakeTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    repo = repo_table(spark, sf)
+    events = generate_events(repo, include_audit=False)
+    tmp = tempfile.mkdtemp(prefix="cdc_q_drift_")
+    table = LakeTable.create(
+        spark, f"{tmp}/repo_files", schema, MERGE_KEYS, n_buckets=8
+    )
+    apply_batch(events, table, CdcConfig(), stream_id="da", batch_id=0)
+    lake = table.read().select(*schema.fieldNames())
+
+    doc = F.regexp_extract("path", r"doc_(\d+)", 1).cast("long")
+    phantoms = (
+        _docs(spark, sf)
+        .where(F.col("doc_id") < 10)
+        .select(
+            F.lit("repo_phantom").alias("repo"),
+            F.concat(F.lit("phantom_"), F.col("doc_id")).alias("path"),
+            F.lit("x").alias("commit"),
+            F.lit("x").alias("lang"),
+            F.lit("x").alias("content"),
+        )
+    )
+    source = (
+        lake.where(doc % 53 != 0)
+        .withColumn(
+            "content",
+            F.when(
+                doc % 41 == 0, F.concat(F.col("content"), F.lit("!drift"))
+            ).otherwise(F.col("content")),
+        )
+        .unionByName(phantoms)
+    )
+    return drift_report(
+        source, lake, MERGE_KEYS, ["commit", "lang", "content"], n_slices=64
+    )
+
+
 def q_cdc_point_lookup(spark, sf):
     """Bucket-pruned point reads (LakeTable.read_keys): build the e2e final
     state, then look up a deterministic key set (doc_id % 97 == 0 — some of
@@ -2071,6 +2127,7 @@ QUERIES: dict[str, Callable] = {
     "cdc_multi_server": q_cdc_multi_server,
     "cdc_bootstrap": q_cdc_bootstrap,
     "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
+    "cdc_drift_audit": q_cdc_drift_audit,
     "cdc_type_overlap": q_cdc_type_overlap,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,
@@ -3566,6 +3623,25 @@ def oracle_sql() -> dict[str, str]:
     # incremental snapshot rebuilds the SAME final state from bounded
     # retention + chunk reads — the closed form is identical
     oracles["cdc_incremental_snapshot"] = oracles["cdc_pipeline_e2e"]
+    # Drift audit: the injected drift classes are doc_id arithmetic over
+    # the closed-form e2e state (plus 10 phantom source-only keys).
+    oracles["cdc_drift_audit"] = f"""
+        with state as ({oracles['cdc_pipeline_e2e']}),
+             keyed as (select repo, path,
+                              regexp_extract(path, 'doc_(\\d+)', 1)::BIGINT
+                                as doc
+                       from state)
+        select repo, path, 'extra' as drift_class
+        from keyed where doc % 53 = 0
+        union all
+        select repo, path, 'modified' as drift_class
+        from keyed where doc % 41 = 0 and doc % 53 <> 0
+        union all
+        select 'repo_phantom' as repo,
+               'phantom_' || doc_id::VARCHAR as path,
+               'missing' as drift_class
+        from documents where doc_id < 10
+    """
     # Two sharded servers partition the key space, so their union's final
     # state is exactly the single-server closed form.
     oracles["cdc_multi_server"] = oracles["cdc_pipeline_e2e"]
