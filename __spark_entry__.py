@@ -1067,6 +1067,16 @@ def q_cdc_drift_audit(spark, sf):
     apply_batch(events, table, CdcConfig(), stream_id="da", batch_id=0)
     lake = table.read().select(*schema.fieldNames())
 
+    source = _drifted_source(spark, sf, lake)
+    return drift_report(
+        source, lake, MERGE_KEYS, ["commit", "lang", "content"], n_slices=64
+    )
+
+
+def _drifted_source(spark, sf, lake):
+    """The deterministic drift scenario shared by cdc_drift_audit and
+    cdc_drift_repair: doc%41 content modified, doc%53 absent from source
+    (lake 'extra'), 10 phantom source-only keys ('missing')."""
     doc = F.regexp_extract("path", r"doc_(\d+)", 1).cast("long")
     phantoms = (
         _docs(spark, sf)
@@ -1079,7 +1089,7 @@ def q_cdc_drift_audit(spark, sf):
             F.lit("x").alias("content"),
         )
     )
-    source = (
+    return (
         lake.where(doc % 53 != 0)
         .withColumn(
             "content",
@@ -1089,8 +1099,59 @@ def q_cdc_drift_audit(spark, sf):
         )
         .unionByName(phantoms)
     )
-    return drift_report(
-        source, lake, MERGE_KEYS, ["commit", "lang", "content"], n_slices=64
+
+
+def q_cdc_drift_repair(spark, sf):
+    """Self-healing close of the audit loop (operators.audit.repair_drift —
+    the pt-table-sync analog): same drifted-source scenario as
+    cdc_drift_audit, then REPAIR — source values merged for
+    missing/modified keys, tombstones for extra keys, every repair stamped
+    at the committed lineage position with the snapshot row_idx (replayed
+    events lose, future stream positions still win — the
+    bootstrap_snapshot contract, so repair composes with a live tail).
+    Emits per-class counts before the repair and the re-audited counts
+    after; the oracle pins the closed-form before counts and n_after=0 —
+    the lake provably reconverged to the source."""
+    from mariadb_cdc_spark.gen import MERGE_KEYS, generate_events, repo_table
+    from mariadb_cdc_spark.operators.audit import drift_report, repair_drift
+    from mariadb_cdc_spark.pipeline import CdcConfig, apply_batch
+    from mariadb_cdc_spark.sources.lake import LakeTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    repo = repo_table(spark, sf)
+    events = generate_events(repo, include_audit=False)
+    tmp = tempfile.mkdtemp(prefix="cdc_q_repair_")
+    table = LakeTable.create(
+        spark, f"{tmp}/repo_files", schema, MERGE_KEYS, n_buckets=8
+    )
+    apply_batch(events, table, CdcConfig(), stream_id="rp", batch_id=0)
+    cols = ["commit", "lang", "content"]
+    source = _drifted_source(
+        spark, sf, table.read().select("repo", "path", *cols)
+    )
+    res = repair_drift(source, table, value_cols=cols, n_slices=64)
+    after = (
+        drift_report(
+            source,
+            table.read().select("repo", "path", *cols),
+            MERGE_KEYS,
+            cols,
+            n_slices=64,
+        )
+        .groupBy("drift_class")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    before = spark.createDataFrame(
+        sorted(res["classes"].items()), "drift_class string, n_before long"
+    )
+    return before.join(after, "drift_class", "left").select(
+        "drift_class",
+        "n_before",
+        F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
     )
 
 
@@ -2188,6 +2249,7 @@ QUERIES: dict[str, Callable] = {
     "cdc_bootstrap": q_cdc_bootstrap,
     "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
     "cdc_drift_audit": q_cdc_drift_audit,
+    "cdc_drift_repair": q_cdc_drift_repair,
     "cdc_type_overlap": q_cdc_type_overlap,
     "cdc_pruned_scan": q_cdc_pruned_scan,
     "cdc_point_lookup": q_cdc_point_lookup,
@@ -3692,6 +3754,23 @@ def oracle_sql() -> dict[str, str]:
                'phantom_' || doc_id::VARCHAR as path,
                'missing' as drift_class
         from documents where doc_id < 10
+    """
+    # Repair closes the loop: before-counts are the audit closed form,
+    # after-counts must be zero (the engine re-audits for real).
+    oracles["cdc_drift_repair"] = f"""
+        with state as ({oracles['cdc_pipeline_e2e']}),
+             keyed as (select regexp_extract(path, 'doc_(\\d+)', 1)::BIGINT
+                         as doc
+                       from state)
+        select 'extra' as drift_class,
+               (select count(*) from keyed where doc % 53 = 0)::BIGINT
+                 as n_before, 0::BIGINT as n_after
+        union all
+        select 'missing', 10::BIGINT, 0::BIGINT
+        union all
+        select 'modified',
+               (select count(*) from keyed
+                where doc % 41 = 0 and doc % 53 <> 0)::BIGINT, 0::BIGINT
     """
     # Two sharded servers partition the key space, so their union's final
     # state is exactly the single-server closed form.

@@ -137,3 +137,83 @@ def drift_report(
         | F.col("lh").isNull()
         | (F.col("sh") != F.col("lh"))
     )
+
+
+def repair_drift(
+    source: DataFrame,
+    table,
+    value_cols: list[str] | None = None,
+    n_slices: int = 256,
+    stream_id: str = "repair",
+) -> dict:
+    """Close the audit loop (the pt-table-sync analog): make the lake match
+    `source` by merging exactly the drifted keys — source values for
+    'missing'/'modified', tombstones for 'extra'. Cost is the audit itself
+    plus one merge of O(drifted keys); a clean table pays two digest scans
+    and writes nothing.
+
+    Position semantics: repaired rows are stamped at the table's committed
+    LINEAGE position with the snapshot row_idx (bootstrap._SNAPSHOT_ROW_IDX)
+    — the source read reflects everything the lake has applied, so the
+    stamp must beat any already-applied (replayable) event yet LOSE to
+    every future stream position; this is the same contract
+    bootstrap_snapshot uses, so repair composes with a live tail exactly
+    like a snapshot does. Raises if the table has no lineage (nothing to
+    anchor the stamp to).
+
+    Returns {"classes": {class: n}, "repaired": total, "version": v}.
+    """
+    from .bootstrap import _SNAPSHOT_ROW_IDX, snapshot_position
+
+    meta = table.metadata()
+    keys = meta["keys"]
+    if value_cols is None:
+        value_cols = [c for c in source.columns if c not in keys]
+    lineage = table.lineage()
+    if not lineage:
+        raise ValueError(
+            "repair_drift needs committed lineage to stamp repairs; "
+            "apply at least one batch (or bootstrap) first"
+        )
+    file, pos = snapshot_position(lineage)
+
+    lake = table.read().select(*keys, *value_cols)
+    rep = drift_report(source, lake, keys, value_cols, n_slices).persist()
+    classes = {
+        r["drift_class"]: r["n"]
+        for r in rep.groupBy("drift_class")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not classes:
+        rep.unpersist()
+        return {"classes": {}, "repaired": 0, "version": meta["version"]}
+
+    image_entries: list = []
+    for c in value_cols:
+        image_entries.append(F.lit(c))
+        image_entries.append(F.col(c).cast("string"))
+    fix = rep.join(source, keys, "left").select(
+        *keys,
+        F.when(F.col("drift_class") == "extra", F.lit("DELETE"))
+        .otherwise(F.lit("UPSERT"))
+        .alias("final_op"),
+        F.when(
+            F.col("drift_class") == "extra",
+            F.expr("map()").cast("map<string,string>"),
+        )
+        .otherwise(F.create_map(*image_entries))
+        .alias("image"),
+        F.lit(file).alias("last_file"),
+        F.lit(int(pos)).cast("long").alias("last_pos"),
+        F.lit(_SNAPSHOT_ROW_IDX).cast("int").alias("last_row_idx"),
+        F.lit(1).cast("long").alias("n_changes"),
+        (F.col("drift_class") != F.lit("extra")).alias("anchored"),
+    )
+    res = table.merge(fix, stream_id=stream_id)
+    rep.unpersist()
+    return {
+        "classes": classes,
+        "repaired": sum(classes.values()),
+        "version": res.get("version"),
+    }

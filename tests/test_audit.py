@@ -90,3 +90,101 @@ def test_null_vs_value_and_null_position_drift_detected(spark):
     }
     # (None,'x') vs ('x',None) and '' vs None both register as modified
     assert got == {("k", "1"): "modified", ("k", "2"): "modified"}
+
+
+def test_repair_drift_composes_with_live_tail(spark, sf_dir, tmp_path):
+    """repair_drift makes the lake match the (drifted) source, and its
+    lineage-position stamp loses to FUTURE stream events: a repaired key
+    later updated by the stream ends with the stream value, a repaired key
+    the stream never touches again keeps the repair."""
+    from mariadb_cdc_spark.gen import MERGE_KEYS, generate_events, repo_table
+    from mariadb_cdc_spark.operators.audit import repair_drift
+    from mariadb_cdc_spark.operators.fold import extract_keys
+    from mariadb_cdc_spark.pipeline import (
+        CdcConfig,
+        apply_batch,
+        decoded_changes,
+    )
+    from mariadb_cdc_spark.sources.lake import LakeTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    repo = repo_table(spark, sf_dir)
+    events = generate_events(repo, include_audit=False).cache()
+    cap = repo.count() + 2
+    slot = F.split("gtid", "-").getItem(2).cast("long")
+    wave = F.floor(slot / (32 * cap))
+    # split CONTROL events by position too (the wave-split helper's
+    # replicate-into-both convention would inflate b0's committed lineage
+    # to end-of-stream, and repair stamps at the lineage position); b1's
+    # partial first file resolves its TABLE_MAP from the PERSISTED
+    # registry, exactly like a real resume
+    data0 = events.where(F.col("gtid").isNotNull() & (wave <= 0))
+    p = data0.agg(
+        F.max(F.struct("binlog_file", "binlog_pos")).alias("p")
+    ).first()["p"]
+    pos = F.struct("binlog_file", "binlog_pos")
+    cut = F.struct(
+        F.lit(p["binlog_file"]).alias("binlog_file"),
+        F.lit(p["binlog_pos"]).cast("long").alias("binlog_pos"),
+    )
+    b0 = events.where(
+        (F.col("gtid").isNotNull() & (wave <= 0))
+        | (F.col("gtid").isNull() & (pos <= cut))
+    )
+    b1 = events.where(
+        (F.col("gtid").isNotNull() & (wave > 0))
+        | (F.col("gtid").isNull() & (pos > cut))
+    )
+    cfg = CdcConfig()
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, MERGE_KEYS, n_buckets=8
+    )
+    apply_batch(b0, table, cfg, stream_id="s", batch_id=0)
+
+    # one key the tail will update again, one it never touches
+    later = (
+        extract_keys(decoded_changes(b1, cfg), MERGE_KEYS)
+        .select(*MERGE_KEYS)
+        .distinct()
+    )
+    state = table.read().select(*MERGE_KEYS)
+    k_upd = tuple(state.join(later, MERGE_KEYS, "left_semi").first())
+    k_still = tuple(state.join(later, MERGE_KEYS, "left_anti").first())
+
+    def _is(k):
+        return (F.col(MERGE_KEYS[0]) == k[0]) & (F.col(MERGE_KEYS[1]) == k[1])
+
+    tainted = _is(k_upd) | _is(k_still)
+    source = table.read().select(
+        *MERGE_KEYS,
+        "commit",
+        "lang",
+        F.when(tainted, F.concat("content", F.lit("!x")))
+        .otherwise(F.col("content"))
+        .alias("content"),
+    )
+    res = repair_drift(source, table, n_slices=16)
+    assert res["classes"] == {"modified": 2}
+
+    apply_batch(b1, table, cfg, stream_id="s", batch_id=1)
+    final = {
+        (r["repo"], r["path"]): r["content"]
+        for r in table.read()
+        .where(_is(k_upd) | _is(k_still))
+        .collect()
+    }
+    assert not final[k_upd].endswith("!x")  # stream won
+    assert final[k_still].endswith("!x")  # repair persisted
+
+    # clean-table fast path: identical source -> nothing repaired
+    res2 = repair_drift(
+        table.read().select(*MERGE_KEYS, "commit", "lang", "content"),
+        table,
+        n_slices=16,
+    )
+    assert res2["classes"] == {} and res2["repaired"] == 0
+    events.unpersist()
