@@ -2271,9 +2271,9 @@ QUERIES: dict[str, Callable] = {
     "media_jpeg_stats": q_media_jpeg_stats,
     "media_mp4_stats": q_media_mp4_stats,
     "media_video_frames": q_media_video_frames,
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "events_rollup": q_events_rollup,
     "events_asof_enrich": q_events_asof_enrich,
-    "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "media_image_stats": q_media_image_stats,
     "events_cohort_retention": q_events_cohort_retention,
     "events_funnel": q_events_funnel,
