@@ -358,3 +358,27 @@ def test_position_ticks_spacing_and_guards(spark, scenario):
     empty = scenario["retained"].where(F.lit(False))
     with pytest.raises(ValueError):
         position_ticks(empty, 2)
+
+
+def test_deeper_retention_loses_patches_too(spark, tmp_path, scenario):
+    """Harder retention: waves 0-2 gone — the minimal-row-image PATCH wave
+    is lost along with every anchor, so the chunk reads alone must carry
+    the patched state; the retained stream is only deletes + re-inserts.
+    Final state still equals the full replay."""
+    events = scenario["events"]
+    _, retained = _split_by_wave(
+        events, scenario["repo_count"], max_wave_b0=2
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), REPO_SCHEMA, MERGE_KEYS, n_buckets=8
+    )
+    incremental_bootstrap(
+        retained,
+        _reader(scenario["full_changes"]),
+        table,
+        scenario["cfg"],
+        n_chunks=4,
+        stream_id="inc",
+    )
+    got = _hashes(table.read().select("repo", "path", "content"))
+    assert got == scenario["want"]
