@@ -1661,6 +1661,23 @@ def q_media_image_formats(spark, sf):
     return mixed_image_stats(synthesize_mixed_media(_docs(spark, sf)))
 
 
+def q_text_bpe_pairs(spark, sf):
+    """BPE vocabulary learning, first training iteration oracle-checked
+    (functions.bpe — Sennrich ACL 2016 over the WORD-FREQUENCY table, the
+    scale trick that keeps every merge iteration a distinct-words shuffle
+    instead of a corpus scan): the top-20 adjacent character pairs by
+    frequency-weighted count, deterministic order (cnt desc, a, b). The
+    full iterative trainer + merge-priority tokenizer are pinned by pytest
+    against a sequential pure-Python reference (exact merge sequence)."""
+    from mariadb_cdc_spark.functions.bpe import initial_pair_counts
+
+    return (
+        initial_pair_counts(_docs(spark, sf))
+        .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(20)
+    )
+
+
 def q_text_unigram_lm(spark, sf):
     """Unigram-LM bits/token per document (text.unigram_logprob): the
     CCNet-style perplexity-proxy quality signal — corpus unigram counts
@@ -2310,6 +2327,7 @@ QUERIES: dict[str, Callable] = {
     "corpus_build_full": q_corpus_build_full,
     "text_vocab": q_text_vocab,
     "text_unigram_lm": q_text_unigram_lm,
+    "text_bpe_pairs": q_text_bpe_pairs,
     "decontaminate": q_decontaminate,
 }
 
@@ -3333,6 +3351,22 @@ def oracle_sql() -> dict[str, str]:
                      as n_pixels,
                    true as color_ok
             from documents
+        """,
+        "text_bpe_pairs": r"""
+            with w0 as (
+              select unnest(string_split_regex(text, '\s+')) as w
+              from documents),
+            wc as (select w, count(*) as n from w0
+                   where length(w) > 0 group by w),
+            pairs as (
+              select substr(w, i::INT, 1) as a,
+                     substr(w, i::INT + 1, 1) as b, n
+              from wc, unnest(range(1, length(w))) as t(i)
+              where length(w) > 1)
+            select a, b, sum(n)::BIGINT as cnt
+            from pairs group by a, b
+            order by cnt desc, a asc, b asc
+            limit 20
         """,
         "text_unigram_lm": r"""
             with toks as (

