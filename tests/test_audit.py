@@ -188,3 +188,53 @@ def test_repair_drift_composes_with_live_tail(spark, sf_dir, tmp_path):
     )
     assert res2["classes"] == {} and res2["repaired"] == 0
     events.unpersist()
+
+
+def test_drift_report_property_random_mutations(spark):
+    """Property: for ANY base table and mutation plan (drop / add /
+    modify), drift_report returns exactly the set-computed truth. Driven
+    by seeded pseudo-random cases rather than hypothesis (each example
+    costs Spark jobs); 12 cases x (mutations over a 60-key base)."""
+    import random
+
+    for seed in range(12):
+        rng = random.Random(seed)
+        n = 60
+        base = {
+            (f"g{i % 5}", str(i)): (f"v{rng.randint(0, 9)}", f"w{i}")
+            for i in range(n)
+        }
+        lake = dict(base)
+        source = dict(base)
+        want = {}
+        keys = list(base)
+        rng.shuffle(keys)
+        for k in keys[: rng.randint(0, 12)]:
+            action = rng.choice(["drop_src", "drop_lake", "modify"])
+            if action == "drop_src":
+                del source[k]
+                want[k] = "extra"
+            elif action == "drop_lake":
+                del lake[k]
+                want[k] = "missing"
+            else:
+                source[k] = (source[k][0] + "!", source[k][1])
+                want[k] = "modified"
+        for j in range(rng.randint(0, 3)):  # source-only inserts
+            k = ("new", f"n{seed}_{j}")
+            source[k] = ("a", "b")
+            want[k] = "missing"
+
+        def df(d):
+            return spark.createDataFrame(
+                [(k1, k2, v1, v2) for (k1, k2), (v1, v2) in sorted(d.items())],
+                "k1 string, k2 string, v1 string, v2 string",
+            )
+
+        got = {
+            (r["k1"], r["k2"]): r["drift_class"]
+            for r in drift_report(
+                df(source), df(lake), KEYS, VALS, n_slices=rng.choice([4, 16, 64])
+            ).collect()
+        }
+        assert got == want, f"seed={seed}"
