@@ -1,0 +1,369 @@
+"""Binlog event framing: the v4 event header, the CRC32 trailer, and
+MariaDB compressed rows events.
+
+The reference's homegrown reader parses the 19-byte v4 event header
+(binlog/reader/packet/binlog/BinLogHeader.java:3-75: timestamp u32,
+event code u8, server_id u32, event_length u32, next_position u32,
+flags u16 — all little-endian) and then unconditionally STRIPS a 4-byte
+CRC32 trailer from every event without verifying it
+(binlog/reader/handler/BinLogHandler.java:89-97 — `endBlock(len - 4)`,
+with the algorithm probe hardcoded to `return 4`). A corrupt event
+therefore flows straight into decode. This module closes that gap
+Spark-first:
+
+  * `frame_events` serializes each envelope row into a binary event
+    frame — real header layout, engine-canonical JSON body (the
+    per-column WIRE layouts are already exercised byte-for-byte by
+    functions.typedec; re-encoding them here would verify nothing new),
+    and a genuine CRC32 over header+body exactly as written by a server
+    with binlog_checksum=CRC32.
+  * `verify_event_checksums` re-computes the CRC with Spark's built-in
+    JVM-side `F.crc32` and cross-checks the header's length claim —
+    whole-stage-codegen end to end, no Python in the path, so integrity
+    checking costs one extra projection at any scale.
+  * `checksum_stats` is the dead-letter rollup (same contract as
+    operators.decode.quarantine_stats): corrupt frames never kill the
+    batch, they become countable rows with a first-failure position.
+  * `unframe_events` parses a frame back into the envelope (the
+    BinLogHeader.java parse, as a Catalyst projection).
+
+Frames travel as lowercase hex STRINGS between operators (Catalyst's
+string functions are the ergonomic fixed-offset toolkit; `unhex` is one
+call away whenever real bytes are needed, and parquet stores either
+equally well).
+
+Compressed rows events (MariaDB `log_bin_compress`, event codes
+WRITE/UPDATE/DELETE_ROWS_COMPRESSED_EVENT_V1 = 0xa6/0xa7/0xa8 — the
+reference's BinlogEventType.java:6-27 stops at START_ENCRYPTION 0xa4
+and maps these to UNKNOWN, i.e. it cannot tail a compressed-binlog
+server at all): payload = 1 header byte (0x80 | lenlen) + lenlen-byte
+little-endian uncompressed length + a zlib deflate stream, per MariaDB's
+public binlog_compress/binlog_uncompress format (sql/log_event.cc).
+`compress_rows_events` / `decompress_rows_events` are Arrow-batched
+pandas UDFs — per-event CPU with zero shuffle, embarrassingly parallel
+at any scale — and a declared-length mismatch or broken deflate stream
+degrades to a null image + countable error, never a dead batch.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..schema import EVENT_SCHEMA, ROWS_EVENT_TYPES
+
+# v4 header layout (BinLogHeader.java:3-75; all multi-byte fields LE).
+HEADER_BYTES = 19
+CRC_BYTES = 4
+
+# Event codes: reference BinlogEventType.java:6-27 plus the MariaDB
+# compressed-rows codes the reference lacks (mariadb-server
+# sql/log_event.h enum Log_event_type).
+EVENT_CODES = {
+    "QUERY": 0x02,
+    "STOP": 0x03,
+    "ROTATE": 0x04,
+    "XID": 0x10,
+    "FORMAT_DESCRIPTION": 0x0F,
+    "TABLE_MAP": 0x13,
+    "HEARTBEAT": 0x1B,
+    "ANNOTATE_ROWS": 0xA0,
+    "WRITE_ROWS": 0x17,
+    "UPDATE_ROWS": 0x18,
+    "DELETE_ROWS": 0x19,
+    "WRITE_ROWS_COMPRESSED": 0xA6,
+    "UPDATE_ROWS_COMPRESSED": 0xA7,
+    "DELETE_ROWS_COMPRESSED": 0xA8,
+}
+CODE_EVENTS = {v: k for k, v in EVENT_CODES.items()}
+
+# Envelope columns that form the frame body (everything the header does
+# not carry). Field order is the serialization order — fixed here, so
+# to_json output is deterministic.
+_BODY_COLUMNS = [
+    "gtid",
+    "table_id",
+    "database",
+    "table",
+    "column_types",
+    "column_names",
+    "column_metadata",
+    "column_enum_values",
+    "column_charsets",
+    "columns_used",
+    "update_columns_used",
+    "rows_before",
+    "rows_after",
+    "sql",
+    "xid",
+    "rotate_file",
+    "rotate_pos",
+]
+
+_U32 = 1 << 32
+
+
+def _le_hex(col: Column, nbytes: int) -> Column:
+    """Fixed-width little-endian hex of a non-negative integral column.
+
+    `F.hex` emits big-endian nibbles without leading zeros; pad to the
+    field width and swap the byte pairs. Values are masked to the field
+    width first (a real binlog wraps next_position at u32 via rotation).
+    """
+    masked = F.pmod(col.cast("long"), F.lit(1 << (8 * nbytes)))
+    be = F.lpad(F.lower(F.hex(masked)), 2 * nbytes, "0")
+    pairs = [F.substring(be, 2 * i + 1, 2) for i in range(nbytes)]
+    return F.concat(*reversed(pairs))
+
+
+def _le_long(hexcol: Column, nbytes: int) -> Column:
+    """Parse little-endian hex (2*nbytes chars) back to a long."""
+    pairs = [F.substring(hexcol, 2 * i + 1, 2) for i in range(nbytes)]
+    return F.conv(F.concat(*reversed(pairs)), 16, 10).cast("long")
+
+
+def _type_code(event_type: Column) -> Column:
+    expr = F.lit(None).cast("int")
+    for name, code in EVENT_CODES.items():
+        expr = F.when(event_type == name, F.lit(code)).otherwise(expr)
+    return expr
+
+
+def frame_events(events: DataFrame, frame_col: str = "frame_hex") -> DataFrame:
+    """Serialize envelope rows into CRC32-sealed binary event frames.
+
+    frame = header(19B: ts u32le | code u8 | server_id u32le |
+    event_size u32le | next_pos u32le | flags u16le)
+          + body (canonical JSON of the non-header envelope, utf-8)
+          + crc32(header+body) u32le       -- binlog_checksum=CRC32
+
+    Pure Catalyst: string/hex projections plus the JVM `crc32`; one
+    narrow stage, no shuffle, codegen throughout.
+    """
+    body_str = F.to_json(F.struct(*[F.col(c) for c in _BODY_COLUMNS]))
+    body_hex = F.lower(F.hex(F.encode(body_str, "UTF-8")))
+    event_size = F.lit(HEADER_BYTES) + F.length(body_hex) / 2 + F.lit(CRC_BYTES)
+    header_hex = F.concat(
+        _le_hex(F.unix_timestamp(F.col("ts")), 4),
+        F.lpad(F.lower(F.hex(_type_code(F.col("event_type")))), 2, "0"),
+        _le_hex(F.col("server_id"), 4),
+        _le_hex(event_size.cast("long"), 4),
+        _le_hex(F.col("binlog_pos"), 4),  # next-position semantics
+        _le_hex(F.lit(0), 2),  # flags
+    )
+    sealed = F.concat(header_hex, body_hex)
+    crc = F.crc32(F.unhex(sealed))
+    return events.withColumn(frame_col, F.concat(sealed, _le_hex(crc, 4)))
+
+
+def verify_event_checksums(
+    framed: DataFrame, frame_col: str = "frame_hex"
+) -> DataFrame:
+    """Integrity-check frames: header length claim, then CRC32.
+
+    Adds `claimed_size`/`actual_size`/`stored_crc`/`computed_crc` and a
+    `frame_status` in {'ok','length_mismatch','crc_mismatch'}. Length is
+    checked first: a truncated frame's stored CRC bytes are not where
+    the header says they are, so a CRC verdict on it would be
+    meaningless. All JVM-side (`F.crc32` + string ops) — the check adds
+    no Python and no shuffle at any scale.
+    """
+    frame = F.col(frame_col)
+    n = F.length(frame)
+    body_hex = F.substring(frame, 1, (n - 2 * CRC_BYTES).cast("int"))
+    stored = _le_long(
+        F.substring(frame, (n - 2 * CRC_BYTES + 1).cast("int"), 2 * CRC_BYTES),
+        CRC_BYTES,
+    )
+    computed = F.crc32(F.unhex(body_hex))
+    claimed = _le_long(F.substring(frame, 2 * 9 + 1, 8), 4)  # header bytes 9-12
+    actual = (n / 2).cast("long")
+    out = (
+        framed.withColumn("claimed_size", claimed)
+        .withColumn("actual_size", actual)
+        .withColumn("stored_crc", stored)
+        .withColumn("computed_crc", computed)
+    )
+    return out.withColumn(
+        "frame_status",
+        F.when(
+            (F.col("claimed_size") != F.col("actual_size")) | (n % 2 != 0),
+            F.lit("length_mismatch"),
+        )
+        .when(F.col("stored_crc") != F.col("computed_crc"), F.lit("crc_mismatch"))
+        .otherwise(F.lit("ok")),
+    )
+
+
+def checksum_stats(verified: DataFrame) -> DataFrame:
+    """Dead-letter rollup per (binlog_file, frame_status): event count
+    and the first affected position — same observability contract as
+    decode.quarantine_stats (corruption must be countable, or it
+    accumulates silently). One map-side-combinable aggregation."""
+    return (
+        verified.groupBy("binlog_file", "frame_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("binlog_pos").alias("first_pos"),
+            F.max("binlog_pos").alias("last_pos"),
+        )
+    )
+
+
+def unframe_events(framed: DataFrame, frame_col: str = "frame_hex") -> DataFrame:
+    """Parse frames back into EVENT_SCHEMA rows (BinLogHeader.java:3-75
+    header parse + body JSON), dropping nothing: the inverse of
+    `frame_events` for every frame that verifies 'ok'."""
+    frame = F.col(frame_col)
+    n = F.length(frame)
+    body_hex = F.substring(
+        frame, 2 * HEADER_BYTES + 1, (n - 2 * (HEADER_BYTES + CRC_BYTES)).cast("int")
+    )
+    body_str = F.decode(F.unhex(body_hex), "UTF-8")
+    body_schema = T.StructType(
+        [f for f in EVENT_SCHEMA.fields if f.name in _BODY_COLUMNS]
+    )
+    code = F.conv(F.substring(frame, 9, 2), 16, 10).cast("int")
+    type_expr = F.lit(None).cast("string")
+    for c, name in CODE_EVENTS.items():
+        type_expr = F.when(code == c, F.lit(name)).otherwise(type_expr)
+    parsed = framed.select(
+        _le_long(F.substring(frame, 11, 8), 4).alias("server_id"),
+        F.col("binlog_file"),  # file identity is carried by ROTATE, not the header
+        _le_long(F.substring(frame, 27, 8), 4).alias("binlog_pos"),
+        type_expr.alias("event_type"),
+        F.timestamp_seconds(_le_long(F.substring(frame, 1, 8), 4)).alias("ts"),
+        F.from_json(body_str, body_schema).alias("body"),
+    )
+    return parsed.select(
+        "server_id",
+        "binlog_file",
+        "binlog_pos",
+        "event_type",
+        "ts",
+        *[F.col(f"body.{c}").alias(c) for c in _BODY_COLUMNS],
+    ).select(*[f.name for f in EVENT_SCHEMA.fields])
+
+
+# ---------------------------------------------------------------- compressed
+
+_COMPRESS_LENLEN = 4  # we always write a 4-byte uncompressed-length field
+
+
+def _mariadb_compress(raw: bytes) -> bytes:
+    """MariaDB binlog_compress payload: 0x80|lenlen, lenlen-byte LE
+    uncompressed length, zlib deflate stream (sql/log_event.cc)."""
+    return (
+        bytes([0x80 | _COMPRESS_LENLEN])
+        + len(raw).to_bytes(_COMPRESS_LENLEN, "little")
+        + zlib.compress(raw, 6)
+    )
+
+
+def _mariadb_uncompress(payload: bytes) -> bytes | None:
+    """Inverse of _mariadb_compress; None on any structural damage
+    (containment: a poisoned payload must not kill the batch)."""
+    try:
+        if not payload or not (payload[0] & 0x80):
+            return None
+        lenlen = payload[0] & 0x07
+        declared = int.from_bytes(payload[1 : 1 + lenlen], "little")
+        raw = zlib.decompress(payload[1 + lenlen :])
+        if len(raw) != declared:
+            return None
+        return raw
+    except (zlib.error, IndexError, ValueError):
+        return None
+
+
+def compress_rows_events(events: DataFrame) -> DataFrame:
+    """Wrap rows events the way a MariaDB server with log_bin_compress=ON
+    does: the row-image body moves into a zlib payload and the event type
+    gains the _COMPRESSED marker (codes 0xa6-0xa8). Non-rows events pass
+    through untouched. Arrow-batched, shuffle-free."""
+
+    @pandas_udf("binary")
+    def deflate(body: pd.Series) -> pd.Series:
+        return body.map(
+            lambda s: None if s is None else _mariadb_compress(s.encode("utf-8"))
+        )
+
+    is_rows = F.col("event_type").isin(*ROWS_EVENT_TYPES)
+    body = F.to_json(F.struct("rows_before", "rows_after"))
+    out = events.withColumn(
+        "compressed_payload", F.when(is_rows, deflate(body))
+    )
+    null_img = F.lit(None).cast(EVENT_SCHEMA["rows_before"].dataType)
+    return (
+        out.withColumn(
+            "rows_before", F.when(is_rows, null_img).otherwise(F.col("rows_before"))
+        )
+        .withColumn(
+            "rows_after", F.when(is_rows, null_img).otherwise(F.col("rows_after"))
+        )
+        .withColumn(
+            "event_type",
+            F.when(is_rows, F.concat("event_type", F.lit("_COMPRESSED"))).otherwise(
+                F.col("event_type")
+            ),
+        )
+    )
+
+
+def decompress_rows_events(events: DataFrame) -> DataFrame:
+    """Inflate compressed rows events back to plain image arrays — the
+    decode step the reference is missing entirely (BinlogEventType 0xa6+
+    → UNKNOWN there). Adds `decompress_error` (bool): a structurally
+    damaged payload yields null images plus the flag, so downstream
+    quarantine can count it while the batch lives on."""
+
+    @pandas_udf("string")
+    def inflate(payload: pd.Series) -> pd.Series:
+        def one(p):
+            if p is None:
+                return None
+            raw = _mariadb_uncompress(bytes(p))
+            return None if raw is None else raw.decode("utf-8")
+
+        return payload.map(one)
+
+    is_comp = F.col("event_type").endswith("_COMPRESSED")
+    body_schema = T.StructType(
+        [
+            EVENT_SCHEMA["rows_before"],
+            EVENT_SCHEMA["rows_after"],
+        ]
+    )
+    out = events.withColumn(
+        "_body", F.when(is_comp, inflate(F.col("compressed_payload")))
+    ).withColumn("_parsed", F.from_json("_body", body_schema))
+    out = (
+        out.withColumn(
+            "decompress_error", is_comp & F.col("_body").isNull()
+        )
+        .withColumn(
+            "rows_before",
+            F.when(is_comp, F.col("_parsed.rows_before")).otherwise(
+                F.col("rows_before")
+            ),
+        )
+        .withColumn(
+            "rows_after",
+            F.when(is_comp, F.col("_parsed.rows_after")).otherwise(
+                F.col("rows_after")
+            ),
+        )
+        .withColumn(
+            "event_type",
+            F.when(
+                is_comp,
+                F.expr("substring(event_type, 1, length(event_type) - 11)"),
+            ).otherwise(F.col("event_type")),
+        )
+    )
+    return out.drop("_body", "_parsed", "compressed_payload")
