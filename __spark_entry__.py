@@ -1931,6 +1931,32 @@ def q_sample_quota(spark, sf):
     return s.select("doc_id", "source", "quota_rank")
 
 
+def q_sample_mixture(spark, sf):
+    """Mixture balancing (sampling.mixture_sample): draw the LARGEST
+    corpus whose language proportions hit the target weights exactly
+    (en 40%, zh/es/de/fr 15% each) — the domain-reweighting pass of a
+    pretraining build (fixed-weight DoReMi-style materialization). The
+    binding stratum and every take are computed IN-PLAN from the data
+    (integer basis-point water-filling, no driver collect); membership
+    is the canonical md5 rank cut, stable under repartitioning and
+    re-ingest. Oracle recomputes counts, the water-fill, and the rank
+    cut in closed form."""
+    from mariadb_cdc_spark.functions.sampling import mixture_sample
+
+    s = mixture_sample(
+        _docs(spark, sf),
+        "lang",
+        {"en": 4000, "zh": 1500, "es": 1500, "de": 1500, "fr": 1500},
+        key_cols=["doc_id"],
+    )
+    return s.select(
+        "doc_id",
+        "lang",
+        F.col("mixture_want").cast("long").alias("mixture_want"),
+        F.col("mixture_rank").cast("int").alias("mixture_rank"),
+    )
+
+
 # --------------------------------------------------------------- analytics
 
 def q_events_cohort_retention(spark, sf):
@@ -2397,7 +2423,7 @@ QUERIES: dict[str, Callable] = {
     "code_secrets": q_code_secrets,
     "events_distinct_sketch": q_events_distinct_sketch,
     "media_image_formats": q_media_image_formats,
-    "emb_kmeans": q_emb_kmeans,
+    "sample_mixture": q_sample_mixture,
     "media_audio_features": q_media_audio_features,
     "media_jpeg_stats": q_media_jpeg_stats,
     "media_mp4_stats": q_media_mp4_stats,
@@ -2449,6 +2475,7 @@ QUERIES: dict[str, Callable] = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,
     "ann_recall": q_ann_recall,
+    "emb_kmeans": q_emb_kmeans,
 }
 
 
@@ -3608,6 +3635,27 @@ def oracle_sql() -> dict[str, str]:
                    round(sum((x - qv * scale) * (x - qv * scale))
                          / count(*), 8) as recon_mse
             from q group by vec_id, scale
+        """,
+        "sample_mixture": """
+            with t(lang, t_bp) as (values
+                ('en', 4000), ('zh', 1500), ('es', 1500),
+                ('de', 1500), ('fr', 1500)),
+            c as (select lang, count(*) as n_s from documents group by 1),
+            j as (select c.lang, c.n_s, t.t_bp from c join t using (lang)),
+            ns as (select min(n_s * 10000 // t_bp) as n_star from j),
+            w as (select lang, (ns.n_star * t_bp) // 10000 as want
+                  from j, ns),
+            r as (select doc_id, lang,
+                    row_number() over (partition by lang order by
+                      ('0x' || substring(md5('mix' || chr(31)
+                        || doc_id::VARCHAR), 1, 15))::BIGINT,
+                      doc_id) as mixture_rank
+                  from documents
+                  where lang in (select lang from t))
+            select r.doc_id, r.lang, w.want::BIGINT as mixture_want,
+                   r.mixture_rank::INT as mixture_rank
+            from r join w using (lang)
+            where r.mixture_rank <= w.want
         """,
         "sample_quota": """
             select doc_id, source, quota_rank::INT as quota_rank from (

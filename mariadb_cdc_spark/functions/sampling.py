@@ -192,3 +192,79 @@ def quota_sample(
         .where(F.col("quota_rank") <= quota)
         .drop("_h60")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    targets_bp: dict[str, int],
+    key_cols: list[str],
+    max_total: int | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Mixture balancing: draw the LARGEST corpus whose stratum proportions
+    match `targets_bp` (basis points, summing to <= 10000) exactly —
+    the domain/language-reweighting pass of a pretraining data build
+    (the fixed-weight core of DoReMi-style mixtures: given weights,
+    materialize the sample deterministically).
+
+    Feasibility is data-driven, not user-guessed: the achievable corpus
+    size is N* = min over strata of floor(n_s * 10000 / t_s) (the stratum
+    that runs out of mass first binds every other stratum's take — classic
+    water-filling), optionally capped by `max_total`; each stratum then
+    keeps want_s = floor(N* * t_s / 10000) rows. All arithmetic is integer
+    (basis points, `div`), so any SQL engine reproduces the member set
+    bit-for-bit.
+
+    Fully in-plan — NO driver-side collect at any stratum cardinality:
+    the per-stratum counts are a tiny agg, N* is a 1-row agg over it,
+    and both broadcast-join back onto the stream; membership is the
+    engine's canonical md5 60-bit rank within the stratum (same scheme as
+    quota_sample, so membership is stable across partitioning, cluster
+    size, and append-only re-ingests). One shuffle (the rank window,
+    keyed on the stratum) + two broadcast joins. Strata absent from
+    `targets_bp` are dropped (weight 0).
+
+    Returns the kept rows plus `mixture_rank` (1-based rank within the
+    stratum) and `mixture_want` (the stratum's computed take).
+    """
+    from pyspark.sql import Window
+
+    targets = sorted(targets_bp.items())
+    tdf = df.sparkSession.createDataFrame(
+        targets, f"{strata_col} string, _t_bp long"
+    )
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n_s"))
+    j = counts.join(F.broadcast(tdf), strata_col)
+    cap = (
+        F.expr(f"(_n_s * {BP_SCALE}) div _t_bp")
+        if max_total is None
+        else F.least(
+            F.expr(f"(_n_s * {BP_SCALE}) div _t_bp"),
+            F.lit(int(max_total)).cast("long"),
+        )
+    )
+    n_star = j.agg(F.min(cap).alias("_n_star"))
+    wants = (
+        j.crossJoin(F.broadcast(n_star))
+        .withColumn("_want", F.expr(f"(_n_star * _t_bp) div {BP_SCALE}"))
+        .select(strata_col, "_want")
+    )
+
+    keys = [F.col(c).cast("string") for c in key_cols]
+    h60 = F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", F.lit(salt), *keys)), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(strata_col).orderBy(
+        "_h60", *[F.col(c) for c in key_cols]
+    )
+    return (
+        df.withColumn("_h60", h60)
+        .join(F.broadcast(wants), strata_col)
+        .withColumn("mixture_rank", F.row_number().over(w))
+        .where(F.col("mixture_rank") <= F.col("_want"))
+        .withColumnRenamed("_want", "mixture_want")
+        .drop("_h60")
+    )
