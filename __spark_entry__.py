@@ -1377,6 +1377,29 @@ def q_dedup_minhash_lsh(spark, sf):
     )
 
 
+def q_dedup_incremental(spark, sf):
+    """CDC-driven near-dup detection (dedup.build_lsh_index +
+    incremental_lsh_matches): the corpus (doc_id%10!=0) is indexed ONCE
+    into persistable (band, bucket, sig) rows; the arriving batch
+    (doc_id%10==0) is signatured alone and probed against the index —
+    O(new + collisions), the corpus is never re-read. Returns which
+    existing docs each arrival duplicates (est Jaccard >= 0.5). Oracle
+    recomputes all signatures and takes exactly the new-vs-old banded
+    pairs."""
+    from mariadb_cdc_spark.functions.dedup import (
+        build_lsh_index,
+        incremental_lsh_matches,
+    )
+
+    docs = _docs(spark, sf)
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    index = build_lsh_index(old, n=3, num_hashes=16, bands=4)
+    return incremental_lsh_matches(
+        new, index, n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+
+
 def q_dedup_groups(spark, sf):
     """Transitive near-dup groups: LSH pairs -> connected components
     (iterative min-label propagation; DuckDB oracle = recursive CTE)."""
@@ -2424,7 +2447,7 @@ QUERIES: dict[str, Callable] = {
     "events_distinct_sketch": q_events_distinct_sketch,
     "media_image_formats": q_media_image_formats,
     "sample_mixture": q_sample_mixture,
-    "media_audio_features": q_media_audio_features,
+    "dedup_incremental": q_dedup_incremental,
     "media_jpeg_stats": q_media_jpeg_stats,
     "media_mp4_stats": q_media_mp4_stats,
     "media_video_frames": q_media_video_frames,
@@ -2476,6 +2499,7 @@ QUERIES: dict[str, Callable] = {
     "ann_ivf": q_ann_ivf,
     "ann_recall": q_ann_recall,
     "emb_kmeans": q_emb_kmeans,
+    "media_audio_features": q_media_audio_features,
 }
 
 
@@ -3031,6 +3055,23 @@ def oracle_sql() -> dict[str, str]:
             join sig sa on id_a = sa.id
             join sig sb on id_b = sb.id
             where ({agree}) * 1.0 / {num_hashes} >= 0.5
+        """,
+        "dedup_incremental": f"""
+            with {_minhash_cte(num_hashes)},
+            banded as (select id, {band_exprs} from sig),
+            stacked as (
+              {' union all '.join(f"select id, {b} as band, band_{b} as bucket from banded" for b in range(bands))}),
+            cands as (select distinct a.id as new_id, b.id as old_id
+                      from stacked a join stacked b
+                        on a.band = b.band and a.bucket = b.bucket
+                      where a.id % 10 = 0 and b.id % 10 <> 0)
+            select new_id, old_id,
+                   round(({agree.replace('sa.', 'na.').replace('sb.', 'ob.')}) * 1.0 / {num_hashes}, 6)
+                     as est_jaccard
+            from cands
+            join sig na on new_id = na.id
+            join sig ob on old_id = ob.id
+            where ({agree.replace('sa.', 'na.').replace('sb.', 'ob.')}) * 1.0 / {num_hashes} >= 0.5
         """,
         "dedup_groups": f"""
             with recursive {_minhash_cte(num_hashes)},

@@ -233,16 +233,12 @@ def minhash_signature(
     return based.groupBy("id").agg(*mins)
 
 
-def minhash_lsh_candidates(
+def lsh_buckets(
     sig: DataFrame, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
-    """Banded LSH: hash each band of the signature; docs sharing any band
-    bucket are candidate pairs.
-
-    This is the sub-quadratic scale path: the self-join runs per (band,
-    bucket) — at 10^9 docs the shuffle key is the band hash, and only true
-    near-dups (plus a tunable false-positive tail) meet in a bucket.
-    """
+    """Banded bucket rows (id, band, bucket) from a signature table: the
+    join key space of LSH, and the persistable state of an incremental
+    index (see build_lsh_index). One narrow projection + explode."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -252,7 +248,7 @@ def minhash_lsh_candidates(
                   ).alias(f"band_{b}")
         )
     banded = sig.select("id", *band_cols)
-    stacked = banded.select(
+    return banded.select(
         "id",
         F.explode(
             F.array(
@@ -265,6 +261,19 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Banded LSH: hash each band of the signature; docs sharing any band
+    bucket are candidate pairs.
+
+    This is the sub-quadratic scale path: the self-join runs per (band,
+    bucket) — at 10^9 docs the shuffle key is the band hash, and only true
+    near-dups (plus a tunable false-positive tail) meet in a bucket.
+    """
+    stacked = lsh_buckets(sig, num_hashes, bands)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -311,6 +320,86 @@ def minhash_dedup_pairs(
             F.round(agree / F.lit(num_hashes), 6).alias("est_jaccard"),
         )
         .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def build_lsh_index(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Persistable LSH index rows for a corpus: (id, band, bucket,
+    sig array<long>). `bands` rows per document — write them to the lake
+    partitioned/bucketed by (band, bucket) and the index APPENDS: indexing
+    a new batch never touches existing rows, which is what makes
+    streaming/CDC-driven dedup O(new), not O(corpus) (the batch
+    alternative recomputes every signature on every arrival).
+
+    The signature rides along denormalized so a probe can refine
+    candidates to estimated Jaccard without a second join back to a
+    signature table."""
+    sig = minhash_signature(df, text_col, n, num_hashes, id_col)
+    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig")
+    return lsh_buckets(sig, num_hashes, bands).join(
+        sig.select("id", sig_arr), "id"
+    )
+
+
+def incremental_lsh_matches(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup detection for an ARRIVING batch against an existing
+    corpus index (build_lsh_index rows) — the CDC-side of dedup: as
+    inserts stream in, find which existing documents they duplicate,
+    without re-signaturing the corpus.
+
+    Work is O(new docs + bucket collisions): one signature pass over the
+    new batch only, one equi-join on (band, bucket) against the index
+    (bucket-pruned if the index is stored bucketed on that key), and the
+    Jaccard refinement is a zip_with over the denormalized signatures —
+    no joins back to the corpus, no corpus x corpus anything. Returns
+    (new_id, old_id, est_jaccard) distinct pairs at/above threshold."""
+    sig = minhash_signature(new_docs, text_col, n, num_hashes, id_col)
+    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig")
+    probes = lsh_buckets(sig, num_hashes, bands).join(
+        sig.select("id", sig_arr), "id"
+    )
+    old = index.select(
+        F.col("band"),
+        F.col("bucket"),
+        F.col("id").alias("old_id"),
+        F.col("sig").alias("old_sig"),
+    )
+    hits = (
+        probes.join(old, ["band", "bucket"])
+        .where(F.col("id") != F.col("old_id"))
+        .select(
+            F.col("id").alias("new_id"), "old_id", "sig", "old_sig"
+        )
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig", "old_sig", lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    return (
+        hits.withColumn(
+            "est_jaccard", F.round(agree / F.lit(num_hashes), 6)
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("new_id", "old_id", "est_jaccard")
     )
 
 

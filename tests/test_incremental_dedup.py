@@ -1,0 +1,63 @@
+"""Incremental LSH index (dedup.build_lsh_index / incremental_lsh_matches):
+probing an arriving batch against a prebuilt index must find EXACTLY the
+pairs a full batch recompute finds between the batch and the corpus —
+the invariant that makes CDC-driven dedup trustworthy."""
+
+from pyspark.sql import functions as F
+
+from mariadb_cdc_spark.functions.dedup import (
+    build_lsh_index,
+    incremental_lsh_matches,
+    minhash_dedup_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_incremental_equals_batch_restriction(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 10 == 0)
+
+    index = build_lsh_index(old, n=3, num_hashes=16, bands=4)
+    inc = incremental_lsh_matches(new, index, n=3, num_hashes=16, bands=4,
+                                  threshold=0.5)
+    got = {(r.new_id, r.old_id, r.est_jaccard) for r in inc.collect()}
+
+    batch = minhash_dedup_pairs(docs, n=3, num_hashes=16, bands=4,
+                                threshold=0.5)
+    want = set()
+    for r in batch.collect():
+        a_new, b_new = r.id_a % 10 == 0, r.id_b % 10 == 0
+        if a_new and not b_new:
+            want.add((r.id_a, r.id_b, r.est_jaccard))
+        elif b_new and not a_new:
+            want.add((r.id_b, r.id_a, r.est_jaccard))
+    assert got == want and got  # non-vacuous
+
+
+def test_index_appends_cover_second_batch(spark):
+    """Index old, probe batch1, append batch1's index rows, probe batch2:
+    batch2's matches against (old + batch1) come out of the UNION of
+    index rows — no corpus recompute."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 10 > 1)
+    b1 = docs.where(F.col("doc_id") % 10 == 0)
+    b2 = docs.where(F.col("doc_id") % 10 == 1)
+
+    idx = build_lsh_index(old, n=3, num_hashes=16, bands=4)
+    idx2 = idx.unionByName(build_lsh_index(b1, n=3, num_hashes=16, bands=4))
+    inc = incremental_lsh_matches(b2, idx2, n=3, num_hashes=16, bands=4,
+                                  threshold=0.5)
+    got = {(r.new_id, r.old_id) for r in inc.collect()}
+
+    batch = minhash_dedup_pairs(docs, n=3, num_hashes=16, bands=4,
+                                threshold=0.5)
+    want = set()
+    for r in batch.collect():
+        a2, b2_ = r.id_a % 10 == 1, r.id_b % 10 == 1
+        if a2 and not b2_:
+            want.add((r.id_a, r.id_b))
+        elif b2_ and not a2:
+            want.add((r.id_b, r.id_a))
+    assert got == want
