@@ -367,3 +367,44 @@ def decompress_rows_events(events: DataFrame) -> DataFrame:
         )
     )
     return out.drop("_body", "_parsed", "compressed_payload")
+
+
+# ---------------------------------------------------------------- archive
+
+def write_frame_archive(events: DataFrame, path: str) -> None:
+    """Persist an event stream AS ITS WIRE FORMAT: one row per event,
+    the CRC32-sealed frame as raw binary, laid out by binlog file. This
+    is the engine's binlog-archive interchange — a relay can ship these
+    files to cold storage or another cluster, and any consumer that
+    speaks the v4 header + CRC can validate and replay them without this
+    engine. Partitioned by binlog_file so a replay of one file's range
+    prunes everything else at the source."""
+    framed = frame_events(events).select(
+        "binlog_file",
+        "binlog_pos",
+        F.unhex("frame_hex").alias("frame"),
+    )
+    framed.write.mode("overwrite").partitionBy("binlog_file").parquet(path)
+
+
+FRAME_ARCHIVE_SCHEMA = "binlog_pos long, frame binary, binlog_file string"
+
+
+def framed_to_events(framed: DataFrame) -> DataFrame:
+    """Archive/stream rows (binlog_file, frame binary) -> verified
+    EVENT_SCHEMA events. Frames failing the length/CRC gate are DROPPED
+    here (use frame_quarantine on the same input to count them — both
+    are narrow projections over one scan, batch or streaming alike)."""
+    v = verify_event_checksums(
+        framed.withColumn("frame_hex", F.lower(F.hex("frame")))
+    )
+    return unframe_events(v.where(F.col("frame_status") == "ok"))
+
+
+def frame_quarantine(framed: DataFrame) -> DataFrame:
+    """Companion rollup to framed_to_events: per (file, status) counts of
+    the frames the gate rejected."""
+    v = verify_event_checksums(
+        framed.withColumn("frame_hex", F.lower(F.hex("frame")))
+    )
+    return checksum_stats(v.where(F.col("frame_status") != "ok"))
