@@ -910,6 +910,51 @@ def _split_events_by_wave(events, repo_count, max_wave_b0, n_buckets=32):
     return b0, b1
 
 
+def q_cdc_derived_index(spark, sf):
+    """CDC-maintained derived index (operators.derived): an LSH near-dup
+    index kept as its OWN lake table, advanced per base-table batch from
+    the CDF changelog (LakeTable.changes) — each hop signatures only the
+    changed documents, O(delta) not O(corpus). Two batches (wave-0
+    inserts, then the update/delete/resurrect waves) flow through; the
+    output is the final index rows (key, band, bucket, signature). The
+    oracle rebuilds the index in closed form from the FINAL table state —
+    agreement proves inserts, updates (re-signature), and deletes all
+    propagated through the incremental path."""
+    from mariadb_cdc_spark.gen import MERGE_KEYS, generate_events, repo_table
+    from mariadb_cdc_spark.operators.derived import (
+        lsh_index_schema,
+        maintain_lsh_index,
+    )
+    from mariadb_cdc_spark.pipeline import CdcConfig, apply_batch
+    from mariadb_cdc_spark.sources.lake import LakeTable, _parse_type
+    from pyspark.sql import types as T
+
+    repo = repo_table(spark, sf)
+    events = generate_events(repo, include_audit=False)
+    b0, b1 = _split_events_by_wave(events, repo.count(), max_wave_b0=0)
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_q_dix_")
+    base = LakeTable.create(
+        spark, f"{tmp}/repo_files", schema, MERGE_KEYS, n_buckets=8
+    )
+    ischema = T.StructType(
+        [T.StructField(n, _parse_type(s)) for n, s in lsh_index_schema(MERGE_KEYS)]
+    )
+    idx = LakeTable.create(
+        spark, f"{tmp}/lsh_index", ischema, MERGE_KEYS + ["band"], n_buckets=8
+    )
+    cfg = CdcConfig()
+    vc = base.metadata()["version"]
+    v0 = apply_batch(b0, base, cfg, stream_id="dix", batch_id=0)["version"]
+    maintain_lsh_index(idx, base, vc, v0, batch_id=0)
+    v1 = apply_batch(b1, base, cfg, stream_id="dix", batch_id=1)["version"]
+    maintain_lsh_index(idx, base, v0, v1, batch_id=1)
+    return idx.read().select("repo", "path", "band", "bucket", "sig")
+
+
 def q_cdc_time_travel(spark, sf):
     """Snapshot isolation / time travel (Iceberg-semantics): apply wave 0
     (pure inserts) as batch 0, the remaining waves as batch 1, then read the
@@ -2436,6 +2481,7 @@ QUERIES: dict[str, Callable] = {
     "cdc_checksum_verify": q_cdc_checksum_verify,
     "cdc_compressed_events": q_cdc_compressed_events,
     "cdc_gtid_coverage": q_cdc_gtid_coverage,
+    "cdc_derived_index": q_cdc_derived_index,
     "code_metrics": q_code_metrics,
     "code_flags": q_code_flags,
     "code_winnow_fp": q_code_winnow_fp,
@@ -2448,7 +2494,6 @@ QUERIES: dict[str, Callable] = {
     "media_image_formats": q_media_image_formats,
     "sample_mixture": q_sample_mixture,
     "dedup_incremental": q_dedup_incremental,
-    "media_jpeg_stats": q_media_jpeg_stats,
     "media_mp4_stats": q_media_mp4_stats,
     "media_video_frames": q_media_video_frames,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
@@ -2500,6 +2545,7 @@ QUERIES: dict[str, Callable] = {
     "ann_recall": q_ann_recall,
     "emb_kmeans": q_emb_kmeans,
     "media_audio_features": q_media_audio_features,
+    "media_jpeg_stats": q_media_jpeg_stats,
 }
 
 
@@ -3954,6 +4000,74 @@ def oracle_sql() -> dict[str, str]:
                min(pos)::BIGINT as first_pos,
                max(pos)::BIGINT as last_pos
         from cls group by 1, 2
+    """
+    # Derived LSH index: rebuild in closed form from the FINAL table
+    # state (the cdc_changelog wave plan: gate<5 resurrected, [5,15)
+    # deleted, [15,35) rev 3, [35,60) rev 2), then mirror
+    # minhash_signature + lsh_buckets over that content.
+    _p = 2_147_483_647
+    _mins = ",\n                   ".join(
+        f"min(({31 * i + 17} * base + {101 * i + 7}) % {_p}) as mh_{i}"
+        for i in range(num_hashes)
+    )
+    _sig_csv = "concat_ws(',', " + ", ".join(
+        f"mh_{i}::VARCHAR" for i in range(num_hashes)
+    ) + ")"
+    _dix_bands = ",\n               ".join(
+        "md5(concat_ws('_', '{b}', {cols})) as band_{b}".format(
+            b=b,
+            cols=", ".join(f"mh_{b * rpb + r}::VARCHAR" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    oracles["cdc_derived_index"] = f"""
+        with base as (
+          select 'repo_' || source as repo,
+                 'src/' || lang || '/doc_' ||
+                   lpad(doc_id::VARCHAR, 8, '0') || '.txt' as path,
+                 text as content
+          from documents),
+        keyed as (
+          select *,
+                 ('0x' || substring(
+                    md5(chr(31) || repo || chr(31) || path), 1, 15)
+                 )::BIGINT % 100 as gate
+          from base),
+        final as (
+          select repo, path,
+                 content || case
+                   when gate < 5 then chr(10) || '// resurrected'
+                   when gate >= 15 and gate < 35 then chr(10) || '// rev 3'
+                   when gate >= 35 and gate < 60 then chr(10) || '// rev 2'
+                   else '' end as content
+          from keyed
+          where not (gate >= 5 and gate < 15)),
+        sh as (
+          select repo, path,
+                 unnest(case when len(toks) < 3
+                        then [array_to_string(toks, ' ')]
+                        else list_distinct(
+                          [array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, len(toks) - 1)])
+                        end) as sh
+          from (select repo, path,
+                       list_filter(
+                         regexp_split_to_array(lower(trim(content)), '\\s+'),
+                         t -> t != '') toks
+                from final)),
+        based as (
+          select repo, path,
+                 ('0x' || substring(md5(sh), 1, 8))::BIGINT % {_p} as base
+          from sh),
+        sig as (select repo, path,
+                   {_mins}
+                from based group by repo, path),
+        banded as (select repo, path, {_sig_csv} as sig_csv,
+               {_dix_bands}
+            from sig)
+        select repo, path, band, bucket, sig_csv as sig from (
+          {' union all '.join(f"select repo, path, {b} as band, band_{b} as bucket, sig_csv from banded" for b in range(bands))}
+        )
     """
     # GTID coverage: mirror of the synthetic domain-server-seq stream
     # (holes at event_id%97<3, replays at event_id%101==5).
