@@ -2027,6 +2027,31 @@ def q_sample_mixture(spark, sf):
 
 # --------------------------------------------------------------- analytics
 
+def q_sample_mixture_tokens(spark, sf):
+    """Weight-budgeted mixture balancing (sampling.mixture_sample with
+    weight_col): same water-filled targets as sample_mixture but the
+    budgeting unit is CHARACTER MASS (n_chars) — the unit a pretraining
+    mixture is actually specified in. Membership is the greedy prefix of
+    the canonical hash order whose preceding weight is under the
+    stratum's budget; exact to within one document, integer arithmetic
+    throughout, mirrored in closed form by the oracle."""
+    from mariadb_cdc_spark.functions.sampling import mixture_sample
+
+    s = mixture_sample(
+        _docs(spark, sf),
+        "lang",
+        {"en": 4000, "zh": 1500, "es": 1500, "de": 1500, "fr": 1500},
+        key_cols=["doc_id"],
+        weight_col="n_chars",
+    )
+    return s.select(
+        "doc_id",
+        "lang",
+        F.col("mixture_want").cast("long").alias("mixture_want"),
+        F.col("mixture_rank").cast("int").alias("mixture_rank"),
+    )
+
+
 def q_events_cohort_retention(spark, sf):
     """Cohort retention matrix over the change-event stream: users
     grouped by first-seen day x activity-day offset — one first-seen
@@ -2507,6 +2532,7 @@ QUERIES: dict[str, Callable] = {
     "emb_neardup": q_emb_neardup,
     "ann_ivf_probe": q_ann_ivf_probe,
     "sample_quota": q_sample_quota,
+    "sample_mixture_tokens": q_sample_mixture_tokens,
     "emb_quantize": q_emb_quantize,
     "emb_diversity": q_emb_diversity,
     "media_png_stats": q_media_png_stats,
@@ -3743,6 +3769,33 @@ def oracle_sql() -> dict[str, str]:
                    r.mixture_rank::INT as mixture_rank
             from r join w using (lang)
             where r.mixture_rank <= w.want
+        """,
+        "sample_mixture_tokens": """
+            with t(lang, t_bp) as (values
+                ('en', 4000), ('zh', 1500), ('es', 1500),
+                ('de', 1500), ('fr', 1500)),
+            c as (select lang, sum(n_chars)::BIGINT as n_s
+                  from documents group by 1),
+            j as (select c.lang, c.n_s, t.t_bp from c join t using (lang)),
+            ns as (select min(n_s * 10000 // t_bp) as n_star from j),
+            w as (select lang, (ns.n_star * t_bp) // 10000 as want
+                  from j, ns),
+            r as (select doc_id, lang, n_chars,
+                    row_number() over (partition by lang order by h, doc_id)
+                      as mixture_rank,
+                    coalesce(sum(n_chars) over
+                      (partition by lang order by h, doc_id
+                       rows between unbounded preceding and 1 preceding),
+                      0) as prior
+                  from (select *,
+                          ('0x' || substring(md5('mix' || chr(31)
+                            || doc_id::VARCHAR), 1, 15))::BIGINT as h
+                        from documents
+                        where lang in (select lang from t)))
+            select r.doc_id, r.lang, w.want::BIGINT as mixture_want,
+                   r.mixture_rank::INT as mixture_rank
+            from r join w using (lang)
+            where r.prior < w.want
         """,
         "sample_quota": """
             select doc_id, source, quota_rank::INT as quota_rank from (

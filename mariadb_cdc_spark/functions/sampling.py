@@ -201,6 +201,7 @@ def mixture_sample(
     key_cols: list[str],
     max_total: int | None = None,
     salt: str = "mix",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Mixture balancing: draw the LARGEST corpus whose stratum proportions
     match `targets_bp` (basis points, summing to <= 10000) exactly —
@@ -227,6 +228,15 @@ def mixture_sample(
 
     Returns the kept rows plus `mixture_rank` (1-based rank within the
     stratum) and `mixture_want` (the stratum's computed take).
+
+    `weight_col` switches the budgeting unit from documents to an integer
+    per-row weight (token or char count) — the unit a pretraining mixture
+    is actually specified in. Mass, N*, and the takes become weight sums,
+    and membership is the greedy prefix of the SAME hash order: a row is
+    kept iff the total weight hashed BEFORE it in its stratum is under
+    the stratum's budget (so proportions are exact to within one
+    document). One extra window cumsum on the stratum key — same shuffle
+    the rank already pays.
     """
     from pyspark.sql import Window
 
@@ -234,7 +244,12 @@ def mixture_sample(
     tdf = df.sparkSession.createDataFrame(
         targets, f"{strata_col} string, _t_bp long"
     )
-    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n_s"))
+    mass = (
+        F.count(F.lit(1)).alias("_n_s")
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("long")).alias("_n_s")
+    )
+    counts = df.groupBy(strata_col).agg(mass)
     j = counts.join(F.broadcast(tdf), strata_col)
     cap = (
         F.expr(f"(_n_s * {BP_SCALE}) div _t_bp")
@@ -260,11 +275,23 @@ def mixture_sample(
     w = Window.partitionBy(strata_col).orderBy(
         "_h60", *[F.col(c) for c in key_cols]
     )
-    return (
+    ranked = (
         df.withColumn("_h60", h60)
         .join(F.broadcast(wants), strata_col)
         .withColumn("mixture_rank", F.row_number().over(w))
-        .where(F.col("mixture_rank") <= F.col("_want"))
+    )
+    if weight_col is None:
+        keep = F.col("mixture_rank") <= F.col("_want")
+    else:
+        wt = F.col(weight_col).cast("long")
+        prior = F.coalesce(
+            F.sum(wt).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        ranked = ranked.withColumn("_prior_weight", prior)
+        keep = F.col("_prior_weight") < F.col("_want")
+    return (
+        ranked.where(keep)
         .withColumnRenamed("_want", "mixture_want")
-        .drop("_h60")
+        .drop("_h60", "_prior_weight")
     )

@@ -52,3 +52,27 @@ def test_membership_invariant_under_repartition(spark):
     ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
     ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
     assert ids_a == ids_b and len(ids_a) == 50
+
+
+def test_weighted_mixture_budgets_by_mass(spark):
+    # en: 4 docs weight 10 each (mass 40); fr: 2 docs weight 5 (mass 10)
+    rows = [(i, "en", 10) for i in range(4)] + [(10 + i, "fr", 5) for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    # targets en 60% / fr 40% -> fr binds: N* = 10*10000//4000 = 25
+    # wants: en 15 (mass), fr 10 (mass)
+    out = mixture_sample(
+        df, "lang", {"en": 6000, "fr": 4000}, ["doc_id"], weight_col="w"
+    )
+    got = {
+        r.lang: (r.n, r.mass)
+        for r in out.groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("w").alias("mass"))
+        .collect()
+    }
+    # greedy prefix: en keeps 2 docs (prior 0,10 < 15; third has prior 20)
+    assert got == {"en": (2, 20), "fr": (2, 10)}
+    wants = {
+        r.lang: r.mixture_want
+        for r in out.select("lang", "mixture_want").distinct().collect()
+    }
+    assert wants == {"en": 15, "fr": 10}
