@@ -452,7 +452,7 @@ def q_cdc_change_rates(spark, sf):
     )
 
 
-def _typed_lake_table(spark, sf, events_transform=None):
+def _typed_lake_table(spark, sf, events_transform=None, cfg_kwargs=None):
     """K1-K7 wire-type decode end-to-end: binlog events whose row images are
     HEX WIRE BYTES (NEWDECIMAL packed-BCD, DATETIME2/TIME2/TIMESTAMP2
     bitfields, packed DATE, BIT, ENUM/SET via FullMeta labels, IEEE DOUBLE,
@@ -479,7 +479,12 @@ def _typed_lake_table(spark, sf, events_transform=None):
     table = LakeTable.create(
         spark, f"{tmp}/metrics", schema, ["id"], n_buckets=8
     )
-    cfg = CdcConfig(database=MAIN_DATABASE, table=TYPED_TABLE, keys=["id"])
+    cfg = CdcConfig(
+        database=MAIN_DATABASE,
+        table=TYPED_TABLE,
+        keys=["id"],
+        **(cfg_kwargs or {}),
+    )
     apply_batch(events, table, cfg, stream_id="typed", batch_id=0)
     return table.read()
 
@@ -655,6 +660,29 @@ def q_cdc_compressed_events(spark, sf):
     return typed.withColumn("price", F.col("price").cast("string")).crossJoin(
         F.broadcast(n_events)
     )
+
+
+def q_cdc_masked_apply(spark, sf):
+    """Column masking at ingest (operators.mask via
+    CdcConfig.column_masks): the typed wire stream lands with `name`
+    pseudonymized (sha256, join-stable), `label` redacted, and `payload`
+    truncated to its last 4 hex chars — the protected plaintexts never
+    reach the lake (Debezium's column.mask/column.hash SMTs; the
+    reference has no equivalent). The masking stage is a pure Catalyst
+    map-transform added to the plan only when configured. Oracle = the
+    typed-decode closed form with the same masks applied in SQL."""
+    typed = _typed_lake_table(
+        spark,
+        sf,
+        cfg_kwargs={
+            "column_masks": {
+                "name": "sha256",
+                "label": "redact",
+                "payload": "last4",
+            }
+        },
+    )
+    return typed.withColumn("price", F.col("price").cast("string"))
 
 
 def q_cdc_gtid_coverage(spark, sf):
@@ -2533,6 +2561,7 @@ QUERIES: dict[str, Callable] = {
     "ann_ivf_probe": q_ann_ivf_probe,
     "sample_quota": q_sample_quota,
     "sample_mixture_tokens": q_sample_mixture_tokens,
+    "cdc_masked_apply": q_cdc_masked_apply,
     "emb_quantize": q_emb_quantize,
     "emb_diversity": q_emb_diversity,
     "media_png_stats": q_media_png_stats,
@@ -4027,6 +4056,14 @@ def oracle_sql() -> dict[str, str]:
         "select *, (select count(*) from documents)"
         " + (select count(*) from documents where doc_id % 5 < 2)"
         " as n_compressed_events from ("
+        + oracles["cdc_typed_decode"]
+        + ")"
+    )
+    # Masked apply: the typed closed form with the same masks in SQL
+    # (sha256/redact/last4 on the decoded canonical strings).
+    oracles["cdc_masked_apply"] = (
+        "select * replace (sha256(name) as name, '***' as label,"
+        " '***' || right(payload, 4) as payload) from ("
         + oracles["cdc_typed_decode"]
         + ")"
     )

@@ -95,6 +95,10 @@ class CdcConfig:
     # inside apply_batch so a replayed batch's IVM diff never reaches an
     # expired snapshot). None = keep full history.
     retain_versions: int | None = None
+    # Column masking at ingest (operators.mask): {column -> mode} applied
+    # to decoded before/after images so protected values never reach the
+    # lake or changes_sink. None = stage absent from the plan.
+    column_masks: dict[str, str] | None = None
 
 
 def decoded_changes(
@@ -157,6 +161,10 @@ def decoded_changes(
         ).isEmpty()
     if wire_decode:
         changes = decode_wire_images(changes)
+    if cfg.column_masks:
+        from .operators.mask import mask_images
+
+        changes = mask_images(changes, cfg.column_masks)
     include = cfg.included_tables
     if include is None:
         include = [f"{cfg.database}.{cfg.table}"]
