@@ -357,6 +357,7 @@ def incremental_lsh_matches(
     bands: int = 4,
     threshold: float = 0.5,
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup detection for an ARRIVING batch against an existing
     corpus index (build_lsh_index rows) — the CDC-side of dedup: as
@@ -368,7 +369,16 @@ def incremental_lsh_matches(
     (bucket-pruned if the index is stored bucketed on that key), and the
     Jaccard refinement is a zip_with over the denormalized signatures —
     no joins back to the corpus, no corpus x corpus anything. Returns
-    (new_id, old_id, est_jaccard) distinct pairs at/above threshold."""
+    (new_id, old_id, est_jaccard) distinct pairs at/above threshold.
+
+    `max_bucket_size` is the skew guard for boilerplate-heavy corpora: a
+    bucket shared by 10^6 near-identical docs (license headers, templated
+    pages) would turn the probe join into a hot partition. Buckets whose
+    INDEX population exceeds the cap are dropped from the probe (the
+    standard saturated-bucket rule in production LSH) — a doc matching
+    only through a saturated bucket is boilerplate-dup by definition and
+    is better handled by an exact/passage pass. The cap costs one
+    map-side-combined count over the index keyed exactly like the join."""
     sig = minhash_signature(new_docs, text_col, n, num_hashes, id_col)
     sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig")
     probes = lsh_buckets(sig, num_hashes, bands).join(
@@ -380,6 +390,14 @@ def incremental_lsh_matches(
         F.col("id").alias("old_id"),
         F.col("sig").alias("old_sig"),
     )
+    if max_bucket_size is not None:
+        ok_buckets = (
+            index.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        old = old.join(ok_buckets, ["band", "bucket"], "left_semi")
     hits = (
         probes.join(old, ["band", "bucket"])
         .where(F.col("id") != F.col("old_id"))

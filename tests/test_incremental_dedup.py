@@ -61,3 +61,30 @@ def test_index_appends_cover_second_batch(spark):
         elif b2_ and not a2:
             want.add((r.id_b, r.id_a))
     assert got == want
+
+
+def test_saturated_bucket_cap(spark):
+    """A bucket holding more than max_bucket_size index entries is dropped
+    from the probe; normal buckets still match."""
+    from mariadb_cdc_spark.functions.dedup import (
+        build_lsh_index,
+        incremental_lsh_matches,
+    )
+
+    boiler = "permission is hereby granted free of charge to any person"
+    uniq = "completely different words describing a unique document body"
+    old = spark.createDataFrame(
+        [(i, boiler) for i in range(20)] + [(100, uniq)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(200, boiler), (201, uniq)], "doc_id long, text string"
+    )
+    idx = build_lsh_index(old)
+    uncapped = incremental_lsh_matches(new, idx, threshold=0.5)
+    assert uncapped.where(F.col("new_id") == 200).count() == 20
+    capped = incremental_lsh_matches(new, idx, threshold=0.5,
+                                     max_bucket_size=5)
+    got = {(r.new_id, r.old_id) for r in capped.collect()}
+    assert (201, 100) in got          # unique doc still matches its source
+    assert not any(n == 200 for n, _ in got)  # boilerplate bucket saturated
