@@ -133,3 +133,61 @@ def test_maintained_index_is_probeable(spark, sf_dir, tmp_path):
     for new_id, src in srcs.items():
         assert src in by_new.get(new_id, set())
     assert all(r.est_jaccard >= 0.5 for r in rows)
+
+
+def test_streaming_epochs_maintain_index(spark, sf_dir, tmp_path):
+    """Real Structured Streaming loop: each applied epoch advances the
+    index from that epoch's version hop via the lifecycle on_batch hook —
+    the production wiring of maintain_lsh_index."""
+    from mariadb_cdc_spark.streaming.stream import (
+        CdcLifecycleListener,
+        start_cdc_stream,
+    )
+
+    repo = repo_table(spark, sf_dir)
+    events = generate_events(repo, include_audit=False).cache()
+    b0, b1 = _split_by_wave(events, repo.count(), max_wave_b0=0)
+    src = str(tmp_path / "src")
+    b0.coalesce(1).write.parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    base = LakeTable.create(
+        spark, str(tmp_path / "docs"), REPO_SCHEMA, MERGE_KEYS, n_buckets=8
+    )
+    idx = _index_table(spark, str(tmp_path / "idx"))
+
+    class IndexMaintainer(CdcLifecycleListener):
+        def __init__(self):
+            self.prev_version = base.metadata()["version"]
+
+        def on_batch(self, epoch, metrics):
+            v = metrics.get("version")
+            if v is None or v == self.prev_version:
+                return
+            maintain_lsh_index(
+                idx, base, self.prev_version, v, batch_id=epoch
+            )
+            self.prev_version = v
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_cdc_stream(
+        stream,
+        base,
+        CdcConfig(),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        lifecycle=IndexMaintainer(),
+    )
+    q.awaitTermination(180)
+
+    docs = base.read().select(
+        F.concat_ws("\x1f", *MERGE_KEYS).alias("_id"), "content"
+    )
+    want = {
+        (r.id, r.band, r.bucket, ",".join(str(x) for x in r.sig))
+        for r in build_lsh_index(docs, text_col="content", id_col="_id").collect()
+    }
+    assert _as_set(read_lsh_index(idx, MERGE_KEYS)) == want and want
