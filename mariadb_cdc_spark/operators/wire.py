@@ -144,8 +144,20 @@ def frame_events(events: DataFrame, frame_col: str = "frame_hex") -> DataFrame:
 
     Pure Catalyst: string/hex projections plus the JVM `crc32`; one
     narrow stage, no shuffle, codegen throughout.
+
+    Extension columns beyond EVENT_SCHEMA that the stream carries (e.g.
+    `compressed_payload` on a log_bin_compress stream) ride the body too:
+    to_json base64-encodes binary, so a compressed stream archives and
+    replays losslessly (see unframe_events' extra_fields).
     """
-    body_str = F.to_json(F.struct(*[F.col(c) for c in _BODY_COLUMNS]))
+    body_cols = _BODY_COLUMNS + [
+        c
+        for c in events.columns
+        if c not in _BODY_COLUMNS
+        and c not in ("server_id", "binlog_file", "binlog_pos", "event_type",
+                      "ts", frame_col)
+    ]
+    body_str = F.to_json(F.struct(*[F.col(c) for c in body_cols]))
     body_hex = F.lower(F.hex(F.encode(body_str, "UTF-8")))
     event_size = F.lit(HEADER_BYTES) + F.length(body_hex) / 2 + F.lit(CRC_BYTES)
     header_hex = F.concat(
@@ -215,18 +227,29 @@ def checksum_stats(verified: DataFrame) -> DataFrame:
     )
 
 
-def unframe_events(framed: DataFrame, frame_col: str = "frame_hex") -> DataFrame:
+def unframe_events(
+    framed: DataFrame,
+    frame_col: str = "frame_hex",
+    extra_fields: list | None = None,
+) -> DataFrame:
     """Parse frames back into EVENT_SCHEMA rows (BinLogHeader.java:3-75
     header parse + body JSON), dropping nothing: the inverse of
-    `frame_events` for every frame that verifies 'ok'."""
+    `frame_events` for every frame that verifies 'ok'. `extra_fields`
+    (list of StructField) recovers extension columns the producer framed
+    beyond EVENT_SCHEMA — e.g.
+    `[T.StructField("compressed_payload", T.BinaryType())]` for a
+    log_bin_compress stream (to_json/from_json round-trip binary as
+    base64)."""
     frame = F.col(frame_col)
     n = F.length(frame)
     body_hex = F.substring(
         frame, 2 * HEADER_BYTES + 1, (n - 2 * (HEADER_BYTES + CRC_BYTES)).cast("int")
     )
     body_str = F.decode(F.unhex(body_hex), "UTF-8")
+    extra_fields = list(extra_fields or [])
     body_schema = T.StructType(
         [f for f in EVENT_SCHEMA.fields if f.name in _BODY_COLUMNS]
+        + extra_fields
     )
     code = F.conv(F.substring(frame, 9, 2), 16, 10).cast("int")
     type_expr = F.lit(None).cast("string")
@@ -240,14 +263,15 @@ def unframe_events(framed: DataFrame, frame_col: str = "frame_hex") -> DataFrame
         F.timestamp_seconds(_le_long(F.substring(frame, 1, 8), 4)).alias("ts"),
         F.from_json(body_str, body_schema).alias("body"),
     )
+    extra_names = [f.name for f in extra_fields]
     return parsed.select(
         "server_id",
         "binlog_file",
         "binlog_pos",
         "event_type",
         "ts",
-        *[F.col(f"body.{c}").alias(c) for c in _BODY_COLUMNS],
-    ).select(*[f.name for f in EVENT_SCHEMA.fields])
+        *[F.col(f"body.{c}").alias(c) for c in _BODY_COLUMNS + extra_names],
+    ).select(*([f.name for f in EVENT_SCHEMA.fields] + extra_names))
 
 
 # ---------------------------------------------------------------- compressed

@@ -189,3 +189,28 @@ def test_poisoned_compressed_payload_contained(spark, typed_events):
     assert back.where(~F.col("decompress_error") & (F.col("event_type") == "WRITE_ROWS")).count() == n_docs - sum(
         1 for d in range(n_docs) if d % 11 == 0
     )
+
+
+def test_compressed_stream_archives_losslessly(spark, typed_events):
+    """A log_bin_compress stream frames/unframes with its compressed
+    payloads intact (base64 through the JSON body) and still inflates to
+    the original images after the archive round trip."""
+    from pyspark.sql import types as T
+
+    comp = compress_rows_events(typed_events)
+    framed = frame_events(comp)
+    assert (
+        verify_event_checksums(framed)
+        .where(F.col("frame_status") != "ok")
+        .count()
+        == 0
+    )
+    back = unframe_events(
+        framed,
+        extra_fields=[T.StructField("compressed_payload", T.BinaryType())],
+    )
+    restored = decompress_rows_events(back)
+    assert restored.where(F.col("decompress_error")).count() == 0
+    a = typed_events.select(*_cmp_cols())
+    b = restored.select(*_cmp_cols())
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
