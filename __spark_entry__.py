@@ -1922,6 +1922,35 @@ def q_decontaminate(spark, sf):
     return decontaminate(tr, ev, n=5, min_hits=1)
 
 
+def q_decontaminate_fuzzy(spark, sf):
+    """NEAR-duplicate eval contamination (the gap exact n-gram
+    decontamination misses: paraphrased/lightly-edited eval leakage).
+    Same deterministic 10% eval split as `decontaminate`; the eval set
+    is indexed ONCE (dedup.build_lsh_index — at production scale the
+    persistable index the derived-state path maintains) and every train
+    doc probes it by banded equi-join (incremental_lsh_matches):
+    O(train + collisions), never train x eval. Returns the flagged
+    (train, eval) pairs with estimated Jaccard."""
+    from mariadb_cdc_spark.functions.dedup import (
+        build_lsh_index,
+        incremental_lsh_matches,
+    )
+    from mariadb_cdc_spark.functions.sampling import _hash_bp
+
+    d = _docs(spark, sf)
+    bp = _hash_bp([F.col("doc_id").cast("string")], "decon-eval")
+    ev = d.where(bp < 1000)
+    tr = d.where(bp >= 1000)
+    idx = build_lsh_index(ev, n=3, num_hashes=16, bands=4)
+    m = incremental_lsh_matches(tr, idx, n=3, num_hashes=16, bands=4,
+                                threshold=0.5)
+    return m.select(
+        F.col("new_id").alias("train_id"),
+        F.col("old_id").alias("eval_id"),
+        "est_jaccard",
+    )
+
+
 def q_emb_kmeans(spark, sf):
     """IVF index BUILD: distributed Lloyd's k-means over the embedding
     table (similarity.kmeans_assign) — deterministic hash seeding, rounded
@@ -2592,6 +2621,7 @@ QUERIES: dict[str, Callable] = {
     "text_unigram_lm": q_text_unigram_lm,
     "text_bpe_pairs": q_text_bpe_pairs,
     "decontaminate": q_decontaminate,
+    "decontaminate_fuzzy": q_decontaminate_fuzzy,
     # r3-driver-green rows rotated past position 50 to make window room for
     # the round-4 additions (checksum/compressed/gtid); each keeps its green
     # CORRECTNESS_r03 row.
@@ -4059,6 +4089,33 @@ def oracle_sql() -> dict[str, str]:
         + oracles["cdc_typed_decode"]
         + ")"
     )
+    # Fuzzy decontamination: banded new-vs-old pairs restricted to the
+    # train x eval split (same md5 basis-point split as `decontaminate`).
+    oracles["decontaminate_fuzzy"] = f"""
+        with {_minhash_cte(num_hashes)},
+        banded as (select id, {band_exprs} from sig),
+        stacked as (
+          {' union all '.join(f"select id, {b} as band, band_{b} as bucket from banded" for b in range(bands))}),
+        split as (select id,
+                    (('0x' || substring(md5('decon-eval' || chr(31)
+                       || id::VARCHAR), 1, 15))::BIGINT % 10000 < 1000)
+                    as is_eval
+                  from sig),
+        cands as (select distinct a.id as train_id, b.id as eval_id
+                  from stacked a
+                  join split sa on a.id = sa.id and not sa.is_eval
+                  join stacked b
+                    on a.band = b.band and a.bucket = b.bucket
+                  join split sb on b.id = sb.id and sb.is_eval)
+        select train_id, eval_id,
+               round(({agree.replace('sa.', 'na.').replace('sb.', 'ob.')})
+                     * 1.0 / {num_hashes}, 6) as est_jaccard
+        from cands
+        join sig na on train_id = na.id
+        join sig ob on eval_id = ob.id
+        where ({agree.replace('sa.', 'na.').replace('sb.', 'ob.')})
+              * 1.0 / {num_hashes} >= 0.5
+    """
     # Masked apply: the typed closed form with the same masks in SQL
     # (sha256/redact/last4 on the decoded canonical strings).
     oracles["cdc_masked_apply"] = (
