@@ -1473,6 +1473,25 @@ def q_dedup_incremental(spark, sf):
     )
 
 
+def q_dedup_containment(spark, sf):
+    """Exact-set refinement of the LSH candidates
+    (dedup.containment_refine): true Jaccard plus BOTH asymmetric
+    containment scores — the doc-quoted-inside-doc case symmetric
+    similarity misses. Shingle work is semi-joined down to candidate
+    docs (O(candidates), never O(corpus)); overlap is one
+    (pair, shingle)-keyed join with map-side combine."""
+    from mariadb_cdc_spark.functions.dedup import (
+        containment_refine,
+        minhash_lsh_candidates,
+        minhash_signature,
+    )
+
+    docs = _docs(spark, sf)
+    sig = minhash_signature(docs, n=3, num_hashes=16)
+    pairs = minhash_lsh_candidates(sig, num_hashes=16, bands=4)
+    return containment_refine(docs, pairs, n=3)
+
+
 def q_dedup_groups(spark, sf):
     """Transitive near-dup groups: LSH pairs -> connected components
     (iterative min-label propagation; DuckDB oracle = recursive CTE)."""
@@ -2622,6 +2641,7 @@ QUERIES: dict[str, Callable] = {
     "text_bpe_pairs": q_text_bpe_pairs,
     "decontaminate": q_decontaminate,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
+    "dedup_containment": q_dedup_containment,
     # r3-driver-green rows rotated past position 50 to make window room for
     # the round-4 additions (checksum/compressed/gtid); each keeps its green
     # CORRECTNESS_r03 row.
@@ -4089,6 +4109,35 @@ def oracle_sql() -> dict[str, str]:
         + oracles["cdc_typed_decode"]
         + ")"
     )
+    # Exact containment refinement of the banded candidates: shingle-set
+    # overlap vs both set sizes.
+    oracles["dedup_containment"] = f"""
+        with {_minhash_cte(num_hashes)},
+        banded as (select id, {band_exprs} from sig),
+        stacked as (
+          {' union all '.join(f"select id, {b} as band, band_{b} as bucket from banded" for b in range(bands))}),
+        cands as (select distinct a.id id_a, b.id id_b
+                  from stacked a join stacked b
+                    on a.band = b.band and a.bucket = b.bucket
+                   and a.id < b.id),
+        ssh as ({_SHINGLES}),
+        sizes as (select doc_id, count(*) as n_sh from ssh group by 1),
+        ov as (select c.id_a, c.id_b, count(*) as ovn
+               from cands c
+               join ssh a on a.doc_id = c.id_a
+               join ssh b on b.doc_id = c.id_b and b.sh = a.sh
+               group by 1, 2)
+        select c.id_a, c.id_b,
+               round(coalesce(ovn, 0) * 1.0
+                     / (sa.n_sh + sb.n_sh - coalesce(ovn, 0)), 6)
+                 as exact_jaccard,
+               round(coalesce(ovn, 0) * 1.0 / sa.n_sh, 6) as containment_a,
+               round(coalesce(ovn, 0) * 1.0 / sb.n_sh, 6) as containment_b
+        from cands c
+        left join ov on c.id_a = ov.id_a and c.id_b = ov.id_b
+        join sizes sa on c.id_a = sa.doc_id
+        join sizes sb on c.id_b = sb.doc_id
+    """
     # Fuzzy decontamination: banded new-vs-old pairs restricted to the
     # train x eval split (same md5 basis-point split as `decontaminate`).
     oracles["decontaminate_fuzzy"] = f"""

@@ -421,6 +421,66 @@ def incremental_lsh_matches(
     )
 
 
+def containment_refine(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-set refinement for CANDIDATE pairs: true Jaccard plus the
+    ASYMMETRIC containment scores |A∩B|/|A| and |A∩B|/|B| that symmetric
+    similarity misses — a short document wholly quoted inside a long one
+    has low Jaccard but containment 1.0 (the quote/boilerplate-inclusion
+    case ExactSubstr counts at span level; this scores it at doc level).
+
+    Scale shape: the pair list is the (small) LSH candidate output, so
+    the shingle stream is first semi-joined down to documents that
+    appear in any pair — exact set work is O(candidate docs' shingles),
+    never O(corpus); overlap counting is one join keyed (pair, shingle)
+    with map-side combine; sizes ride a broadcast."""
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(F.col(text_col), n)).alias("sh"),
+        )
+        .join(ids, "id", "left_semi")
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    ov = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_ov"))
+    )
+    sa = F.broadcast(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("_na")))
+    sb = F.broadcast(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("_nb")))
+    o = F.coalesce(F.col("_ov"), F.lit(0))
+    return (
+        pairs.join(ov, ["id_a", "id_b"], "left")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(o / (F.col("_na") + F.col("_nb") - o), 6).alias(
+                "exact_jaccard"
+            ),
+            F.round(o / F.col("_na"), 6).alias("containment_a"),
+            F.round(o / F.col("_nb"), 6).alias("containment_b"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- SimHash
 
 def simhash(

@@ -88,3 +88,28 @@ def test_saturated_bucket_cap(spark):
     got = {(r.new_id, r.old_id) for r in capped.collect()}
     assert (201, 100) in got          # unique doc still matches its source
     assert not any(n == 200 for n, _ in got)  # boilerplate bucket saturated
+
+
+def test_containment_scores_hand_case(spark):
+    """A short doc fully contained in a long one: containment 1.0 on the
+    short side, exact Jaccard well below it."""
+    from mariadb_cdc_spark.functions.dedup import containment_refine
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    long_doc = quote + " while seventeen additional tokens pad this text out to a much longer document body"
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = containment_refine(docs, pairs, n=3).collect()[0]
+    # quote has 7 shingles (9 tokens, n=3), all present in long_doc
+    assert r.containment_a == 1.0
+    assert r.containment_b < 1.0
+    assert r.exact_jaccard == r.containment_b  # A subset of B
+    # zero-overlap candidate pair survives with 0 scores
+    docs2 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    z = containment_refine(docs2, pairs, n=3).collect()[0]
+    assert (z.exact_jaccard, z.containment_a, z.containment_b) == (0.0, 0.0, 0.0)
