@@ -662,6 +662,36 @@ def q_cdc_compressed_events(spark, sf):
     )
 
 
+def q_cdc_chain_audit(spark, sf):
+    """Binlog file-chain completeness audit (operators.audit.
+    binlog_chain_audit): a lost archive/relay file is invisible to
+    position checkpoints (they only see files that arrived) and to the
+    reference's push-based tailing; span arithmetic over the distinct
+    file numbers per server surfaces the missing mass plus the first
+    missing number for re-fetch. Stream: per-server file chains derived
+    from the events table with file 3 deterministically lost on server 1
+    and server 2's chain starting later (both patterns must be told
+    apart: a late first file is NOT a gap). Oracle mirrors with a lag
+    window."""
+    from mariadb_cdc_spark.operators.audit import binlog_chain_audit
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select("event_id")
+    env = ev.select(
+        (F.col("event_id") % 3).alias("server_id"),
+        (F.col("event_id") % 7 + 1).alias("f"),
+    ).where(
+        ~((F.col("server_id") == 1) & (F.col("f") == 3))
+        & ~((F.col("server_id") == 2) & (F.col("f") <= 2))
+    )
+    env = env.select(
+        "server_id",
+        F.concat(F.lit("bin."), F.lpad(F.col("f").cast("string"), 6, "0")).alias(
+            "binlog_file"
+        ),
+    )
+    return binlog_chain_audit(env)
+
+
 def q_cdc_masked_apply(spark, sf):
     """Column masking at ingest (operators.mask via
     CdcConfig.column_masks): the typed wire stream lands with `name`
@@ -2610,6 +2640,7 @@ QUERIES: dict[str, Callable] = {
     "sample_quota": q_sample_quota,
     "sample_mixture_tokens": q_sample_mixture_tokens,
     "cdc_masked_apply": q_cdc_masked_apply,
+    "cdc_chain_audit": q_cdc_chain_audit,
     "emb_quantize": q_emb_quantize,
     "emb_diversity": q_emb_diversity,
     "media_png_stats": q_media_png_stats,
@@ -4164,6 +4195,33 @@ def oracle_sql() -> dict[str, str]:
         join sig ob on eval_id = ob.id
         where ({agree.replace('sa.', 'na.').replace('sb.', 'ob.')})
               * 1.0 / {num_hashes} >= 0.5
+    """
+    # Chain audit: span arithmetic + lag window over the synthetic
+    # per-server file chains (server 1 loses file 3; server 2 starts at 3).
+    oracles["cdc_chain_audit"] = """
+        with env as (
+          select event_id % 3 as server_id, event_id % 7 + 1 as f
+          from events
+          where not (event_id % 3 = 1 and event_id % 7 + 1 = 3)
+            and not (event_id % 3 = 2 and event_id % 7 + 1 <= 2)
+        ),
+        files as (select distinct server_id, f from env),
+        base as (select server_id, count(*) as n_files,
+                        min(f) as first_file, max(f) as last_file
+                 from files group by 1),
+        g as (select server_id, min(f) + 1 as first_missing
+              from (select *, lead(f) over
+                      (partition by server_id order by f) as nxt
+                    from files)
+              where nxt > f + 1 group by 1)
+        select b.server_id::BIGINT as server_id,
+               b.n_files::BIGINT as n_files,
+               b.first_file::BIGINT as first_file,
+               b.last_file::BIGINT as last_file,
+               (b.last_file - b.first_file + 1 - b.n_files)::BIGINT
+                 as n_missing,
+               g.first_missing::BIGINT as first_missing
+        from base b left join g using (server_id)
     """
     # Masked apply: the typed closed form with the same masks in SQL
     # (sha256/redact/last4 on the decoded canonical strings).

@@ -238,3 +238,21 @@ def test_drift_report_property_random_mutations(spark):
             ).collect()
         }
         assert got == want, f"seed={seed}"
+
+
+def test_binlog_chain_audit_gaps_vs_late_start(spark):
+    """A numeric gap inside a server's chain is missing mass; a chain
+    that simply STARTS later is not."""
+    from mariadb_cdc_spark.operators.audit import binlog_chain_audit
+
+    rows = (
+        [(0, f"bin.{n:06d}") for n in (1, 2, 3, 4)]          # clean
+        + [(1, f"bin.{n:06d}") for n in (1, 2, 5, 6)]        # lost 3,4
+        + [(2, f"bin.{n:06d}") for n in (7, 8)]              # late start
+    )
+    # duplicates (many events per file) must not distort counts
+    df = spark.createDataFrame(rows * 3, "server_id long, binlog_file string")
+    got = {r.server_id: r for r in binlog_chain_audit(df).collect()}
+    assert (got[0].n_files, got[0].n_missing, got[0].first_missing) == (4, 0, None)
+    assert (got[1].n_files, got[1].n_missing, got[1].first_missing) == (4, 2, 3)
+    assert (got[2].first_file, got[2].n_missing) == (7, 0)
