@@ -470,6 +470,59 @@ def apply_batch(
     return total
 
 
+class BatchAuditFailed(RuntimeError):
+    """Raised by apply_batch_audited after rolling the batch back."""
+
+    def __init__(self, problems, rolled_back_to: int):
+        super().__init__(
+            f"batch audit failed ({problems}); rolled back to "
+            f"version {rolled_back_to}"
+        )
+        self.problems = problems
+        self.rolled_back_to = rolled_back_to
+
+
+def apply_batch_audited(
+    events: DataFrame,
+    table,
+    cfg: CdcConfig,
+    audit,
+    *,
+    stream_id: str = "default",
+    batch_id: int | None = None,
+    **kwargs,
+) -> dict:
+    """Audit-gated apply — the write-audit-publish discipline composed
+    from the engine's existing commit primitives: apply the batch, run
+    `audit(table, result)` over the COMMITTED candidate state, and if it
+    returns problems (any truthy value) roll the table back to the
+    pre-batch snapshot (LakeTable.rollback: a new metadata-only commit;
+    the batch's exactly-once marker reopens with it, so the corrected
+    batch can re-apply under the SAME (stream_id, batch_id)) and raise
+    BatchAuditFailed.
+
+    Honest trade-off vs Iceberg's staged-WAP: the candidate version is
+    briefly visible to readers between commit and rollback (snapshot
+    isolation means in-flight readers are unaffected; new readers in
+    that window see the candidate). In exchange the gate needs no second
+    commit path — audit failure costs one metadata-only commit, and the
+    whole flow inherits the concurrency/replay safety of the primitives
+    it composes. Pin the pre-batch version with a tag first if operator
+    forensics need it.
+    """
+    pre = table.metadata()["version"]
+    res = apply_batch(
+        events, table, cfg, stream_id=stream_id, batch_id=batch_id, **kwargs
+    )
+    if res.get("skipped"):
+        return res
+    problems = audit(table, res)
+    if problems:
+        table.rollback(pre)
+        raise BatchAuditFailed(problems, pre)
+    return res
+
+
 def apply_batch_multi(
     events: DataFrame,
     tables: dict[tuple[str, str], tuple[LakeTable, list[str]]],
