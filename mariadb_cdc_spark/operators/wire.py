@@ -245,7 +245,12 @@ def unframe_events(
     body_hex = F.substring(
         frame, 2 * HEADER_BYTES + 1, (n - 2 * (HEADER_BYTES + CRC_BYTES)).cast("int")
     )
-    body_str = F.decode(F.unhex(body_hex), "UTF-8")
+    # cast, not decode(..,'UTF-8'): decode THROWS on malformed bytes, and
+    # Catalyst may reorder a downstream filter on a body-derived column
+    # ahead of the caller's frame_status filter (conjunct order is
+    # unspecified for deterministic predicates) — a corrupt frame must
+    # yield null fields on that path, never a task failure.
+    body_str = F.unhex(body_hex).cast("string")
     extra_fields = list(extra_fields or [])
     body_schema = T.StructType(
         [f for f in EVENT_SCHEMA.fields if f.name in _BODY_COLUMNS]

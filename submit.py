@@ -57,6 +57,9 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--events", help="dir of binlog-shaped parquet events")
+    src.add_argument("--frames", help="dir of a CRC-sealed frame archive "
+                     "(operators.wire.write_frame_archive layout); frames "
+                     "failing the integrity gate are dropped and counted")
     src.add_argument("--generate", metavar="SF_DIR",
                      help="synthesize events from SF_DIR/documents.parquet")
     src.add_argument("--maintenance", action="store_true",
@@ -151,10 +154,24 @@ def main(argv: list[str] | None = None) -> int:
     )
     cfg = CdcConfig(retain_versions=args.retain_versions)
 
+    quarantined = None
     if args.streaming:
-        if not (args.events and args.checkpoint):
-            ap.error("--streaming requires --events and --checkpoint")
-        events = read_event_stream(spark, args.events)
+        if not ((args.events or args.frames) and args.checkpoint):
+            ap.error("--streaming requires --events or --frames, "
+                     "and --checkpoint")
+        if args.frames:
+            from mariadb_cdc_spark.operators.wire import (
+                FRAME_ARCHIVE_SCHEMA,
+                framed_to_events,
+            )
+
+            events = framed_to_events(
+                spark.readStream.schema(FRAME_ARCHIVE_SCHEMA).parquet(
+                    args.frames
+                )
+            )
+        else:
+            events = read_event_stream(spark, args.events)
         q = start_cdc_stream(
             events, table, cfg,
             checkpoint_dir=args.checkpoint, stream_id=args.stream_id,
@@ -167,17 +184,31 @@ def main(argv: list[str] | None = None) -> int:
             events = generate_events(
                 repo_table(spark, args.generate), include_audit=False
             )
+        elif args.frames:
+            from mariadb_cdc_spark.operators.wire import (
+                frame_quarantine,
+                framed_to_events,
+            )
+
+            framed = spark.read.parquet(args.frames)
+            events = framed_to_events(framed)
+            quarantined = [
+                r.asDict() for r in frame_quarantine(framed).collect()
+            ]
         else:
             events = spark.read.parquet(args.events)
         apply_batch(events, table, cfg, stream_id=args.stream_id, batch_id=0)
 
     meta = table.metadata()
-    print(json.dumps({
+    out = {
         "table": args.table,
         "version": meta["version"],
         "n_rows": meta["metrics"].get("n_rows"),
         "lineage": table.lineage(),
-    }))
+    }
+    if quarantined is not None:
+        out["frames_quarantined"] = quarantined
+    print(json.dumps(out))
     return 0
 
 

@@ -122,3 +122,68 @@ def test_spark_submit_streaming(spark, tmp_path):
     from mariadb_cdc_spark.sources.lake import LakeTable
 
     assert LakeTable(spark, table_path).read().count() == 444
+
+
+def test_spark_submit_frames_archive(spark, tmp_path):
+    """--frames mode: a CRC-sealed frame archive (with a few corrupted
+    heartbeat frames) ingests through real spark-submit; corrupt frames
+    are dropped, counted in the output report, and — being heartbeats —
+    leave the final state identical to the plain batch run."""
+    from pyspark.sql import functions as F
+
+    from mariadb_cdc_spark.gen import generate_events, repo_table
+    from mariadb_cdc_spark.operators.wire import frame_events
+
+    workdir = str(tmp_path / "job")
+    os.makedirs(workdir)
+    zpath = _build_zip(workdir)
+    shutil.copy(os.path.join(REPO, "submit.py"), workdir)
+    table_path = str(tmp_path / "repo_files")
+    arch = str(tmp_path / "archive")
+
+    events = generate_events(
+        repo_table(spark, "/root/testdata/sf0.001"), include_audit=False
+    )
+    framed = frame_events(events)
+    hb = F.col("event_type") == "HEARTBEAT"
+    byte = F.conv(F.substring("frame_hex", 41, 2), 16, 10).cast("int")
+    flipped = F.lpad(F.lower(F.hex(byte.bitwiseXOR(F.lit(255)))), 2, "0")
+    framed = framed.withColumn(
+        "frame_hex",
+        F.when(
+            hb,
+            F.concat(
+                F.substring("frame_hex", 1, 40),
+                flipped,
+                F.expr("substring(frame_hex, 43)"),
+            ),
+        ).otherwise(F.col("frame_hex")),
+    )
+    n_bad = framed.where(hb).count()
+    assert n_bad > 0
+    framed.select(
+        "binlog_file", "binlog_pos", F.unhex("frame_hex").alias("frame")
+    ).write.partitionBy("binlog_file").parquet(arch)
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    out = subprocess.run(
+        [
+            SPARK_SUBMIT, "--master", "local[8]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", zpath,
+            "submit.py",
+            "--frames", arch,
+            "--table", table_path,
+            "--n-buckets", "8",
+        ],
+        cwd=workdir, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-4000:]
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+    assert result["n_rows"] == 500
+    q = {}
+    for r in result["frames_quarantined"]:  # one row per (file, status)
+        q[r["frame_status"]] = q.get(r["frame_status"], 0) + r["n_events"]
+    assert q == {"crc_mismatch": n_bad}
