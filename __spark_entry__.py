@@ -2570,12 +2570,11 @@ def q_code_winnow_pairs(spark, sf):
 
 
 # Entry ORDER is load-bearing: the driver's correctness gate checks the first
-# 50 entries. Round 3 window = the 27 CDC-core queries (one row per SURVEY §2
-# operator, incl. the 3 DECIMAL-normalized ones) + the 23 queries that had no
-# driver row in CORRECTNESS_r02 (ann_*/emb_*/media_*/events_*/text_bm25/
-# sample_quota/agg/join). The dedup/text/sample/corpus block that was green in
-# r2 rotates out past position 50 — every query keeps at least one green
-# driver row across the r2+r3 ledgers.
+# 50 entries. Round 5 window = the 36 CDC-core queries + the 5 r4-red queries
+# (now hash-stable via ::BIGINT oracle casts) + the 6 queries that never had a
+# driver row (cdc_chain_audit, cdc_masked_apply, decontaminate_fuzzy,
+# dedup_containment, sample_mixture_tokens, text_bpe_pairs) + 3 code queries.
+# Everything rotated past position 50 keeps a green row in r1-r4 ledgers.
 QUERIES: dict[str, Callable] = {
     "cdc_lww_state": q_cdc_lww_state,
     "cdc_dedup_replay": q_cdc_dedup_replay,
@@ -2613,13 +2612,19 @@ QUERIES: dict[str, Callable] = {
     "cdc_compressed_events": q_cdc_compressed_events,
     "cdc_gtid_coverage": q_cdc_gtid_coverage,
     "cdc_derived_index": q_cdc_derived_index,
-    "code_metrics": q_code_metrics,
     "code_flags": q_code_flags,
     "code_winnow_fp": q_code_winnow_fp,
-    "code_winnow_pairs": q_code_winnow_pairs,
     "dedup_substring": q_dedup_substring,
     "text_entropy": q_text_entropy,
     "code_imports": q_code_imports,
+    "cdc_chain_audit": q_cdc_chain_audit,
+    "cdc_masked_apply": q_cdc_masked_apply,
+    "decontaminate_fuzzy": q_decontaminate_fuzzy,
+    "dedup_containment": q_dedup_containment,
+    "sample_mixture_tokens": q_sample_mixture_tokens,
+    "text_bpe_pairs": q_text_bpe_pairs,
+    "code_metrics": q_code_metrics,
+    "code_winnow_pairs": q_code_winnow_pairs,
     "code_secrets": q_code_secrets,
     "events_distinct_sketch": q_events_distinct_sketch,
     "media_image_formats": q_media_image_formats,
@@ -2638,9 +2643,6 @@ QUERIES: dict[str, Callable] = {
     "emb_neardup": q_emb_neardup,
     "ann_ivf_probe": q_ann_ivf_probe,
     "sample_quota": q_sample_quota,
-    "sample_mixture_tokens": q_sample_mixture_tokens,
-    "cdc_masked_apply": q_cdc_masked_apply,
-    "cdc_chain_audit": q_cdc_chain_audit,
     "emb_quantize": q_emb_quantize,
     "emb_diversity": q_emb_diversity,
     "media_png_stats": q_media_png_stats,
@@ -2669,13 +2671,7 @@ QUERIES: dict[str, Callable] = {
     "corpus_build_full": q_corpus_build_full,
     "text_vocab": q_text_vocab,
     "text_unigram_lm": q_text_unigram_lm,
-    "text_bpe_pairs": q_text_bpe_pairs,
     "decontaminate": q_decontaminate,
-    "decontaminate_fuzzy": q_decontaminate_fuzzy,
-    "dedup_containment": q_dedup_containment,
-    # r3-driver-green rows rotated past position 50 to make window room for
-    # the round-4 additions (checksum/compressed/gtid); each keeps its green
-    # CORRECTNESS_r03 row.
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,
     "ann_recall": q_ann_recall,
@@ -4622,7 +4618,7 @@ def oracle_sql() -> dict[str, str]:
                    as is_generated
           from code)
         select license, is_generated, count(*) as n_files,
-               sum(doc_id) as id_sum
+               sum(doc_id)::BIGINT as id_sum
         from flagged group by license, is_generated
     """
     # winnowing: k-gram (k=8) md5-60bit hashes over whitespace-stripped
@@ -4649,7 +4645,7 @@ def oracle_sql() -> dict[str, str]:
         with {code_cte},
         {winnow_cte.format(id="doc_id", c="content", src="code")}
         select id, count(*) as n_fp,
-               sum(fp % 1000003) as fp_checksum
+               sum(fp % 1000003)::BIGINT as fp_checksum
         from fp group by id
     """
     oracles["code_winnow_pairs"] = f"""
@@ -4694,8 +4690,8 @@ def oracle_sql() -> dict[str, str]:
         spans as (select doc_id, span_id, count(*) as n_hits,
                          max(pos) - min(pos) + 10 as span_tokens
                   from isl2 group by doc_id, span_id),
-        per_doc as (select doc_id, sum(n_hits) as n_dup_windows,
-                           count(*) as n_spans, sum(span_tokens) as dup_tokens
+        per_doc as (select doc_id, sum(n_hits)::BIGINT as n_dup_windows,
+                           count(*) as n_spans, sum(span_tokens)::BIGINT as dup_tokens
                     from spans group by doc_id)
         select b.doc_id, b.nw as n_windows,
                coalesce(n_dup_windows, 0) as n_dup_windows,
@@ -4711,7 +4707,7 @@ def oracle_sql() -> dict[str, str]:
                  )) as ch
           from documents where length(text) > 0),
         counts as (select id, ch, count(*) as c from occ group by id, ch),
-        agg as (select id, sum(c) as n_chars_counted,
+        agg as (select id, sum(c)::BIGINT as n_chars_counted,
                        count(*) as distinct_chars,
                        sum(c * log2(c)) as clogc
                 from counts group by id)
@@ -4770,7 +4766,7 @@ def oracle_sql() -> dict[str, str]:
                    '(?m)^(?:import|from|#include)[ \t]+([A-Za-z0-9_./<>-]+)', 1))
                    as module
           from code)
-        select module, count(*) as n_files, sum(id) as id_sum
+        select module, count(*) as n_files, sum(id)::BIGINT as id_sum
         from imps group by module
     """
     return oracles

@@ -22,6 +22,33 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
+# The driver hashes oracle values with DuckDB's native type rendering, so any
+# type Spark cannot produce (HUGEINT from sum(INTEGER), UHUGEINT, unscaled
+# DECIMAL surprises) hash-mismatches even when values are equal.  Restrict
+# oracle result schemas to the types the driver canonicalizes identically.
+_HASH_STABLE_TYPES = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
+    "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP", "BLOB",
+}
+
+
+def assert_hash_stable(name: str, rel) -> None:
+    """Fail loudly when an oracle emits a column type the driver's hasher
+    canonicalizes differently from Spark (e.g. DuckDB sum(int) -> HUGEINT).
+    """
+    bad = []
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        base = t.split("(")[0]
+        if base in _HASH_STABLE_TYPES or base == "DECIMAL":
+            continue
+        bad.append(f"{col}:{t}")
+    if bad:
+        raise TypeError(
+            f"oracle '{name}' emits hash-unstable column type(s) {bad}; "
+            "cast aggregates (e.g. sum(...)::BIGINT) in oracle_sql()"
+        )
+
 
 def norm_cell(v):
     if isinstance(v, bool):
@@ -64,6 +91,7 @@ def main():
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
             rel = con.sql(oracles[name])
+            assert_hash_stable(name, rel)
             d_cols = [c.lower() for c in rel.columns]
             d_rows = rel.fetchall()
         except Exception as e:
