@@ -250,7 +250,14 @@ def mixture_sample(
         else F.sum(F.col(weight_col).cast("long")).alias("_n_s")
     )
     counts = df.groupBy(strata_col).agg(mass)
-    j = counts.join(F.broadcast(tdf), strata_col)
+    # LEFT join FROM the targets: a stratum requested in targets_bp but
+    # absent from the data must reach the water-fill with mass 0 (forcing
+    # N* = 0 — no corpus can match the target proportions), not be dropped
+    # by an inner join so the returned corpus silently violates the
+    # "proportions match exactly" contract. Both sides are tiny aggs.
+    j = tdf.join(counts, strata_col, "left").withColumn(
+        "_n_s", F.coalesce(F.col("_n_s"), F.lit(0).cast("long"))
+    )
     cap = (
         F.expr(f"(_n_s * {BP_SCALE}) div _t_bp")
         if max_total is None

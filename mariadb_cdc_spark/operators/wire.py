@@ -170,7 +170,21 @@ def frame_events(events: DataFrame, frame_col: str = "frame_hex") -> DataFrame:
     )
     sealed = F.concat(header_hex, body_hex)
     crc = F.crc32(F.unhex(sealed))
-    return events.withColumn(frame_col, F.concat(sealed, _le_hex(crc, 4)))
+    # The v4 wire header carries position as u32 (BinLogHeader.java next-pos
+    # field); the envelope and archive schema carry longs. A position beyond
+    # 2^32-1 would silently wrap through a frame round-trip and could regress
+    # position-gated MERGE ordering downstream — fail the job loudly instead.
+    # (A real server never exceeds u32: it rotates the file first.)
+    pos_guard = F.when(
+        F.col("binlog_pos") >= F.lit(_U32),
+        F.raise_error(
+            F.concat(
+                F.lit("frame_events: binlog_pos exceeds u32 wire limit: "),
+                F.col("binlog_pos").cast("string"),
+            )
+        ),
+    ).otherwise(F.concat(sealed, _le_hex(crc, 4)))
+    return events.withColumn(frame_col, pos_guard)
 
 
 def verify_event_checksums(
@@ -201,13 +215,27 @@ def verify_event_checksums(
         .withColumn("stored_crc", stored)
         .withColumn("computed_crc", computed)
     )
+    # 'ok' must be the explicit positive verdict: under three-valued logic a
+    # NULL (or absent) frame makes every comparison null, so a when-chain that
+    # defaults to 'ok' classifies corruption as clean. Null frame, odd hex
+    # length, or an unparseable header all land in 'length_mismatch'; a
+    # parseable frame with any CRC-side null or mismatch is 'crc_mismatch'.
     return out.withColumn(
         "frame_status",
         F.when(
-            (F.col("claimed_size") != F.col("actual_size")) | (n % 2 != 0),
+            frame.isNull()
+            | (n % 2 != 0)
+            | F.col("claimed_size").isNull()
+            | F.col("actual_size").isNull()
+            | (F.col("claimed_size") != F.col("actual_size")),
             F.lit("length_mismatch"),
         )
-        .when(F.col("stored_crc") != F.col("computed_crc"), F.lit("crc_mismatch"))
+        .when(
+            F.col("stored_crc").isNull()
+            | F.col("computed_crc").isNull()
+            | (F.col("stored_crc") != F.col("computed_crc")),
+            F.lit("crc_mismatch"),
+        )
         .otherwise(F.lit("ok")),
     )
 
@@ -419,14 +447,25 @@ def write_frame_archive(events: DataFrame, path: str) -> None:
 FRAME_ARCHIVE_SCHEMA = "binlog_pos long, frame binary, binlog_file string"
 
 
-def framed_to_events(framed: DataFrame) -> DataFrame:
+def framed_to_events(framed: DataFrame, observe_gate: bool = False) -> DataFrame:
     """Archive/stream rows (binlog_file, frame binary) -> verified
     EVENT_SCHEMA events. Frames failing the length/CRC gate are DROPPED
-    here (use frame_quarantine on the same input to count them — both
-    are narrow projections over one scan, batch or streaming alike)."""
+    here. To count them: batch callers use frame_quarantine on the same
+    input (both are narrow projections over one scan); streaming callers
+    pass observe_gate=True, which attaches a `frame_gate` observation
+    (n_frames / n_quarantined) that rides each epoch's
+    StreamingQueryProgress.observedMetrics — no second scan, no state."""
     v = verify_event_checksums(
         framed.withColumn("frame_hex", F.lower(F.hex("frame")))
     )
+    if observe_gate:
+        v = v.observe(
+            "frame_gate",
+            F.count(F.lit(1)).alias("n_frames"),
+            F.count(
+                F.when(F.col("frame_status") != "ok", F.lit(1))
+            ).alias("n_quarantined"),
+        )
     return unframe_events(v.where(F.col("frame_status") == "ok"))
 
 

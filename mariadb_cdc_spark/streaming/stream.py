@@ -26,6 +26,7 @@ import os
 import shutil
 from dataclasses import replace
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -204,6 +205,12 @@ def start_cdc_stream(
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         epoch = int(epoch_id)
+        # Persist the micro-batch: apply_batch and the XID gate run several
+        # actions over it, and an unpersisted foreachBatch frame re-scans the
+        # source (and re-runs any upstream decode, e.g. unframe+CRC) once per
+        # action. MEMORY_AND_DISK also makes upstream `observe()` metrics
+        # (frame_gate) exact — the scan-side accumulator fires once.
+        batch_df.persist(StorageLevel.MEMORY_AND_DISK)
         df, eff_cfg = batch_df, cfg
         if cfg.gate_on_xid:
             prev = _read_carry(batch_df.sparkSession, carry_root, epoch)
@@ -217,15 +224,18 @@ def start_cdc_stream(
             )
             # already gated here; don't re-collect the commit bound inside
             df, eff_cfg = committed, replace(cfg, gate_on_xid=False)
-        res = apply_batch(
-            df,
-            table,
-            eff_cfg,
-            stream_id=stream_id,
-            batch_id=epoch,
-            agg_views=agg_views,
-            changes_sink=changes_sink,
-        )
+        try:
+            res = apply_batch(
+                df,
+                table,
+                eff_cfg,
+                stream_id=stream_id,
+                batch_id=epoch,
+                agg_views=agg_views,
+                changes_sink=changes_sink,
+            )
+        finally:
+            batch_df.unpersist()
         if cfg.gate_on_xid:
             _prune_carry(carry_root, keep_from=epoch - 1)
         if lifecycle is not None:

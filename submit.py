@@ -59,7 +59,10 @@ def main(argv: list[str] | None = None) -> int:
     src.add_argument("--events", help="dir of binlog-shaped parquet events")
     src.add_argument("--frames", help="dir of a CRC-sealed frame archive "
                      "(operators.wire.write_frame_archive layout); frames "
-                     "failing the integrity gate are dropped and counted")
+                     "failing the integrity gate are dropped and counted "
+                     "(batch: frames_quarantined rollup; streaming: "
+                     "'frame_gate' observed metric per epoch, totalled in "
+                     "the output JSON)")
     src.add_argument("--generate", metavar="SF_DIR",
                      help="synthesize events from SF_DIR/documents.parquet")
     src.add_argument("--maintenance", action="store_true",
@@ -168,7 +171,8 @@ def main(argv: list[str] | None = None) -> int:
             events = framed_to_events(
                 spark.readStream.schema(FRAME_ARCHIVE_SCHEMA).parquet(
                     args.frames
-                )
+                ),
+                observe_gate=True,
             )
         else:
             events = read_event_stream(spark, args.events)
@@ -177,6 +181,17 @@ def main(argv: list[str] | None = None) -> int:
             checkpoint_dir=args.checkpoint, stream_id=args.stream_id,
         )
         q.awaitTermination()
+        if args.frames:
+            # total the per-epoch frame_gate observation so streaming mode
+            # reports the same drop count batch mode does
+            total = {"n_frames": 0, "n_quarantined": 0}
+            for p in q.recentProgress:
+                d = p if isinstance(p, dict) else json.loads(p.json)
+                om = (d.get("observedMetrics") or {}).get("frame_gate")
+                if om:  # Row (live) or dict (json-parsed) — [] works for both
+                    total["n_frames"] += int(om["n_frames"])
+                    total["n_quarantined"] += int(om["n_quarantined"])
+            quarantined = total
     else:
         if args.generate:
             from mariadb_cdc_spark.gen import generate_events, repo_table

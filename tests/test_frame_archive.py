@@ -96,12 +96,25 @@ def test_corrupt_archive_streams_with_bounded_blast_radius(spark, tmp_path):
     table = _typed_table(spark, str(tmp_path / "lake"))
     stream = spark.readStream.schema(FRAME_ARCHIVE_SCHEMA).parquet(arch)
     query = start_cdc_stream(
-        framed_to_events(stream),
+        framed_to_events(stream, observe_gate=True),
         table,
         _cfg(),
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
     query.awaitTermination(120)
+
+    # streaming-mode drop accounting: the frame_gate observation rides each
+    # epoch's StreamingQueryProgress — its total must equal the batch
+    # quarantine rollup (no second scan, no state)
+    import json as _json
+
+    n_quarantined = 0
+    for p in query.recentProgress:
+        d = p if isinstance(p, dict) else _json.loads(p.json)
+        om = (d.get("observedMetrics") or {}).get("frame_gate")
+        if om:  # Row (live progress) or dict (json-parsed) — [] works for both
+            n_quarantined += int(om["n_quarantined"])
+    assert n_quarantined == exp_bad
 
     got = {r.id: r.price for r in table.read().select("id", "price").collect()}
     assert len(got) == n_docs

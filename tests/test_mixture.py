@@ -76,3 +76,14 @@ def test_weighted_mixture_budgets_by_mass(spark):
         for r in out.select("lang", "mixture_want").distinct().collect()
     }
     assert wants == {"en": 15, "fr": 10}
+
+
+def test_empty_target_stratum_forces_zero_corpus(spark):
+    """A stratum requested in targets_bp but absent from the data must
+    drive N* to 0 (no corpus can match the proportions), not be silently
+    ignored by the feasibility join."""
+    df = _corpus(spark)
+    out = mixture_sample(
+        df, "lang", {"en": 5000, "zh": 3000, "de": 2000}, ["doc_id"]
+    )
+    assert out.count() == 0

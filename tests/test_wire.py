@@ -214,3 +214,45 @@ def test_compressed_stream_archives_losslessly(spark, typed_events):
     a = typed_events.select(*_cmp_cols())
     b = restored.select(*_cmp_cols())
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_null_frame_is_quarantined_not_ok(spark, typed_events):
+    """Three-valued-logic regression: a NULL (or absent) frame used to
+    fall through every when() branch into 'ok', so corruption was neither
+    dropped nor counted. 'ok' is now the explicit positive verdict."""
+    framed = frame_events(typed_events)
+    doc_id = ((F.col("binlog_pos") - 64) / 256).cast("long")
+    nulled = framed.withColumn(
+        "frame_hex",
+        F.when(
+            (F.col("event_type") == "WRITE_ROWS") & (doc_id % 4 == 0),
+            F.lit(None).cast("string"),
+        ).otherwise(F.col("frame_hex")),
+    )
+    v = verify_event_checksums(nulled)
+    n_null = nulled.where(F.col("frame_hex").isNull()).count()
+    assert n_null > 0
+    got = {
+        r.frame_status: r.n
+        for r in v.groupBy("frame_status").agg(F.count("*").alias("n")).collect()
+    }
+    assert got.get("length_mismatch", 0) >= n_null
+    assert got["ok"] == nulled.count() - got["length_mismatch"]
+    # and the quarantine companion counts them (status != 'ok')
+    from mariadb_cdc_spark.operators.wire import framed_to_events
+
+    binf = nulled.withColumn(
+        "frame", F.unhex("frame_hex")
+    ).select("binlog_file", "frame")
+    assert framed_to_events(binf).count() == nulled.count() - n_null
+
+
+def test_position_beyond_u32_fails_loudly(spark, typed_events):
+    """The v4 wire header carries position as u32; the envelope carries
+    longs. Framing a row with binlog_pos >= 2^32 must raise, not wrap
+    silently through a frame round-trip."""
+    bad = typed_events.withColumn(
+        "binlog_pos", F.col("binlog_pos") + F.lit(1 << 32)
+    )
+    with pytest.raises(Exception, match="u32 wire limit"):
+        frame_events(bad).select("frame_hex").collect()
