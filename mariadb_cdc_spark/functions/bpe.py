@@ -77,15 +77,81 @@ def _merge_expr(a: str, b: str):
     )
 
 
+def _merge_batch_expr(pairs: list[tuple[str, str]]):
+    """Greedy left-to-right merge of a SYMBOL-DISJOINT pair batch in one
+    Catalyst fold. Because no two pairs share a symbol (and no pair's
+    concatenation is another pair's symbol — see _select_batch), one pass
+    with a lookup map is exactly the composition of the per-pair folds."""
+    sep = "\x1f"
+    mapping = F.create_map(
+        *[x for a, b in pairs for x in (F.lit(a + sep + b), F.lit(a + b))]
+    )
+    return F.aggregate(
+        F.col("syms"),
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & mapping[
+                F.concat(F.element_at(acc, -1), F.lit(sep), s)
+            ].isNotNull(),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    mapping[F.concat(F.element_at(acc, -1), F.lit(sep), s)]
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def _select_batch(
+    rows, k: int, taken: int, limit: int
+) -> list[tuple[str, str]]:
+    """Greedily pick up to k mutually-independent pairs from the ranked
+    snapshot: no shared symbols, and no pair whose merged symbol collides
+    with another chosen pair's symbol (so one fold == sequential folds)."""
+    chosen: list[tuple[str, str]] = []
+    used: set[str] = set()
+    for r in rows:
+        if len(chosen) >= k or taken + len(chosen) >= limit:
+            break
+        a, b = r["a"], r["b"]
+        if a in used or b in used or (a + b) in used:
+            continue
+        if any(a == ca + cb or b == ca + cb for ca, cb in chosen):
+            continue
+        chosen.append((a, b))
+        used.update((a, b, a + b))
+    return chosen
+
+
 def learn_bpe(
     docs: DataFrame,
     text_col: str = "text",
     num_merges: int = 32,
     checkpoint_every: int = 8,
-) -> list[tuple[str, str]]:
+    batch_k: int = 1,
+    return_stats: bool = False,
+):
     """Learn `num_merges` BPE merge rules from the corpus. Deterministic:
     ties on pair count break to the lexicographically smallest (a, b).
-    Returns the ordered merge list."""
+    Returns the ordered merge list (or (merges, stats) with
+    `return_stats=True`; stats["rounds"] = Spark jobs spent on pair
+    counting).
+
+    `batch_k` is the jobs-vs-exactness dial. k=1 (default) is the exact
+    sequential algorithm: one pair-count job + one argmax collect per
+    merge — fine for small vocabularies, a scale-killer at 32k merges
+    (32k sequential Spark jobs). k>1 applies the standard batched-merge
+    approximation: each round ranks the pair table once and takes up to k
+    mutually-independent pairs (no shared symbols, no concat collisions),
+    so a round's single fold provably equals applying its pairs
+    sequentially; the approximation is only in SELECTION — counts are
+    from the round's snapshot, so a pair created mid-round (e.g. (x, ab)
+    right after (a,b)) can't be chosen until the next round. Training
+    becomes O(num_merges / k_effective) jobs. k=8..64 is the standard
+    production range for subword vocabularies.
+    """
     words = word_counts(docs, text_col).withColumn(
         # split-to-characters; drop the trailing empty string Spark's
         # split(limit=-1) keeps
@@ -95,20 +161,28 @@ def learn_bpe(
     words.count()
 
     merges: list[tuple[str, str]] = []
-    for i in range(num_merges):
+    rounds = 0
+    while len(merges) < num_merges:
+        rounds += 1
+        # over-fetch the candidate ranking: conflicts skip entries, so a
+        # k-batch may need to look deeper than k rows
         top = (
             _pair_counts(words)
             .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
+            .limit(max(4 * batch_k, 16))
             .collect()
         )
-        if not top:
+        batch = _select_batch(top, batch_k, len(merges), num_merges)
+        if not batch:
             break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
+        merges.extend(batch)
         prev = words
-        words = words.withColumn("syms", _merge_expr(a, b))
-        if (i + 1) % checkpoint_every == 0:
+        words = words.withColumn(
+            "syms",
+            _merge_expr(*batch[0]) if len(batch) == 1
+            else _merge_batch_expr(batch),
+        )
+        if rounds % checkpoint_every == 0:
             # truncate the chained-fold lineage; keep the iteration cheap
             words = words.localCheckpoint(eager=True)
         else:
@@ -116,6 +190,8 @@ def learn_bpe(
             words.count()
         prev.unpersist()
     words.unpersist()
+    if return_stats:
+        return merges, {"rounds": rounds}
     return merges
 
 

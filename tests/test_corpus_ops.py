@@ -459,3 +459,65 @@ def test_learn_bpe_stops_when_exhausted(spark):
     docs = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
     merges = learn_bpe(docs, num_merges=50)
     assert merges == [("a", "b")]
+
+
+def test_learn_bpe_batched_rounds_and_equivalence(spark):
+    """batch_k>1 must (1) cut pair-count jobs to ~num_merges/k rounds,
+    (2) agree exactly with the sequential reference when the top pairs are
+    independent, and (3) resolve chained conflicts (shared symbols) by
+    deferring the dependent pair to the next round — which reproduces the
+    sequential order."""
+    from mariadb_cdc_spark.functions.bpe import learn_bpe
+
+    # disjoint top pairs: six 2-char words with strictly ordered counts
+    rows = []
+    did = 0
+    for w, n in [("ab", 60), ("cd", 50), ("ef", 40), ("gh", 30),
+                 ("ij", 20), ("kl", 10)]:
+        for _ in range(n):
+            rows.append((did, w))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    seq = learn_bpe(docs, num_merges=6, batch_k=1)
+    merges, stats = learn_bpe(
+        docs, num_merges=6, batch_k=4, return_stats=True
+    )
+    assert merges == seq == [
+        ("a", "b"), ("c", "d"), ("e", "f"), ("g", "h"), ("i", "j"),
+        ("k", "l"),
+    ]
+    assert stats["rounds"] == 2  # ceil(6/4), not 6
+
+    # chained conflict: "abc" makes (a,b) and (b,c) share 'b'; the batch
+    # takes only (a,b), the next round merges (ab,c) — sequential order
+    docs2 = spark.createDataFrame(
+        [(i, "abc") for i in range(10)], "doc_id long, text string"
+    )
+    seq2 = learn_bpe(docs2, num_merges=2, batch_k=1)
+    got2 = learn_bpe(docs2, num_merges=2, batch_k=8)
+    assert got2 == seq2 == [("a", "b"), ("ab", "c")]
+
+
+def test_learn_bpe_batched_tokenizer_roundtrip(spark):
+    """Batched-learned merges still tokenize losslessly (concatenation
+    restores the words) on the pseudo-random corpus."""
+    import random
+
+    from mariadb_cdc_spark.functions.bpe import apply_bpe, learn_bpe
+
+    rng = random.Random(11)
+    vocab = ["aaa", "banana", "low", "lower", "newest", "ababab", "xyz"]
+    texts = [
+        " ".join(rng.choices(vocab, k=rng.randint(3, 10))) for _ in range(40)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, stats = learn_bpe(
+        docs, num_merges=20, batch_k=8, return_stats=True
+    )
+    assert 0 < len(merges) <= 20
+    assert stats["rounds"] < 20  # strictly fewer jobs than merges
+    toks = apply_bpe(docs, merges).select("text", "bpe_tokens")
+    for r in toks.collect():
+        assert "".join(r["bpe_tokens"]) == r["text"].replace(" ", "")
