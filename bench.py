@@ -216,6 +216,11 @@ def main():
         "ann_bruteforce",
         "agg_pricing",
         "join_revenue",
+        # r4 additions with nontrivial cost — in the headline so the total
+        # can't improve by measuring less
+        "cdc_derived_index",
+        "dedup_incremental",
+        "media_video_frames",
     ]
     qs = entrymod.queries()
     for name in headline:
@@ -276,9 +281,10 @@ def scaling():
     view, and running all lo legs then all hi legs lets the two levels
     sample DIFFERENT noise epochs — which corrupts the ratio in either
     direction. Interleaving puts adjacent lo/hi legs in the same noise
-    window, and min-of-legs per level then picks the quietest window for
-    both. The efficiency is additionally reported per adjacent pair
-    (pair_eff) so a single quiet window is visible as such.
+    window; the headline score is the MEDIAN of the per-pair efficiencies
+    (pair_eff), so one interfered window shifts one sample instead of
+    flipping the criterion. min-of-legs per level (the quietest window for
+    each) is reported alongside as min_legs_eff.
     """
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "8"))
     legs = int(os.environ.get("SPARK_GRAFT_BENCH_LEGS", "3"))
@@ -314,13 +320,23 @@ def scaling():
     ]
     shutil.rmtree(os.path.dirname(events_path), ignore_errors=True)
     factor = hi / lo
-    eff = (results[hi]["events_per_sec"] / results[lo]["events_per_sec"]) / factor
+    # Headline = MEDIAN of the per-adjacent-pair efficiencies: each pair
+    # samples one noise window at both levels, so a single interfered leg
+    # shifts one pair, not the score (min-of-legs could pair a quiet lo with
+    # a noisy hi and flip the criterion). min-of-legs is still reported.
+    import statistics
+
+    eff = statistics.median(pair_eff)
+    min_legs_eff = (
+        results[hi]["events_per_sec"] / results[lo]["events_per_sec"]
+    ) / factor
     print(
         json.dumps(
             {
                 "metric": f"scaling_efficiency_{lo}_to_{hi}",
                 "value": round(eff, 3),
                 "unit": "ratio",
+                "min_legs_eff": round(min_legs_eff, 3),
                 f"throughput_local{lo}": round(results[lo]["events_per_sec"], 1),
                 f"throughput_local{hi}": round(results[hi]["events_per_sec"], 1),
                 f"sec_local{lo}": round(results[lo]["sec"], 2),

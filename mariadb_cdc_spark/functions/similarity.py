@@ -142,13 +142,27 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     cluster_col: str | None = "label",
     round_to: int = 4,
+    all_pairs_limit: int = 100_000,
+    force: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (sim >= threshold).
 
     With cluster_col set, pairs are only sought within a cluster (the IVF
     trick again) — near-dups land in the same cluster with high probability.
-    cluster_col=None is the exact all-pairs variant for small corpora.
+    cluster_col=None is the exact all-pairs variant for SMALL corpora only:
+    the crossJoin is O(n^2), so it refuses corpora above `all_pairs_limit`
+    rows (one cheap count) unless `force=True` — a 100 TB misuse must fail
+    fast, not cartesian-explode.
     """
+    if cluster_col is None and not force:
+        n = corpus.limit(all_pairs_limit + 1).count()
+        if n > all_pairs_limit:
+            raise ValueError(
+                f"embedding_near_duplicates(cluster_col=None) is exact "
+                f"all-pairs (O(n^2)): corpus has >{all_pairs_limit} rows. "
+                "Cluster first (kmeans_assign + cluster_col) or pass "
+                "force=True if you really mean it."
+            )
     a = corpus.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("v_a"),

@@ -347,3 +347,93 @@ def test_metadata_only_ddl_is_cas_under_contention(spark, tmp_path):
     assert not errs, errs
     names = {n for n, _ in t.metadata()["schema"]}
     assert {f"c{i}" for i in range(6)} <= names
+
+
+def test_live_merge_racing_drop_column_recomputes(spark, tmp_path):
+    """A LIVE merge whose base snapshot predates a concurrent DROP COLUMN
+    must lose the CAS, refuse the rebase (stale-schema pointers would
+    resurrect the column), and land via recompute against the post-DDL
+    snapshot — dropped column stays dropped, merge data stays applied."""
+    t = _init(spark, str(tmp_path / "t"))
+    t.merge(
+        _folded(spark, [("a1", "UPSERT", {"val": "A"}, 100)]),
+        stream_id="a",
+        batch_id=1,
+    )
+    t2 = LakeTable(spark, t.path)  # the racing DDL writer
+    for i in range(3):  # repeatable: the race is deterministic via hook
+        col = f"c{i}"
+        t.update_metadata(
+            lambda m, c=col: m["schema"].append([c, "string"])
+        )
+        orig_meta = t.metadata
+        fired = {"n": 0}
+
+        def meta_hook(orig=orig_meta, fired=fired, col=col):
+            m = orig()
+            if fired["n"] == 0:
+                fired["n"] = 1
+                t2.drop_column(col)  # lands between base read and commit
+            return m
+
+        t.metadata = meta_hook
+        try:
+            # image deliberately does NOT mention `col`: image-driven
+            # schema evolution would legitimately re-add it; the race
+            # under test is stale-POINTER resurrection via rebase
+            t.merge(
+                _folded(
+                    spark,
+                    [(f"b{i}", "UPSERT", {"val": "B"}, 200 + i)],
+                ),
+                stream_id="a",
+                batch_id=2 + i,
+            )
+        finally:
+            t.metadata = orig_meta
+        assert fired["n"] == 1
+        cols = {n for n, _ in t.metadata()["schema"]}
+        assert col not in cols  # no resurrection
+        got = {r["id"] for r in t.read().collect()}
+        assert f"b{i}" in got and "a1" in got  # merge landed via recompute
+
+
+def test_compact_racing_live_merge_loud_then_retry(spark, tmp_path):
+    """compact() racing a REAL concurrent merge: the rewrite loses the CAS
+    loudly (CommitConflict, orphan dir cleaned), the winner's rows are
+    intact, and the retry compacts everything including the winner's."""
+    t = _init(spark, str(tmp_path / "t"))
+    t.merge(
+        _folded(
+            spark,
+            [(f"k{i}", "UPSERT", {"val": f"v{i}"}, 100 + i) for i in range(8)],
+        ),
+        stream_id="s",
+        batch_id=1,
+    )
+    t2 = LakeTable(spark, t.path)  # the racing ingest writer
+    orig = t._read_state
+
+    def read_state_with_interleaved_merge(meta, buckets):
+        t._read_state = orig
+        t2.merge(
+            _folded(spark, [("k_new", "UPSERT", {"val": "new"}, 999)]),
+            stream_id="s",
+            batch_id=2,
+        )
+        return orig(meta, buckets)
+
+    t._read_state = read_state_with_interleaved_merge
+    before_dirs = set(os.listdir(os.path.join(t.path, "data")))
+    with pytest.raises(CommitConflict):
+        t.compact()
+    after_dirs = set(os.listdir(os.path.join(t.path, "data")))
+    # loser cleaned its rewrite dir; winner's merge dirs remain
+    assert before_dirs <= after_dirs
+    assert {r["id"] for r in t.read().collect()} == (
+        {f"k{i}" for i in range(8)} | {"k_new"}
+    )
+    t.compact()  # retry against fresh state succeeds
+    assert {r["id"] for r in t.read().collect()} == (
+        {f"k{i}" for i in range(8)} | {"k_new"}
+    )

@@ -948,3 +948,34 @@ def test_mixed_image_stats_distributed(spark):
     rows = {r["media_id"]: r for r in mixed_image_stats(corrupt).collect()}
     assert rows[7]["fmt"] is None and rows[7]["color_ok"] is None
     assert rows[8]["color_ok"] is True
+
+
+def test_embedding_neardup_all_pairs_guard(spark):
+    """cluster_col=None is O(n^2): above all_pairs_limit rows it must fail
+    fast instead of cartesian-exploding; force=True overrides."""
+    from mariadb_cdc_spark.functions.similarity import (
+        embedding_near_duplicates,
+    )
+
+    df = spark.range(12).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="all-pairs"):
+        embedding_near_duplicates(
+            df, cluster_col=None, all_pairs_limit=10
+        ).count()
+    # under the limit: runs; forced over the limit: runs
+    assert (
+        embedding_near_duplicates(
+            df, threshold=-1.0, cluster_col=None, all_pairs_limit=100
+        ).count()
+        == 12 * 11 // 2
+    )
+    assert (
+        embedding_near_duplicates(
+            df, threshold=-1.0, cluster_col=None, all_pairs_limit=10,
+            force=True,
+        ).count()
+        == 12 * 11 // 2
+    )
