@@ -959,7 +959,14 @@ def q_cdc_scd2_history(spark, sf):
 def _split_events_by_wave(events, repo_count, max_wave_b0, n_buckets=32):
     """Two micro-batches at a wave boundary via the gtid-embedded slot
     (gen: slot = (wave*n_buckets + bucket)*cap + rn). Control events
-    (gtid-less) replicate into both — the registry dedupes."""
+    (gtid-less) replicate into both — the registry dedupes.
+
+    The generated event frame is persisted here: each apply_batch over a
+    slice runs several independent actions (control-plane jobs + merge),
+    and without the cache every action re-runs the whole generator
+    (shuffles included) — measured 1.5-2x on the two-batch scenario
+    queries. Spark evicts LRU if memory is tight."""
+    events = events.persist()
     cap = repo_count + 2
     slot = F.split("gtid", "-").getItem(2).cast("long")
     wave = F.floor(slot / (n_buckets * cap))

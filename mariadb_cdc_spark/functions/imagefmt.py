@@ -295,13 +295,18 @@ def synthesize_mixed_media(docs):
     """Deterministic MIXED-FORMAT media table: doc_id % 5 picks the
     container (ppm/png/jpeg/gif/bmp), all five carrying the same
     closed-form solid-color image, so one oracle covers every codec and
-    the dispatcher. mapInPandas, partition-preserving, no shuffle."""
+    the dispatcher. mapInPandas over a parallelism-spread id projection
+    (see multimodal._spread_ids)."""
     from collections.abc import Iterator
 
     import pandas as pd
 
     from mariadb_cdc_spark.functions.jpeg import encode_jpeg
-    from mariadb_cdc_spark.functions.multimodal import encode_png, encode_ppm
+    from mariadb_cdc_spark.functions.multimodal import (
+        _spread_ids,
+        encode_png,
+        encode_ppm,
+    )
 
     encoders = [encode_ppm, encode_png, encode_jpeg, encode_gif, encode_bmp]
 
@@ -319,7 +324,7 @@ def synthesize_mixed_media(docs):
                 out.append((d, encoders[d % 5](px)))
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         _fn, "media_id long, payload binary"
     )
 

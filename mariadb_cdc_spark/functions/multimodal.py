@@ -53,6 +53,18 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _spread_ids(docs: DataFrame) -> DataFrame:
+    """Round-robin the doc_id projection across the session's default
+    parallelism before a Python-codec mapInPandas stage. The id column is
+    a few bytes/row, so the shuffle is ~free; without it a small single-file
+    parquet input arrives as ONE partition and serializes a stage whose cost
+    is milliseconds of Python PER ROW (measured: 96 s -> ~5 s at sf0.1 on
+    32 cores for MJPEG synth+decode). At production scale the input is
+    many-partitioned already and this is a cheap no-op-shaped rebalance."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select("doc_id").repartition(n)
+
+
 def synthesize_media(docs: DataFrame) -> DataFrame:
     """Deterministic fake media table from documents (payload = utf-8 text
     bytes) — exercises the binary-column path end to end."""
@@ -442,7 +454,7 @@ def synthesize_png_media(docs: DataFrame) -> DataFrame:
                 out, columns=["media_id", "kind", "mime", "payload"]
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         _fn,
         "media_id long, kind string, mime string, payload binary",
     )
@@ -525,7 +537,7 @@ def synthesize_jpeg_media(docs: DataFrame, quality: int = 90) -> DataFrame:
                 out, columns=["media_id", "kind", "mime", "payload"]
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         _fn,
         "media_id long, kind string, mime string, payload binary",
     )
@@ -610,7 +622,7 @@ def synthesize_real_media(docs: DataFrame) -> DataFrame:
                 out, columns=["media_id", "kind", "mime", "payload"]
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         _fn,
         "media_id long, kind string, mime string, payload binary",
     )
@@ -915,7 +927,7 @@ def synthesize_mp4_media(docs: DataFrame) -> DataFrame:
                 out, columns=["media_id", "kind", "mime", "payload"]
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         _fn,
         "media_id long, kind string, mime string, payload binary",
     )
@@ -1150,7 +1162,7 @@ def synthesize_mjpeg_media(docs: DataFrame) -> DataFrame:
                 out, columns=["media_id", "kind", "mime", "payload"]
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread_ids(docs).mapInPandas(
         _fn,
         "media_id long, kind string, mime string, payload binary",
     )

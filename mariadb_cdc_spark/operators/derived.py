@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.dedup import lsh_buckets, minhash_signature
+from ..functions.dedup import minhash_signature
 
 _SEP = "\x1f"
 
@@ -76,24 +76,47 @@ def lsh_index_delta(
     sig = minhash_signature(
         docs.select("_id", text_col), text_col, n, num_hashes, id_col="_id"
     )
+    # Band buckets + signature csv + key split-back all come from ONE
+    # projection over the signature agg: a lsh_buckets-then-join shape would
+    # recompute the shingle pipeline for each join branch (the signature is
+    # the expensive side), and the keys are recoverable from the composite
+    # _id, so no join back onto the changelog either. Bucket hash must stay
+    # bit-identical to functions.dedup.lsh_buckets (same md5/concat layout).
+    rows_per_band = num_hashes // bands
+
+    def _bucket(b: int):
+        cols = [
+            F.col(f"mh_{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        return F.md5(F.concat_ws("_", F.lit(str(b)), *cols))
+
     sig_csv = F.array_join(
         F.array(*[F.col(f"mh_{i}").cast("string") for i in range(num_hashes)]),
         ",",
-    ).alias("_sig_csv")
-    rows = lsh_buckets(sig, num_hashes, bands).join(
-        sig.select("id", sig_csv), "id"
     )
-    ups = (
-        docs.select(*keys, "_id")
-        .join(rows.withColumnRenamed("id", "_id"), "_id")
-        .select(
-            *keys,
-            "band",
-            F.lit("UPSERT").alias("final_op"),
-            F.create_map(
-                F.lit("bucket"), F.col("bucket"), F.lit("sig"), F.col("_sig_csv")
-            ).alias("image"),
-        )
+    exploded = sig.select(
+        F.col("id").alias("_id"),
+        sig_csv.alias("_sig_csv"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), _bucket(b).alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    )
+    key_parts = F.split(F.col("_id"), _SEP)
+    ups = exploded.select(
+        *[key_parts.getItem(i).alias(k) for i, k in enumerate(keys)],
+        F.col("bb.band").alias("band"),
+        F.lit("UPSERT").alias("final_op"),
+        F.create_map(
+            F.lit("bucket"), F.col("bb.bucket"), F.lit("sig"), F.col("_sig_csv")
+        ).alias("image"),
     )
     dels = (
         changelog.where(F.col("change_type") == "delete")
