@@ -588,7 +588,10 @@ def q_cdc_checksum_verify(spark, sf):
     trailer, operators.wire.frame_events), DETERMINISTIC corruption is
     injected — doc_id%23==0 rows-event frames lose their last byte
     (header length claim now wrong), doc_id%19==0 frames get one body
-    byte XOR-flipped (CRC now wrong) — and verify_event_checksums
+    byte XOR-flipped (CRC now wrong), doc_id%29==0 frames are NULLED
+    outright (a dropped/absent payload, which under three-valued logic
+    would sail through a when-chain defaulting to 'ok'; it must land in
+    length_mismatch) — and verify_event_checksums
     classifies every frame JVM-side (F.crc32 + length cross-check:
     whole-stage codegen, no Python, no shuffle). checksum_stats rolls
     the verdicts up per (file, status) with first/last positions for
@@ -606,6 +609,9 @@ def q_cdc_checksum_verify(spark, sf):
     rowsy = F.col("event_type").isin("WRITE_ROWS", "UPDATE_ROWS")
     trunc = rowsy & (doc_id % 23 == 0)
     flip = rowsy & (doc_id % 19 == 0) & (doc_id % 23 != 0)
+    nullify = (
+        rowsy & (doc_id % 29 == 0) & (doc_id % 23 != 0) & (doc_id % 19 != 0)
+    )
     byte = F.conv(F.substring("frame_hex", 41, 2), 16, 10).cast("int")
     flipped = F.lpad(F.lower(F.hex(byte.bitwiseXOR(F.lit(255)))), 2, "0")
     corrupted = framed.withColumn(
@@ -619,6 +625,7 @@ def q_cdc_checksum_verify(spark, sf):
             ),
         )
         .when(trunc, F.expr("substring(frame_hex, 1, length(frame_hex) - 2)"))
+        .when(nullify, F.lit(None).cast("string"))
         .otherwise(F.col("frame_hex")),
     )
     return checksum_stats(verify_event_checksums(corrupted))
@@ -4247,6 +4254,7 @@ def oracle_sql() -> dict[str, str]:
           select f, doc_id * 256 + 64 as pos,
                  case when doc_id % 23 = 0 then 'length_mismatch'
                       when doc_id % 19 = 0 then 'crc_mismatch'
+                      when doc_id % 29 = 0 then 'length_mismatch'
                       else 'ok' end as st
           from raw
           union all

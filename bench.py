@@ -431,10 +431,33 @@ def sustained():
         )
 
     cfg = CdcConfig()  # production config: DDL classify on per epoch
-    # JIT warm-up on the smoke SF (sustained metric = steady state)
+    # JIT warm-up on the smoke SF (sustained metric = steady state) — BOTH
+    # paths: the batch apply AND one real streaming trigger, because the
+    # streaming engine's own code paths (file source, offset/commit log,
+    # foreachBatch plumbing) JIT separately from apply_batch's and the
+    # first timed trigger would otherwise pay their compilation.
     warm_sf = SF_DIR.replace("sf0.1", "sf0.01")
     if os.path.isdir(warm_sf):
         run_cdc_apply(spark, warm_sf)
+        wtmp = tempfile.mkdtemp(prefix="cdc_swarm_")
+        wev, _ = materialize_events(spark, warm_sf)
+        os.makedirs(f"{wtmp}/src")
+        nw = _land_epoch_files(f"{wtmp}/src", wev, 1, "w")
+        wt = LakeTable.create(
+            spark, f"{wtmp}/t", REPO_SCHEMA, MERGE_KEYS, n_buckets=64
+        )
+        qw = start_cdc_stream(
+            read_event_stream(
+                spark, f"{wtmp}/src", max_files_per_trigger=max(nw, 1)
+            ),
+            wt,
+            cfg,
+            checkpoint_dir=f"{wtmp}/ckpt",
+            stream_id="warm",
+        )
+        qw.awaitTermination()
+        shutil.rmtree(wtmp, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(wev), ignore_errors=True)
 
     # ---- leg 1: streaming-driven (the headline sustained number) ----
     src = f"{tmp}/src"
