@@ -972,8 +972,13 @@ def _split_events_by_wave(events, repo_count, max_wave_b0, n_buckets=32):
     slice runs several independent actions (control-plane jobs + merge),
     and without the cache every action re-runs the whole generator
     (shuffles included) — measured 1.5-2x on the two-batch scenario
-    queries. Spark evicts LRU if memory is tight."""
-    events = events.persist()
+    queries. MEMORY_ONLY deliberately: nothing unpersists (the callers
+    return lazily-derived frames), and memory blocks ARE LRU-evictable
+    (recompute on miss) whereas MEMORY_AND_DISK's spilled blocks would
+    accumulate on local disk for the rest of a 102-query session."""
+    from pyspark import StorageLevel
+
+    events = events.persist(StorageLevel.MEMORY_ONLY)
     cap = repo_count + 2
     slot = F.split("gtid", "-").getItem(2).cast("long")
     wave = F.floor(slot / (n_buckets * cap))

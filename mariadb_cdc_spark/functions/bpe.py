@@ -116,9 +116,10 @@ def _select_batch(
         if len(chosen) >= k or taken + len(chosen) >= limit:
             break
         a, b = r["a"], r["b"]
+        # `used` holds every chosen pair's symbols AND its concatenation,
+        # so this one test covers both conflict directions (candidate
+        # symbol == chosen concat, candidate concat == chosen symbol)
         if a in used or b in used or (a + b) in used:
-            continue
-        if any(a == ca + cb or b == ca + cb for ca, cb in chosen):
             continue
         chosen.append((a, b))
         used.update((a, b, a + b))

@@ -233,20 +233,31 @@ def minhash_signature(
     return based.groupBy("id").agg(*mins)
 
 
+def band_bucket_expr(b: int, num_hashes: int = 16, bands: int = 4):
+    """THE band-bucket hash for band b over mh_* signature columns —
+    md5('<b>_<mh..>' joined with '_'). Single definition shared by the
+    batch path (lsh_buckets), the incremental index (build_lsh_index) and
+    the CDC-maintained index (operators.derived.lsh_index_delta): any
+    layout change here re-keys every consumer together, so an index built
+    by one path always matches probes from another."""
+    rows_per_band = num_hashes // bands
+    cols = [
+        F.col(f"mh_{b * rows_per_band + r}").cast("string")
+        for r in range(rows_per_band)
+    ]
+    return F.md5(F.concat_ws("_", F.lit(str(b)), *cols))
+
+
 def lsh_buckets(
     sig: DataFrame, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
     """Banded bucket rows (id, band, bucket) from a signature table: the
     join key space of LSH, and the persistable state of an incremental
     index (see build_lsh_index). One narrow projection + explode."""
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.md5(F.concat_ws("_", F.lit(str(b)), *[c.cast("string") for c in cols])
-                  ).alias(f"band_{b}")
-        )
+    band_cols = [
+        band_bucket_expr(b, num_hashes, bands).alias(f"band_{b}")
+        for b in range(bands)
+    ]
     banded = sig.select("id", *band_cols)
     return banded.select(
         "id",

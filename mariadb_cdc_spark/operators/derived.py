@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.dedup import minhash_signature
+from ..functions.dedup import band_bucket_expr, minhash_signature
 
 _SEP = "\x1f"
 
@@ -80,16 +80,11 @@ def lsh_index_delta(
     # projection over the signature agg: a lsh_buckets-then-join shape would
     # recompute the shingle pipeline for each join branch (the signature is
     # the expensive side), and the keys are recoverable from the composite
-    # _id, so no join back onto the changelog either. Bucket hash must stay
-    # bit-identical to functions.dedup.lsh_buckets (same md5/concat layout).
-    rows_per_band = num_hashes // bands
-
+    # _id, so no join back onto the changelog either. The bucket hash is the
+    # SHARED band_bucket_expr, so this index stays probe-compatible with the
+    # batch path by construction.
     def _bucket(b: int):
-        cols = [
-            F.col(f"mh_{b * rows_per_band + r}").cast("string")
-            for r in range(rows_per_band)
-        ]
-        return F.md5(F.concat_ws("_", F.lit(str(b)), *cols))
+        return band_bucket_expr(b, num_hashes, bands)
 
     sig_csv = F.array_join(
         F.array(*[F.col(f"mh_{i}").cast("string") for i in range(num_hashes)]),

@@ -158,10 +158,44 @@ def main(argv: list[str] | None = None) -> int:
     cfg = CdcConfig(retain_versions=args.retain_versions)
 
     quarantined = None
+    gate_listener = None
+    gate_totals = {"n_frames": 0, "n_quarantined": 0}
+    gate_done = []
     if args.streaming:
         if not ((args.events or args.frames) and args.checkpoint):
             ap.error("--streaming requires --events or --frames, "
                      "and --checkpoint")
+        if args.frames:
+            # Accumulate the frame_gate observation via a listener: it sees
+            # EVERY progress event, unlike q.recentProgress which Spark caps
+            # (spark.sql.streaming.numRecentProgressUpdates, default 100) —
+            # a long run would silently under-report drops from the evicted
+            # epochs. Counts are per-run: epochs consumed by a previous run
+            # of the same checkpoint were reported by that run.
+            from pyspark.sql.streaming import StreamingQueryListener
+
+            class _GateAccumulator(StreamingQueryListener):
+                def onQueryStarted(self, event):
+                    pass
+
+                def onQueryProgress(self, event):
+                    om = (event.progress.observedMetrics or {}).get(
+                        "frame_gate"
+                    )
+                    if om is not None:
+                        gate_totals["n_frames"] += int(om["n_frames"])
+                        gate_totals["n_quarantined"] += int(
+                            om["n_quarantined"]
+                        )
+
+                def onQueryIdle(self, event):
+                    pass
+
+                def onQueryTerminated(self, event):
+                    gate_done.append(True)
+
+            gate_listener = _GateAccumulator()
+            spark.streams.addListener(gate_listener)
         if args.frames:
             from mariadb_cdc_spark.operators.wire import (
                 FRAME_ARCHIVE_SCHEMA,
@@ -181,17 +215,16 @@ def main(argv: list[str] | None = None) -> int:
             checkpoint_dir=args.checkpoint, stream_id=args.stream_id,
         )
         q.awaitTermination()
-        if args.frames:
-            # total the per-epoch frame_gate observation so streaming mode
-            # reports the same drop count batch mode does
-            total = {"n_frames": 0, "n_quarantined": 0}
-            for p in q.recentProgress:
-                d = p if isinstance(p, dict) else json.loads(p.json)
-                om = (d.get("observedMetrics") or {}).get("frame_gate")
-                if om:  # Row (live) or dict (json-parsed) — [] works for both
-                    total["n_frames"] += int(om["n_frames"])
-                    total["n_quarantined"] += int(om["n_quarantined"])
-            quarantined = total
+        if gate_listener is not None:
+            # listener delivery is async: wait (bounded) for the terminated
+            # event so the final progress updates have been drained
+            import time as _time
+
+            deadline = _time.time() + 10
+            while not gate_done and _time.time() < deadline:
+                _time.sleep(0.1)
+            spark.streams.removeListener(gate_listener)
+            quarantined = dict(gate_totals)
     else:
         if args.generate:
             from mariadb_cdc_spark.gen import generate_events, repo_table
