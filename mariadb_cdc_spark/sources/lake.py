@@ -1261,7 +1261,49 @@ class LakeTable:
                 unanchored_buckets=unanchored_buckets,
             )
 
-        target = self._read_state(meta, affected)
+        if need_compact and not big:
+            # PARTIAL compaction: only the buckets whose delta debt crossed
+            # the threshold take the COW rewrite; every other affected
+            # bucket keeps the O(batch) delta append. Without this split,
+            # ONE hot bucket's debt flips the WHOLE batch to copy-on-write
+            # — at production skew (a few hot tables among thousands of
+            # buckets) that is the difference between rewriting a bucket
+            # and rewriting the table. Both writes land under one CAS
+            # commit, so readers never see a half-applied batch.
+            compact_due = [
+                b for b in affected
+                if len(deltas.get(str(b), [])) >= self.MAX_DELTA_FILES
+                or dbytes.get(str(b), 0)
+                > self.COMPACT_BYTES_FRACTION * max(self._base_bytes(meta, b), 1)
+            ]
+            if compact_due and len(compact_due) < len(affected):
+                return self._merge_hybrid(
+                    u, meta, affected, compact_due, version, n_upserts,
+                    stream_id=stream_id, batch_id=batch_id, lineage=lineage,
+                    cast_types=cast_types, base_meta=base_meta,
+                    n_unanchored=n_unanchored,
+                    unanchored_buckets=unanchored_buckets,
+                )
+
+        merged = self._cow_frame(u, meta, affected, cast_types)
+        return self._commit_merged(
+            merged, meta, affected, version, u,
+            stream_id=stream_id, batch_id=batch_id, lineage=lineage,
+            n_upserts=n_upserts, base_meta=base_meta,
+        )
+
+    def _cow_frame(
+        self, u: DataFrame, meta: dict, buckets: list[int],
+        cast_types: bool = True,
+    ) -> DataFrame:
+        """The copy-on-write MERGE frame for `buckets`: full-outer join of
+        current state (bases + deltas resolved) against the folded change
+        set, position-gated per key. Extracted from the monolithic COW
+        path so partial compaction (_merge_hybrid) can rewrite a SUBSET of
+        the affected buckets with the identical semantics."""
+        keys = meta["keys"]
+        logical = meta["schema"]
+        target = self._read_state(meta, buckets)
         t = target.alias("t")
         s = u.alias("u")
         cond = [F.col(f"t.{k}") == F.col(f"u.{k}") for k in keys]
@@ -1325,12 +1367,7 @@ class LakeTable:
                 .alias(CDC_DELETED),
             ]
         )
-        merged = joined.select(*out_cols)
-        return self._commit_merged(
-            merged, meta, affected, version, u,
-            stream_id=stream_id, batch_id=batch_id, lineage=lineage,
-            n_upserts=n_upserts, base_meta=base_meta,
-        )
+        return joined.select(*out_cols)
 
     def _rows_from_fold(
         self, u: DataFrame, logical: list, keys: list[str], cast_types: bool
@@ -1753,44 +1790,19 @@ class LakeTable:
             os.path.join(self.path, rel, f"_bucket={bucket}")
         )
 
-    def _merge_delta(
+    def _delta_frame(
         self,
         u: DataFrame,
         meta: dict,
         affected: list[int],
-        version: int,
-        n_upserts: int,
-        *,
-        stream_id: str,
-        batch_id: int | None,
-        lineage: dict | None,
         cast_types: bool,
-        base_meta: dict | None = None,
-        n_unanchored: int | None = None,
-        unanchored_buckets: list[int] | None = None,
-    ) -> dict:
-        """MERGE as a per-bucket DELTA append (merge-on-read write path).
-
-        ANCHORED rows (the fold proved their image definitive: a reset —
-        INSERT / complete UPDATE / DELETE — anchors it) append directly,
-        with NO table-state read: the read side resolves per-key latest by
-        position anyway, so a stale or redundant delta row can never win.
-        This is the Hudi-MOR insert path, and it makes micro-batch ingest
-        cost O(batch), not O(touched-bucket state) per epoch — at a
-        full-row-image source (the MariaDB default) EVERY row is anchored
-        and the state read disappears entirely.
-
-        UNANCHORED rows (patch-only histories under binlog_row_image=
-        minimal) must resolve against current state so their delta row is a
-        complete image; that join reads ONLY the unanchored rows' buckets
-        and semi-joins the scan down to their keys. Folds that don't emit
-        the `anchored` flag (hand-built frames) resolve everything —
-        slower, never wrong.
-
-        Bytes written stay proportional to the batch, not the touched
-        buckets (tools/probe_write_amp.py measures it).
-        """
-        keys, n_buckets = meta["keys"], meta["n_buckets"]
+        n_unanchored: int | None,
+        unanchored_buckets: list[int] | None,
+    ) -> DataFrame:
+        """The merge-on-read delta rows for `u` (see _merge_delta for the
+        anchored/unanchored split semantics). Extracted so _merge_hybrid
+        can delta-append a SUBSET of the affected buckets."""
+        keys = meta["keys"]
         logical = meta["schema"]
         has_anchor = "anchored" in u.columns and n_unanchored is not None
 
@@ -1878,6 +1890,179 @@ class LakeTable:
         delta = parts[0]
         for p in parts[1:]:
             delta = delta.unionByName(p)
+
+        return delta
+
+    def _merge_hybrid(
+        self,
+        u: DataFrame,
+        meta: dict,
+        affected: list[int],
+        compact_due: list[int],
+        version: int,
+        n_upserts: int,
+        *,
+        stream_id: str,
+        batch_id: int | None,
+        lineage: dict | None,
+        cast_types: bool,
+        base_meta: dict | None = None,
+        n_unanchored: int | None = None,
+        unanchored_buckets: list[int] | None = None,
+    ) -> dict:
+        """Partial compaction: COW-rewrite only `compact_due` (the buckets
+        whose delta debt crossed the threshold), delta-append everything
+        else, ONE atomic commit. The scale rationale: need_compact used to
+        flip the WHOLE batch to copy-on-write, so one hot bucket's debt
+        forced a rewrite of every affected bucket's state — at production
+        skew that's rewriting the table to pay one bucket's bill. Write
+        cost here is O(compact_due state + batch), the asymptote a
+        per-bucket compaction policy is supposed to have. Readers are
+        atomic: both data dirs land before the single CAS pointer swing,
+        and a conflict loser removes both."""
+        keys, n_buckets = meta["keys"], meta["n_buckets"]
+        cset = set(compact_due)
+        dset = [b for b in affected if b not in cset]
+        in_c = F.col("_bucket").isin([int(b) for b in cset])
+        u_cow = u.where(in_c)
+        u_delta = u.where(~in_c)
+
+        merged = self._cow_frame(u_cow, meta, compact_due, cast_types)
+        rel_cow = f"data/v{version}-{uuid.uuid4().hex[:8]}"
+        (
+            merged.withColumn("_bucket", _bucket_col(keys, n_buckets))
+            .repartition(max(len(compact_due), 1), "_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(os.path.join(self.path, rel_cow))
+        )
+
+        del_unanch = (
+            [b for b in unanchored_buckets if b not in cset]
+            if unanchored_buckets is not None
+            else None
+        )
+        delta = self._delta_frame(
+            u_delta, meta, dset, cast_types, n_unanchored, del_unanch
+        )
+        rel_delta = f"data/d{version}-{uuid.uuid4().hex[:8]}"
+        (
+            delta.withColumn("_bucket", _bucket_col(keys, n_buckets))
+            .repartition(max(len(dset), 1), "_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(os.path.join(self.path, rel_delta))
+        )
+        u.unpersist()
+
+        written_cow = set(self._present_buckets(rel_cow))
+        for b in compact_due:
+            if b in written_cow:
+                meta["buckets"][str(b)] = rel_cow
+            else:
+                meta["buckets"].pop(str(b), None)
+            # the rewrite folded this bucket's deltas into the new base
+            meta.setdefault("deltas", {}).pop(str(b), None)
+            meta.setdefault("delta_bytes", {}).pop(str(b), None)
+        if written_cow:
+            meta.setdefault("stats", {})[rel_cow] = (
+                file_stats.collect_rel_stats(self.spark, self.path, rel_cow)
+            )
+            file_stats.attach_blooms(
+                self.spark, self.path, rel_cow, keys,
+                meta["stats"][rel_cow], level="base",
+            )
+
+        written_deltas = self._present_buckets(rel_delta)
+        for b in written_deltas:
+            meta.setdefault("deltas", {}).setdefault(str(b), []).append(
+                rel_delta
+            )
+            meta.setdefault("delta_bytes", {})[str(b)] = meta[
+                "delta_bytes"
+            ].get(str(b), 0) + _dir_bytes(
+                os.path.join(self.path, rel_delta, f"_bucket={b}")
+            )
+        if written_deltas:
+            meta.setdefault("stats", {})[rel_delta] = (
+                file_stats.collect_rel_stats(self.spark, self.path, rel_delta)
+            )
+            file_stats.attach_blooms(
+                self.spark, self.path, rel_delta, keys,
+                meta["stats"][rel_delta],
+            )
+        file_stats.gc_stats(meta)
+
+        if batch_id is not None:
+            meta["committed"][stream_id] = batch_id
+        if lineage:
+            for sid, posinfo in lineage.items():
+                cur = meta["lineage"].get(str(sid))
+                if cur is None or (posinfo["file"], posinfo["pos"]) >= (
+                    cur["file"],
+                    cur["pos"],
+                ):
+                    meta["lineage"][str(sid)] = posinfo
+        meta["metrics"]["n_rows"] = (
+            meta["metrics"].get("n_rows", 0) + n_upserts
+        )
+        if base_meta is None:
+            meta["version"] = version
+            meta["ts"] = time.time()
+            self._write_metadata(meta)
+        else:
+            version = self._commit_optimistic(
+                meta, base_meta, affected, [rel_cow, rel_delta]
+            )
+        return {
+            "skipped": False,
+            "version": version,
+            "buckets": len(affected),
+            "mode": "hybrid",
+            "compacted_buckets": len(compact_due),
+        }
+
+    def _merge_delta(
+        self,
+        u: DataFrame,
+        meta: dict,
+        affected: list[int],
+        version: int,
+        n_upserts: int,
+        *,
+        stream_id: str,
+        batch_id: int | None,
+        lineage: dict | None,
+        cast_types: bool,
+        base_meta: dict | None = None,
+        n_unanchored: int | None = None,
+        unanchored_buckets: list[int] | None = None,
+    ) -> dict:
+        """MERGE as a per-bucket DELTA append (merge-on-read write path).
+
+        ANCHORED rows (the fold proved their image definitive: a reset —
+        INSERT / complete UPDATE / DELETE — anchors it) append directly,
+        with NO table-state read: the read side resolves per-key latest by
+        position anyway, so a stale or redundant delta row can never win.
+        This is the Hudi-MOR insert path, and it makes micro-batch ingest
+        cost O(batch), not O(touched-bucket state) per epoch — at a
+        full-row-image source (the MariaDB default) EVERY row is anchored
+        and the state read disappears entirely.
+
+        UNANCHORED rows (patch-only histories under binlog_row_image=
+        minimal) must resolve against current state so their delta row is a
+        complete image; that join reads ONLY the unanchored rows' buckets
+        and semi-joins the scan down to their keys. Folds that don't emit
+        the `anchored` flag (hand-built frames) resolve everything —
+        slower, never wrong.
+
+        Bytes written stay proportional to the batch, not the touched
+        buckets (tools/probe_write_amp.py measures it).
+        """
+        keys, n_buckets = meta["keys"], meta["n_buckets"]
+        delta = self._delta_frame(
+            u, meta, affected, cast_types, n_unanchored, unanchored_buckets
+        )
 
         data_rel = f"data/d{version}-{uuid.uuid4().hex[:8]}"
         (

@@ -315,3 +315,105 @@ def test_rebucket_evolves_layout_preserving_state(spark, tmp_path):
     assert table.changes(v_before, v_before + 1).count() == 0
 
     assert table.rebucket(16)["n_buckets"] == 16  # no-op keeps version
+
+
+def _bucket_of(spark, table, key):
+    from mariadb_cdc_spark.sources.lake import _bucket_col
+
+    meta = table.metadata()
+    return (
+        spark.createDataFrame([(key,)], "id string")
+        .select(_bucket_col(meta["keys"], meta["n_buckets"]).alias("b"))
+        .first()["b"]
+    )
+
+
+def test_hybrid_merge_compacts_only_debt_buckets(spark, tmp_path):
+    """Partial compaction: when ONE bucket's delta debt crosses the
+    threshold, a batch touching it AND clean buckets must COW-rewrite only
+    the debt bucket (clearing its deltas) while the clean buckets keep the
+    O(batch) delta append — mode == 'hybrid', one commit, correct state."""
+    table = _init(spark, str(tmp_path / "th"), n=100, n_buckets=4)
+    hot_b = _bucket_of(spark, table, "k1")
+    # pick a key in a DIFFERENT bucket to ride along in the hybrid batch
+    other = next(
+        f"k{i}" for i in range(2, 100)
+        if _bucket_of(spark, table, f"k{i}") != hot_b
+    )
+    other_b = _bucket_of(spark, table, other)
+
+    # load delta debt onto k1's bucket only (small deltas may trip the
+    # byte-ratio compaction mid-loop on a tiny base — that's fine, keep
+    # loading until debt exists going into the tripping batch)
+    for i in range(LakeTable.MAX_DELTA_FILES - 1):
+        table.merge(
+            _folded(spark, [("k1", "UPSERT", {"val": f"rev{i}"}, 20_000 + i)]),
+            stream_id="init", batch_id=2 + i,
+        )
+    meta = table.metadata()
+    assert str(other_b) not in meta.get("deltas", {})
+
+    # the tripping batch touches the debt bucket AND a clean bucket
+    res = table.merge(
+        _folded(
+            spark,
+            [("k1", "UPSERT", {"val": "final"}, 30_000),
+             (other, "UPSERT", {"val": "ride"}, 30_001)],
+        ),
+        stream_id="init",
+        batch_id=50,
+    )
+    if res.get("mode") == "hybrid":  # debt may instead trip via byte ratio
+        assert res["compacted_buckets"] == 1
+        meta = table.metadata()
+        # debt bucket: fresh base, deltas cleared by the rewrite
+        assert str(hot_b) not in meta.get("deltas", {})
+        # clean bucket: exactly one delta appended, base untouched
+        assert len(meta["deltas"].get(str(other_b), [])) == 1
+    rows = {r["id"]: r["val"] for r in table.read().collect()}
+    assert rows["k1"] == "final" and rows[other] == "ride"
+    assert len(rows) == 100
+
+
+def test_hybrid_merge_trips_on_byte_ratio_and_preserves_state(spark, tmp_path):
+    """Force the hybrid path deterministically by loading byte debt over
+    COMPACT_BYTES_FRACTION on one bucket, then verify full-state equality
+    against per-key expectations, replay idempotence, and that the commit
+    is atomic (version advanced exactly once)."""
+    table = _init(spark, str(tmp_path / "tb"), n=60, n_buckets=4)
+    hot_b = _bucket_of(spark, table, "k1")
+    other = next(
+        f"k{i}" for i in range(2, 60)
+        if _bucket_of(spark, table, f"k{i}") != hot_b
+    )
+    # one FAT delta on k1's bucket (bytes >> 25% of that bucket's base)
+    fat = "x" * 200_000
+    res = table.merge(
+        _folded(spark, [("k1", "UPSERT", {"val": fat}, 40_000)]),
+        stream_id="init", batch_id=90,
+    )
+    assert res["mode"] == "delta"
+    v_before = table.metadata()["version"]
+    res = table.merge(
+        _folded(
+            spark,
+            [("k1", "UPSERT", {"val": "slim"}, 41_000),
+             (other, "DELETE", {}, 41_001)],
+        ),
+        stream_id="init",
+        batch_id=91,
+    )
+    assert res["mode"] == "hybrid" and res["compacted_buckets"] == 1
+    assert table.metadata()["version"] == v_before + 1  # one atomic commit
+    meta = table.metadata()
+    assert str(hot_b) not in meta.get("deltas", {})
+    rows = {r["id"]: r["val"] for r in table.read().collect()}
+    assert rows["k1"] == "slim" and other not in rows
+    assert len(rows) == 59
+    # replay of the hybrid batch is an exactly-once no-op
+    res2 = table.merge(
+        _folded(spark, [("k1", "UPSERT", {"val": "STALE"}, 41_000)]),
+        stream_id="init", batch_id=91,
+    )
+    assert res2.get("skipped") is True
+    assert {r["id"]: r["val"] for r in table.read().collect()}["k1"] == "slim"
