@@ -978,7 +978,12 @@ def _split_events_by_wave(events, repo_count, max_wave_b0, n_buckets=32):
     accumulate on local disk for the rest of a 102-query session."""
     from pyspark import StorageLevel
 
-    events = events.persist(StorageLevel.MEMORY_ONLY)
+    # Coalesce before caching: the generator's last shuffle leaves ~6x
+    # defaultParallelism partitions, and every control-plane job in each
+    # apply would otherwise schedule that many tasks over a tiny cached
+    # frame (fixed task overhead dominates these scenario queries).
+    n = events.sparkSession.sparkContext.defaultParallelism
+    events = events.coalesce(n).persist(StorageLevel.MEMORY_ONLY)
     cap = repo_count + 2
     slot = F.split("gtid", "-").getItem(2).cast("long")
     wave = F.floor(slot / (n_buckets * cap))
