@@ -305,6 +305,57 @@ def q_cdc_pipeline_e2e(spark, sf):
     return table.read()
 
 
+def q_cdc_mor_epochs(spark, sf):
+    """The same end-to-end engine as cdc_pipeline_e2e, but applied as SIX
+    position-ordered micro-batches through sequential apply_batch calls —
+    the merge-on-read write paths a streaming deployment actually takes:
+    the first epoch lands via the empty-table fast path, later small
+    epochs append per-bucket delta files, and accumulated delta debt
+    trips the per-bucket partial (hybrid) compaction. Slicing also forces
+    later epochs to decode WITHOUT their TABLE_MAPs (they ship in epoch
+    1), exercising the persisted cross-batch registry. The final state
+    must equal the closed-form wave plan regardless of slicing: the
+    MERGE is position-gated and commutative across batches, and the
+    delta read path resolves per-key latest identically to COW state.
+    Oracle == cdc_pipeline_e2e's (same final state by design)."""
+    from pyspark.sql import Window
+
+    from mariadb_cdc_spark.gen import MERGE_KEYS, generate_events, repo_table
+    from mariadb_cdc_spark.pipeline import CdcConfig, apply_batch
+    from mariadb_cdc_spark.sources.lake import LakeTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in
+         ["repo", "path", "commit", "lang", "content"]]
+    )
+    repo = repo_table(spark, sf)
+    n_epochs = 6
+    sliced = generate_events(repo).withColumn(
+        "_ep",
+        F.ntile(n_epochs).over(
+            Window.orderBy(F.struct("binlog_file", "binlog_pos"))
+        ),
+    )
+    from pyspark import StorageLevel
+
+    sliced = sliced.coalesce(
+        spark.sparkContext.defaultParallelism
+    ).persist(StorageLevel.MEMORY_ONLY)
+    tmp = tempfile.mkdtemp(prefix="cdc_q_mor_")
+    table = LakeTable.create(
+        spark, f"{tmp}/repo_files", schema, MERGE_KEYS, n_buckets=8
+    )
+    cfg = CdcConfig()
+    for i in range(1, n_epochs + 1):
+        apply_batch(
+            sliced.where(F.col("_ep") == i).drop("_ep"),
+            table, cfg, stream_id="mor", batch_id=i,
+        )
+    sliced.unpersist()
+    return table.read()
+
+
 def q_cdc_multi_table(spark, sf):
     """Multi-table apply (S7: the reference delivers every table's changes
     through ONE listener): one decode+registry pass fans out to per-table
@@ -2649,6 +2700,7 @@ QUERIES: dict[str, Callable] = {
     "text_bpe_pairs": q_text_bpe_pairs,
     "code_metrics": q_code_metrics,
     "code_winnow_pairs": q_code_winnow_pairs,
+    "cdc_mor_epochs": q_cdc_mor_epochs,
     "code_secrets": q_code_secrets,
     "events_distinct_sketch": q_events_distinct_sketch,
     "media_image_formats": q_media_image_formats,
@@ -4441,6 +4493,8 @@ def oracle_sql() -> dict[str, str]:
     # incremental snapshot rebuilds the SAME final state from bounded
     # retention + chunk reads — the closed form is identical
     oracles["cdc_incremental_snapshot"] = oracles["cdc_pipeline_e2e"]
+    # micro-batched apply converges to the identical final state
+    oracles["cdc_mor_epochs"] = oracles["cdc_pipeline_e2e"]
     # Drift audit: the injected drift classes are doc_id arithmetic over
     # the closed-form e2e state (plus 10 phantom source-only keys).
     oracles["cdc_drift_audit"] = f"""
