@@ -2075,6 +2075,25 @@ def q_decontaminate_fuzzy(spark, sf):
     )
 
 
+def q_emb_pq(spark, sf):
+    """Product quantization (Jegou et al. 2011) — the IVF-PQ storage
+    layout for 10^10-vector ANN corpora: 4 independent 4-codebooks over
+    contiguous 16-dim subvectors of the 64-dim embeddings, trained by the
+    grouped Lloyd loop in similarity.pq_codes (ALL codebooks in one plan:
+    broadcast codebook join + one groupBy(sv, code, pos) update per
+    iteration, no per-subspace jobs). One row per (vector, subspace):
+    code + rounded squared quantization error; the oracle replays the
+    whole two-iteration training deterministically (md5 seeding, rounded
+    centroids/distances — the same engine-portability contract as
+    emb_kmeans)."""
+    from mariadb_cdc_spark.functions.similarity import pq_codes
+
+    return pq_codes(_emb(spark, sf), m=4, k=4, iters=2).select(
+        F.col("vid").alias("vec_id"), "sv", "code",
+        F.col("dist").alias("qdist"),
+    )
+
+
 def q_emb_kmeans(spark, sf):
     """IVF index BUILD: distributed Lloyd's k-means over the embedding
     table (similarity.kmeans_assign) — deterministic hash seeding, rounded
@@ -2699,9 +2718,10 @@ QUERIES: dict[str, Callable] = {
     "sample_mixture_tokens": q_sample_mixture_tokens,
     "text_bpe_pairs": q_text_bpe_pairs,
     "code_metrics": q_code_metrics,
-    "code_winnow_pairs": q_code_winnow_pairs,
+    "emb_pq": q_emb_pq,
     "cdc_mor_epochs": q_cdc_mor_epochs,
     "code_secrets": q_code_secrets,
+    "code_winnow_pairs": q_code_winnow_pairs,
     "events_distinct_sketch": q_events_distinct_sketch,
     "media_image_formats": q_media_image_formats,
     "sample_mixture": q_sample_mixture,
@@ -3906,6 +3926,61 @@ def oracle_sql() -> dict[str, str]:
                      as contaminated
             from tr left join evh on tr.h = evh.h
             group by tr.doc_id
+        """,
+        "emb_pq": """
+            -- grouped-by-subspace Lloyd (m=4, k=4, 2 iterations + final
+            -- assignment), the per-subspace mirror of the emb_kmeans
+            -- oracle: seeds -> assign(c0) -> c1 -> assign(c1) -> c2 ->
+            -- final assignment vs c2. All centroids/distances rounded to
+            -- 6 so both engines walk identical float states.
+            with emb as (select vec_id, embedding from embeddings),
+            raw as (select vec_id, embedding,
+                           unnest(generate_series(1, len(embedding))) as pos
+                    from emb),
+            flat as (select vec_id,
+                            ((pos - 1) // (len(embedding) // 4))::INT as sv,
+                            ((pos - 1) % (len(embedding) // 4) + 1)::INT as spos,
+                            embedding[pos]::DOUBLE as x
+                     from raw),
+            sd as (select vec_id,
+                          row_number() over
+                            (order by md5(vec_id::VARCHAR), vec_id) - 1 as cid
+                   from emb),
+            seeds as (select * from sd where cid < 4),
+            c0 as (select s.cid, f.sv, f.spos, f.x as m
+                   from seeds s join flat f using (vec_id)),
+            d1 as (select f.vec_id, f.sv, c.cid,
+                          round(sum((f.x - c.m) * (f.x - c.m)), 6) as dist
+                   from flat f join c0 c on f.sv = c.sv and f.spos = c.spos
+                   group by 1, 2, 3),
+            a1 as (select vec_id, sv, cid from (
+                     select *, row_number() over
+                       (partition by vec_id, sv order by dist, cid) rn
+                     from d1) where rn = 1),
+            c1 as (select a.cid, f.sv, f.spos, round(avg(f.x), 6) as m
+                   from a1 a join flat f
+                     on a.vec_id = f.vec_id and a.sv = f.sv
+                   group by 1, 2, 3),
+            d2 as (select f.vec_id, f.sv, c.cid,
+                          round(sum((f.x - c.m) * (f.x - c.m)), 6) as dist
+                   from flat f join c1 c on f.sv = c.sv and f.spos = c.spos
+                   group by 1, 2, 3),
+            a2 as (select vec_id, sv, cid from (
+                     select *, row_number() over
+                       (partition by vec_id, sv order by dist, cid) rn
+                     from d2) where rn = 1),
+            c2 as (select a.cid, f.sv, f.spos, round(avg(f.x), 6) as m
+                   from a2 a join flat f
+                     on a.vec_id = f.vec_id and a.sv = f.sv
+                   group by 1, 2, 3),
+            d3 as (select f.vec_id, f.sv, c.cid,
+                          round(sum((f.x - c.m) * (f.x - c.m)), 6) as dist
+                   from flat f join c2 c on f.sv = c.sv and f.spos = c.spos
+                   group by 1, 2, 3)
+            select vec_id, sv, cid::INT as code, dist as qdist from (
+              select *, row_number() over
+                (partition by vec_id, sv order by dist, cid) rn from d3)
+            where rn = 1
         """,
         "emb_kmeans": _KMEANS_PRELUDE + """
             select vec_id, cid::INT as cluster, dist from a3

@@ -521,3 +521,125 @@ def embedding_diversity(
         F.round(F.avg("sim"), round_to).alias("mean_sim_to_centroid"),
         F.min("sim").alias("min_sim_to_centroid"),
     )
+
+
+# ------------------------------------------------- product quantization
+
+def pq_codes(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Product quantization (Jégou et al., PAMI 2011): split each vector
+    into `m` contiguous subvectors and learn an independent k-codebook
+    per subspace, so a d-dim float vector stores as m small codes —
+    the memory layout 10^10-vector ANN corpora actually ship (IVF-PQ).
+
+    Spark-first: ALL m codebooks train in ONE grouped Lloyd loop — the
+    subvectors explode to (vid, sv, sx) rows once, assignment is a
+    broadcast join on `sv` against the m codebooks (k*m*sub_dim doubles
+    of driver-side control-plane state, same pattern as _kmeans_fit) and
+    the centroid update is a single groupBy(sv, code, pos) aggregation.
+    No per-subspace jobs, no N-row blowup beyond the m-way explode.
+
+    Returns one row per (vector, subspace): vid, sv, code, dist (the
+    rounded squared quantization error in that subspace) — per-subspace
+    rows keep every value exactly reproducible by the SQL oracle (no
+    cross-subspace float summation order to pin down). Rounding contract
+    matches _kmeans_fit: centroids and distances round to `round_to` at
+    every step.
+    """
+    d = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible into {m} subvectors")
+    sub = d // m
+    vecs = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    subs = vecs.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sv"),
+                        F.slice("v", s * sub + 1, sub).alias("sx"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("p"),
+    ).select("vid", F.col("p.sv").alias("sv"), F.col("p.sx").alias("sx"))
+
+    seeds = (
+        vecs.withColumn("hk", F.md5(F.col("vid").cast("string")))
+        .orderBy("hk", "vid")
+        .limit(k)
+        .collect()
+    )
+    seeds = sorted(seeds, key=lambda r: (r["hk"], r["vid"]))
+    cents = {
+        s: sorted(
+            (i, list(r["v"][s * sub:(s + 1) * sub]))
+            for i, r in enumerate(seeds)
+        )
+        for s in range(m)
+    }
+
+    def _assign(cents):
+        one = corpus.sparkSession.createDataFrame(
+            [
+                (s, [int(i) for i, _ in cs], [[float(x) for x in c] for _, c in cs])
+                for s, cs in cents.items()
+            ],
+            "sv int, _cids array<int>, _cvecs array<array<double>>",
+        )
+        j = subs.join(F.broadcast(one), "sv")
+        d2 = F.transform(
+            F.col("_cvecs"),
+            lambda c: F.round(
+                F.aggregate(
+                    F.zip_with(F.col("sx"), c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                round_to,
+            ),
+        )
+        return j.select(
+            "vid",
+            "sv",
+            "sx",
+            F.element_at(
+                F.col("_cids"),
+                F.array_position(d2, F.array_min(d2)).cast("int"),
+            ).alias("code"),
+            F.array_min(d2).alias("dist"),
+        )
+
+    for _ in range(iters):
+        upd = (
+            _assign(cents)
+            .select("sv", "code", F.posexplode("sx").alias("pos", "x"))
+            .groupBy("sv", "code", "pos")
+            .agg(F.round(F.avg("x"), round_to).alias("mm"))
+            .groupBy("sv", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mm"))),
+                    lambda st: st["mm"],
+                ).alias("c")
+            )
+            .collect()
+        )
+        nxt: dict = {}
+        for r in upd:
+            nxt.setdefault(r["sv"], []).append((r["code"], list(r["c"])))
+        cents = {s: sorted(cs) for s, cs in nxt.items()}
+
+    return _assign(cents).select("vid", "sv", "code", "dist")

@@ -979,3 +979,36 @@ def test_embedding_neardup_all_pairs_guard(spark):
         ).count()
         == 12 * 11 // 2
     )
+
+
+def test_pq_codes_properties(spark):
+    """Product quantization invariants: one row per (vector, subspace),
+    codes within the codebook, non-negative rounded errors — and a corpus
+    of k distinct repeated vectors quantizes losslessly (each codebook
+    collapses onto the distinct subvectors)."""
+    from mariadb_cdc_spark.functions.similarity import pq_codes
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    out = pq_codes(emb, m=4, k=4, iters=2).collect()
+    assert len(out) == n * 4
+    assert all(0 <= r["code"] < 4 and r["dist"] >= 0 for r in out)
+
+    # lossless case: exactly k distinct vectors — every one is a seed, so
+    # each becomes (and stays) its own centroid and quantization is exact
+    base = [[float((i * 7 + j) % 5) for j in range(8)] for i in range(4)]
+    df = spark.createDataFrame(
+        list(enumerate(base)), "vec_id long, embedding array<float>"
+    )
+    z = pq_codes(df, m=2, k=4, iters=2).collect()
+    assert len(z) == 4 * 2
+    assert all(r["dist"] == 0.0 for r in z)
+
+    # indivisible dims fail loudly
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="divisible"):
+        pq_codes(bad, m=2, k=2)
