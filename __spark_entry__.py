@@ -2094,6 +2094,20 @@ def q_emb_pq(spark, sf):
     )
 
 
+def q_ann_pq_topk(spark, sf):
+    """ADC (asymmetric-distance) top-k over PQ codes — the search half of
+    IVF-PQ (similarity.pq_topk): each query builds an m x k LUT of exact
+    subvector-to-centroid distances and every corpus vector scores by m
+    integer-indexed lookups on its codes, never a d-dim distance — the
+    memory-bandwidth shape that serves 10^10-vector corpora. The oracle
+    replays training (shared emb_pq chain) + LUT + the explicit
+    subspace-ordered float sum + top-k."""
+    from mariadb_cdc_spark.functions.similarity import pq_topk
+
+    emb = _emb(spark, sf)
+    return pq_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
 def q_emb_kmeans(spark, sf):
     """IVF index BUILD: distributed Lloyd's k-means over the embedding
     table (similarity.kmeans_assign) — deterministic hash seeding, rounded
@@ -2717,11 +2731,12 @@ QUERIES: dict[str, Callable] = {
     "dedup_containment": q_dedup_containment,
     "sample_mixture_tokens": q_sample_mixture_tokens,
     "text_bpe_pairs": q_text_bpe_pairs,
-    "code_metrics": q_code_metrics,
     "emb_pq": q_emb_pq,
     "cdc_mor_epochs": q_cdc_mor_epochs,
-    "code_secrets": q_code_secrets,
+    "ann_pq_topk": q_ann_pq_topk,
     "code_winnow_pairs": q_code_winnow_pairs,
+    "code_secrets": q_code_secrets,
+    "code_metrics": q_code_metrics,
     "events_distinct_sketch": q_events_distinct_sketch,
     "media_image_formats": q_media_image_formats,
     "sample_mixture": q_sample_mixture,
@@ -3976,11 +3991,12 @@ def oracle_sql() -> dict[str, str]:
             d3 as (select f.vec_id, f.sv, c.cid,
                           round(sum((f.x - c.m) * (f.x - c.m)), 6) as dist
                    from flat f join c2 c on f.sv = c.sv and f.spos = c.spos
-                   group by 1, 2, 3)
-            select vec_id, sv, cid::INT as code, dist as qdist from (
-              select *, row_number() over
-                (partition by vec_id, sv order by dist, cid) rn from d3)
-            where rn = 1
+                   group by 1, 2, 3),
+            a3 as (select vec_id, sv, cid, dist from (
+                     select *, row_number() over
+                       (partition by vec_id, sv order by dist, cid) rn
+                     from d3) where rn = 1)
+            select vec_id, sv, cid::INT as code, dist as qdist from a3
         """,
         "emb_kmeans": _KMEANS_PRELUDE + """
             select vec_id, cid::INT as cluster, dist from a3
@@ -4570,6 +4586,32 @@ def oracle_sql() -> dict[str, str]:
     oracles["cdc_incremental_snapshot"] = oracles["cdc_pipeline_e2e"]
     # micro-batched apply converges to the identical final state
     oracles["cdc_mor_epochs"] = oracles["cdc_pipeline_e2e"]
+    # ADC search shares the emb_pq training chain: swap its final select
+    # for the query LUT + m-lookup scoring + top-k
+    _pq_chain = oracles["emb_pq"].rsplit("select vec_id, sv,", 1)[0]
+    oracles["ann_pq_topk"] = _pq_chain + """
+            , lut as (select f.vec_id as qid, f.sv, c.cid,
+                             round(sum((f.x - c.m) * (f.x - c.m)), 6) as d
+                      from flat f join c2 c
+                        on f.sv = c.sv and f.spos = c.spos
+                      where f.vec_id < 5
+                      group by 1, 2, 3),
+            sc as (select l.qid, a.vec_id as vid,
+                          round(max(case when a.sv = 0 then l.d end)
+                                + max(case when a.sv = 1 then l.d end)
+                                + max(case when a.sv = 2 then l.d end)
+                                + max(case when a.sv = 3 then l.d end),
+                                6) as adist
+                   from a3 a join lut l on a.sv = l.sv and a.cid = l.cid
+                   group by 1, 2),
+            rk as (select qid, vid, adist,
+                          row_number() over
+                            (partition by qid order by adist, vid) as rank
+                   from sc where qid != vid)
+            select qid as query_id, rank::INT as rank,
+                   vid as neighbor_id, adist
+            from rk where rank <= 10
+    """
     # Drift audit: the injected drift classes are doc_id arithmetic over
     # the closed-form e2e state (plus 10 phantom source-only keys).
     oracles["cdc_drift_audit"] = f"""

@@ -525,7 +525,7 @@ def embedding_diversity(
 
 # ------------------------------------------------- product quantization
 
-def pq_codes(
+def pq_fit(
     corpus: DataFrame,
     m: int = 4,
     k: int = 4,
@@ -533,7 +533,7 @@ def pq_codes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
-) -> DataFrame:
+):
     """Product quantization (Jégou et al., PAMI 2011): split each vector
     into `m` contiguous subvectors and learn an independent k-codebook
     per subspace, so a d-dim float vector stores as m small codes —
@@ -546,12 +546,13 @@ def pq_codes(
     the centroid update is a single groupBy(sv, code, pos) aggregation.
     No per-subspace jobs, no N-row blowup beyond the m-way explode.
 
-    Returns one row per (vector, subspace): vid, sv, code, dist (the
-    rounded squared quantization error in that subspace) — per-subspace
-    rows keep every value exactly reproducible by the SQL oracle (no
-    cross-subspace float summation order to pin down). Rounding contract
-    matches _kmeans_fit: centroids and distances round to `round_to` at
-    every step.
+    Returns (cents, sub_dim, codes): the per-subspace codebooks (driver
+    state), the subvector width, and one row per (vector, subspace) —
+    vid, sv, code, dist (the rounded squared quantization error in that
+    subspace). Per-subspace rows keep every value exactly reproducible by
+    the SQL oracle (no cross-subspace float summation order to pin down).
+    Rounding contract matches _kmeans_fit: centroids and distances round
+    to `round_to` at every step.
     """
     d = corpus.select(F.size(vec_col).alias("d")).first()["d"]
     if d % m:
@@ -642,4 +643,130 @@ def pq_codes(
             nxt.setdefault(r["sv"], []).append((r["code"], list(r["c"])))
         cents = {s: sorted(cs) for s, cs in nxt.items()}
 
-    return _assign(cents).select("vid", "sv", "code", "dist")
+    return cents, sub, _assign(cents).select("vid", "sv", "code", "dist")
+
+
+def pq_codes(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-(vector, subspace) PQ assignment rows — see pq_fit."""
+    _, _, codes = pq_fit(corpus, m, k, iters, id_col, vec_col, round_to)
+    return codes
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    k_codes: int = 4,
+    iters: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the search half
+    of IVF-PQ: each query builds an m x k lookup table of exact
+    query-subvector-to-centroid distances, and every corpus vector is
+    scored by m TABLE LOOKUPS on its codes instead of a d-dim distance.
+    At 10^10 vectors that turns the scan side into integer-indexed adds
+    over 4-8 byte codes — the memory-bandwidth shape PQ exists for.
+
+    Spark plan: codes (N x m rows) BROADCAST-join the LUT (q x m x k rows,
+    tiny) on (sv, code); the per-(query, vector) score folds the m
+    subspace distances IN SUBSPACE ORDER (array_sort before the fold), so
+    the float sum is deterministic and the SQL oracle reproduces it with
+    an explicit d0+d1+...+d(m-1). Approximate by construction — the
+    returned dist is the quantized distance, monotone in recall terms
+    with codebook size."""
+    cents, sub, codes = pq_fit(
+        corpus, m, k_codes, iters, id_col, vec_col, round_to
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("qid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    qsubs = qvecs.select(
+        "qid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sv"),
+                        F.slice("qv", s * sub + 1, sub).alias("qx"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("p"),
+    ).select("qid", F.col("p.sv").alias("sv"), F.col("p.qx").alias("qx"))
+    one = corpus.sparkSession.createDataFrame(
+        [
+            (s, [int(i) for i, _ in cs], [[float(x) for x in c] for _, c in cs])
+            for s, cs in cents.items()
+        ],
+        "sv int, _cids array<int>, _cvecs array<array<double>>",
+    )
+    lut = (
+        qsubs.join(F.broadcast(one), "sv")
+        .select(
+            "qid",
+            "sv",
+            F.explode(
+                F.arrays_zip(F.col("_cids").alias("code"), F.col("_cvecs").alias("cv"))
+            ).alias("e"),
+            F.col("qx"),
+        )
+        .select(
+            "qid",
+            "sv",
+            F.col("e.code").alias("code"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qx"), F.col("e.cv"),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                round_to,
+            ).alias("d"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sv", "code"])
+        .groupBy("qid", "vid")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("sv", "d"))),
+                    F.lit(0.0),
+                    lambda acc, st: acc + st["d"],
+                ),
+                round_to,
+            ).alias("adist")
+        )
+        .where(F.col("qid") != F.col("vid"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("adist").asc(), F.col("vid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            "rank",
+            F.col("vid").alias("neighbor_id"),
+            "adist",
+        )
+    )

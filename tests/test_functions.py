@@ -1012,3 +1012,43 @@ def test_pq_codes_properties(spark):
     )
     with _pytest.raises(ValueError, match="divisible"):
         pq_codes(bad, m=2, k=2)
+
+
+def test_pq_topk_beats_random_and_is_deterministic(spark):
+    """ADC ranking sanity. On near-random 64-dim synthetic embeddings
+    exact-recall is inherently tiny for any small codebook (distance
+    concentration), so the honest criterion is RANKING QUALITY: the true
+    L2 distance of PQ-chosen neighbors must beat the corpus mean by a
+    clear margin (random top-10 would match the mean). Plus shape and
+    determinism pins."""
+    import numpy as np
+
+    from mariadb_cdc_spark.functions.similarity import pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = pq_topk(
+        emb, emb.where(F.col("vec_id") < 3), m=8, k_codes=8, k=10
+    ).collect()
+    assert len(got) == 30
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float)
+            for r in emb.collect()}
+    for qid, rows in by_q.items():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] \
+            == list(range(1, 11))
+        q = vecs[qid]
+        dists = {vid: float(np.sum((v - q) ** 2))
+                 for vid, v in vecs.items() if vid != qid}
+        mean_all = np.mean(list(dists.values()))
+        mean_pq = np.mean([dists[r["neighbor_id"]] for r in rows])
+        assert mean_pq < 0.9 * mean_all, (qid, mean_pq, mean_all)
+        # and the reported quantized distances are monotone in rank
+        adists = [r["adist"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert adists == sorted(adists)
+    # determinism across runs
+    again = pq_topk(
+        emb, emb.where(F.col("vec_id") < 3), m=8, k_codes=8, k=10
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
