@@ -2681,8 +2681,9 @@ def q_code_winnow_pairs(spark, sf):
 # 50 entries. Round 5 window = the 36 CDC-core queries + the 5 r4-red queries
 # (now hash-stable via ::BIGINT oracle casts) + the 6 queries that never had a
 # driver row (cdc_chain_audit, cdc_masked_apply, decontaminate_fuzzy,
-# dedup_containment, sample_mixture_tokens, text_bpe_pairs) + 3 code queries.
-# Everything rotated past position 50 keeps a green row in r1-r4 ledgers.
+# dedup_containment, sample_mixture_tokens, text_bpe_pairs) + the 3 round-5
+# additions (emb_pq, cdc_mor_epochs, ann_pq_topk). The code_* queries rotated
+# past position 50 all keep green CORRECTNESS_r04 rows.
 QUERIES: dict[str, Callable] = {
     "cdc_lww_state": q_cdc_lww_state,
     "cdc_dedup_replay": q_cdc_dedup_replay,
